@@ -1,13 +1,355 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.llm.{EchoModel, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Driver contract — the operator catalog from SURVEY.md §2.
+  *
+  * Every `queries` entry is one operator of the engine; `oracleSql` holds
+  * the equivalent DuckDB SQL over the same parquet tables. Column names are
+  * aligned on both sides (the driver compare sorts columns by name).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q5Multijoin(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- §2.2 relational
+
+  /** TPC-H Q1-style pricing summary. Monetary sums as decimal for exact,
+    * order-independent cross-engine aggregation. */
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: join + agg + top-k; dims broadcast by Catalyst. */
+  private def q3JoinTopk(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5-style: 6-way join, small dims broadcast, revenue per nation. */
+  private def q5Multijoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") && cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window functions: per-supplier ordered row_number + running quantity. */
+  private def qWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty", sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "running_qty")
+  }
+
+  /** Semi-structured: JSON props extraction + per-type aggregates. */
+  private def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
+  /** Sessionization: 30-minute-gap sessions per user via lag + conditional sum. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- §2.5 text analysis
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"))
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  // ---------------------------------------------------------------- §2.3 dedup
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("content_key")
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5)
+      .orderBy("a_id", "b_id")
+
+  // ---------------------------------------------------------------- §2.1 LLM surface
+
+  private def inferRender(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "documents")
+    df.select(col("doc_id"), Infer.renderPrompt(df, Seq("source", " | ", "lang", " | ", "text")).as("prompt"))
+  }
+
+  private def inferEcho(s: SparkSession, dir: String): DataFrame =
+    Infer.infer(t(s, dir, "documents"), EchoModel(maxChars = 100), Seq("text"))
+      .select("doc_id", "inference_result")
+
+  private def inferStructured(s: SparkSession, dir: String): DataFrame = {
+    val inferred = Infer.infer(
+      t(s, dir, "documents"), JudgeScorer(0, 10), Seq("text"), truncateRows = false)
+    Results.unpackJson(inferred).select("doc_id", "score")
+  }
+
+  private def classifyKeyword(s: SparkSession, dir: String): DataFrame =
+    Templates.classify(t(s, dir, "documents"), Seq("join", "window", "stream"), Seq("text"),
+        outputColumn = "classification_result")
+      .select("doc_id", "classification_result")
+
+  private def scoreJudge(s: SparkSession, dir: String): DataFrame =
+    Templates.score(t(s, dir, "documents"), Seq("text"), Seq("clarity"), range = (1, 5))
+      .select(col("doc_id"), col("score").cast("long").as("score"))
+
+  private def truncateTokensQ(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "documents")
+    df.select(col("doc_id"),
+      Infer.truncateTokens(col("text"), 20).as("truncated"))
+  }
+
+  private def resultsJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val results = Infer.infer(docs, EchoModel(maxChars = 50), Seq("text"))
+      .select("doc_id", "inference_result")
+    Results.withOriginalDf(docs, results, "doc_id").orderBy("doc_id")
+  }
+
+  private def rankOptions(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("opt_text"), col("source").as("opt_src"))
+    Templates.rank(df, Seq("opt_text", "opt_src"))
+      .select(col("doc_id"), array_join(col("ranking"), ",").as("ranking_str"), col("winner"))
+  }
+
+  // ---------------------------------------------------------------- catalog
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join_topk" -> (q3JoinTopk _),
+    "q5_multijoin" -> (q5Multijoin _),
+    "q_window" -> (qWindow _),
+    "q_events_json" -> (qEventsJson _),
+    "q_sessionize" -> (qSessionize _),
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "infer_render" -> (inferRender _),
+    "infer_echo" -> (inferEcho _),
+    "infer_structured" -> (inferStructured _),
+    "classify_keyword" -> (classifyKeyword _),
+    "score_judge" -> (scoreJudge _),
+    "truncate_tokens" -> (truncateTokensQ _),
+    "results_join" -> (resultsJoin _),
+    "rank_options" -> (rankOptions _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_topk" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS running_qty
+        |FROM lineitem""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |x AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS len_chars
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, CAST(
+        |  greatest(0, least(100,
+        |    least(len(regexp_split_to_array(text, '\s+')), 50)
+        |    + floor(len(list_distinct(regexp_split_to_array(text, '\s+'))) * 40.0
+        |            / greatest(len(regexp_split_to_array(text, '\s+')), 1))
+        |    - least(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')), 10)
+        |    + 10)) AS INTEGER) AS quality
+        |FROM documents""".stripMargin,
+    "text_langid" ->
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pt FROM documents),
+        |s AS (SELECT doc_id,
+        |  (length(pt)-length(replace(pt,' the ','')))/5 + (length(pt)-length(replace(pt,' a ','')))/3 + (length(pt)-length(replace(pt,' of ','')))/4 AS s_en,
+        |  (length(pt)-length(replace(pt,' der ','')))/5 + (length(pt)-length(replace(pt,' und ','')))/5 + (length(pt)-length(replace(pt,' die ','')))/5 AS s_de,
+        |  (length(pt)-length(replace(pt,' el ','')))/4 + (length(pt)-length(replace(pt,' la ','')))/4 + (length(pt)-length(replace(pt,' que ','')))/5 AS s_es,
+        |  (length(pt)-length(replace(pt,' le ','')))/4 + (length(pt)-length(replace(pt,' et ','')))/4 + (length(pt)-length(replace(pt,' les ','')))/5 AS s_fr,
+        |  (length(pt)-length(replace(pt,' zh ','')))/4 + (length(pt)-length(replace(pt,' zhong ','')))/7 + (length(pt)-length(replace(pt,' wen ','')))/5 AS s_zh
+        |FROM p)
+        |SELECT doc_id, CASE
+        |  WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'en'
+        |  WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'de'
+        |  WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'es'
+        |  WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'fr'
+        |  WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'zh'
+        |  ELSE 'unknown' END AS pred_lang
+        |FROM s""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key,
+        |  min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH norm AS (
+        |  SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shl
+        |  FROM norm),
+        |ex AS (SELECT id, len(shl) AS sz, unnest(shl) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, any_value(a.sz) AS a_size, any_value(b.sz) AS b_size, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT a_id, b_id FROM pairs
+        |WHERE CAST(shared AS DOUBLE) / (a_size + b_size - shared) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "infer_render" ->
+      """SELECT doc_id,
+        |  coalesce(CAST(source AS VARCHAR), '') || ' | ' || coalesce(CAST(lang AS VARCHAR), '') || ' | ' || coalesce(CAST(text AS VARCHAR), '') AS prompt
+        |FROM documents""".stripMargin,
+    "infer_echo" ->
+      """SELECT doc_id, substr(coalesce(text, ''), 1, 100) AS inference_result
+        |FROM documents""".stripMargin,
+    "infer_structured" ->
+      """SELECT doc_id, CAST(length(coalesce(text,'')) % 11 AS BIGINT) AS score
+        |FROM documents""".stripMargin,
+    "classify_keyword" ->
+      """SELECT doc_id, CASE
+        |  WHEN contains(lower(coalesce(text,'')), 'join') THEN 'join'
+        |  WHEN contains(lower(coalesce(text,'')), 'window') THEN 'window'
+        |  WHEN contains(lower(coalesce(text,'')), 'stream') THEN 'stream'
+        |  ELSE 'other' END AS classification_result
+        |FROM documents""".stripMargin,
+    "score_judge" ->
+      """SELECT doc_id, 1 + length(coalesce(text,'')) % 5 AS score
+        |FROM documents""".stripMargin,
+    "truncate_tokens" ->
+      """SELECT doc_id, CASE WHEN len(regexp_split_to_array(text, '\s+')) <= 20 THEN text
+        |  ELSE array_to_string((regexp_split_to_array(text, '\s+'))[1:20], ' ') END AS truncated
+        |FROM documents""".stripMargin,
+    "results_join" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  substr(coalesce(text, ''), 1, 50) AS inference_result
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "rank_options" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(coalesce(text,'')) > length(coalesce(source,''))
+        |    THEN 'opt_text,opt_src' ELSE 'opt_src,opt_text' END AS ranking_str,
+        |  CASE WHEN length(coalesce(text,'')) > length(coalesce(source,''))
+        |    THEN 'opt_text' ELSE 'opt_src' END AS winner
+        |FROM documents""".stripMargin
+  )
 }

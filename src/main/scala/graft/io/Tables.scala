@@ -1,0 +1,53 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loading mirroring the reference's input handling
+  * (reference: sutro/common.py:119 `prepare_input_data` — list, DataFrame,
+  * csv/parquet/txt path, dataset id). Spark-side, every input becomes a
+  * DataFrame read through the DataSource API so filters/projection push down.
+  */
+object Tables {
+  /** Load one of the driver-generated test tables from an sf directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
+    * for; with spark.sql.legacy.parquet.nanosAsLong=true it arrives as long
+    * nanos and is truncated (DIV, not double math — ns values exceed the
+    * 53-bit double mantissa) to microsecond TimestampType here. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Generic file loader keyed on extension, like prepare_input_data:
+    * .csv → header csv, .parquet → parquet, .txt/no-ext → one line per row. */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val ext = path.lastIndexOf('.') match {
+      case -1 => ""
+      case i  => path.substring(i + 1).toLowerCase
+    }
+    ext match {
+      case "parquet"       => spark.read.parquet(path)
+      case "csv"           => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      case "json" | "jsonl" => spark.read.json(path)
+      case "txt" | ""      => spark.read.text(path).withColumnRenamed("value", "line")
+      case other           => throw new IllegalArgumentException(s"Unsupported file type: .$other")
+    }
+  }
+}

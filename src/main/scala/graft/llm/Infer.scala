@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The `infer` operator: prompt rendering + model application.
+  *
+  * Mirrors the reference's input preparation semantics
+  * (sutro/common.py:77 `do_dataframe_column_concatenation`,
+  * sutro/common.py:119 `prepare_input_data`) re-expressed as columnar
+  * transforms so Catalyst prunes/pushes everything to the scan.
+  */
+object Infer {
+
+  /** Render the prompt from one or more column specs.
+    *
+    * Reference semantics: each entry in `parts` that names an existing
+    * column contributes that column (null → "", cast to string); any other
+    * entry is a literal separator. Parts are concatenated in order.
+    */
+  def renderPrompt(df: DataFrame, parts: Seq[String]): Column = {
+    val cols = parts.map { p =>
+      if (df.columns.contains(p)) coalesce(col(p).cast("string"), lit(""))
+      else lit(p)
+    }
+    if (cols.size == 1) cols.head else concat(cols: _*)
+  }
+
+  /** Truncate a prompt to at most `maxTokens` whitespace tokens
+    * (reference `truncate_rows`, sutro/sdk.py:480). Token boundaries are
+    * normalized to single spaces on truncation, untouched otherwise. */
+  def truncateTokens(prompt: Column, maxTokens: Int): Column = {
+    val toks = split(prompt, "\\s+")
+    when(size(toks) <= maxTokens, prompt)
+      .otherwise(array_join(slice(toks, 1, maxTokens), " "))
+  }
+
+  /** Run inference: optional system prompt is prepended (separated by two
+    * newlines, matching chat-template concatenation), prompt optionally
+    * truncated to the model's context window, model applied columnar.
+    *
+    * Returns df + `outputColumn`.
+    */
+  def infer(
+      df: DataFrame,
+      model: Model,
+      column: Seq[String],
+      outputColumn: String = "inference_result",
+      systemPrompt: Option[String] = None,
+      truncateRows: Boolean = true): DataFrame = {
+    require(column.nonEmpty, "Column name must be specified for DataFrame input")
+    var prompt = renderPrompt(df, column)
+    if (truncateRows) prompt = truncateTokens(prompt, model.contextWindow)
+    systemPrompt.foreach(sp => prompt = concat(lit(sp + "\n\n"), prompt))
+    df.withColumn(outputColumn, model.generate(prompt))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, fingerprinting. All pure columnar
+  * expressions (whole-stage codegen; no UDFs), so they hold up on 100 TB:
+  * each is a narrow map over the scan with pushdown-friendly projections.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** Occurrences of literal `word` in `text` via replace-length arithmetic —
+    * identical semantics in any ANSI SQL engine (oracle-friendly). */
+  def occurrences(text: Column, word: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(word), ""))) / word.length).cast("long")
+
+  /** Normalized content key: lowercase, collapse whitespace, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized content. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Heuristic quality score in [0,100]: rewards moderate length, word
+    * diversity, and low punctuation density. Integer-valued for exact
+    * cross-engine comparison. */
+  def qualityScore(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    val nTok = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val nPunct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val lenScore = least(nTok, lit(50)) // up to 50 points for length
+    // floor() so the value is integral before the int cast: Spark casts
+    // double→int by truncation while other engines round — floor is portable
+    val divScore = floor(nUniq * lit(40) / greatest(nTok, lit(1))) // up to 40
+    val punctPenalty = least(nPunct, lit(10)) // up to -10
+    greatest(lit(0), least(lit(100), lenScore + divScore - punctPenalty + lit(10)))
+      .cast("int")
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with lexicographic tie-break. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " la ", " que "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "zh" -> Seq(" zh ", " zhong ", " wen "))
+
+  /** Predict language by total marker-word occurrences; ties broken by
+    * language code order as listed (first wins), unknown when zero hits. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langMarkers.map { case (lang, words) =>
+      lang -> words.map(w => occurrences(padded, w)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}
