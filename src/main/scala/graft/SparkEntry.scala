@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.llm.{EchoModel, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
-import graft.ops.{Dedup, TextAnalysis}
+import graft.llm.{EchoModel, Elo, HashEmbedder, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — the operator catalog from SURVEY.md §2.
   *
@@ -135,6 +135,42 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5)
       .orderBy("a_id", "b_id")
 
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .orderBy("a_id", "b_id")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)
+      .orderBy("a_id", "b_id")
+
+  // ---------------------------------------------------------------- §2.4 similarity
+
+  private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // 5 bits x 16 tables at test scale (recall ~0.7 on uniform-random
+    // vectors, where LSH is hardest); scale bits up with corpus size
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, bits = 5, tables = 16)
+      .orderBy("query_id", "rank")
+  }
+
+  private def knnLabel(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnLabel(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label", k = 10)
+      .orderBy("query_id")
+  }
+
   // ---------------------------------------------------------------- §2.1 LLM surface
 
   private def inferRender(s: SparkSession, dir: String): DataFrame = {
@@ -181,6 +217,40 @@ object SparkEntry {
       .select(col("doc_id"), array_join(col("ranking"), ",").as("ranking_str"), col("winner"))
   }
 
+  private def embedHash(s: SparkSession, dir: String): DataFrame =
+    Templates.embed(t(s, dir, "documents"), Seq("text"), outputColumn = "embedding", dim = 64)
+      .select("doc_id", "embedding")
+
+  /** Elo over per-document language-ranking ballots: each doc ranks the
+    * five langId marker languages by marker occurrences (desc, lang asc) —
+    * a deterministic stand-in for LLM ranking ballots. Ballot explosion and
+    * pair counting run distributed; the 5x5 Bradley–Terry solve is driver
+    * side (reference: sutro/templates/evals.py:182). */
+  private def eloRatings(s: SparkSession, dir: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val entries = TextAnalysis.langMarkers.map { case (lang, words) =>
+      struct(
+        (lit(0) - words.map(w => TextAnalysis.occurrences(padded, w)).reduce(_ + _)).as("negscore"),
+        lit(lang).as("lang"))
+    }
+    val ballots = t(s, dir, "documents")
+      .select(transform(array_sort(array(entries: _*)), e => e.getField("lang")).as("ballot"))
+    Elo.ratings(ballots, "ballot")
+      .select(col("label"), round(col("elo"), 4).as("elo"),
+        col("wins").cast("long").as("wins"), col("losses").cast("long").as("losses"))
+  }
+
+  // ---------------------------------------------------------------- §2.6 multimodal + streaming
+
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractFeatures(withPayload).toDF().orderBy("doc_id")
+  }
+
+  private def streamWindowAgg(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.windowAggAvailableNow(s, dir)
+      .orderBy("window_start", "event_type")
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -203,7 +273,17 @@ object SparkEntry {
     "score_judge" -> (scoreJudge _),
     "truncate_tokens" -> (truncateTokensQ _),
     "results_join" -> (resultsJoin _),
-    "rank_options" -> (rankOptions _)
+    "rank_options" -> (rankOptions _),
+    "embed_hash" -> (embedHash _),
+    "elo_ratings" -> (eloRatings _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_bruteforce" -> (annBruteforce _),
+    "ann_lsh" -> (annLsh _),
+    "knn_label" -> (knnLabel _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "stream_window_agg" -> (streamWindowAgg _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -350,6 +430,40 @@ object SparkEntry {
         |    THEN 'opt_text,opt_src' ELSE 'opt_src,opt_text' END AS ranking_str,
         |  CASE WHEN length(coalesce(text,'')) > length(coalesce(source,''))
         |    THEN 'opt_text' ELSE 'opt_src' END AS winner
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM scored
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "knn_label" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.label AS n_label,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rk
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 50),
+        |votes AS (
+        |  SELECT qid, n_label, count(*) AS votes FROM scored WHERE rk <= 10 GROUP BY qid, n_label),
+        |best AS (
+        |  SELECT qid, n_label, votes,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, n_label) AS rk
+        |  FROM votes)
+        |SELECT qid AS query_id, n_label AS pred_label, votes
+        |FROM best WHERE rk = 1 ORDER BY query_id""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT time_bucket(INTERVAL '1' HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
   )
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions over the [[Kernels]]: each generates a single
+  * static call inside whole-stage codegen (no interpreted HOF fallback, no
+  * UDF serialization), with a matching interpreted `nullSafeEval` path.
+  */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.shingles(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingles($c, $n)")
+  override def prettyName: String = "word_shingles"
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.minhashSig(input.asInstanceOf[UTF8String], n, k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashSig($c, $n, $k)")
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.simhash64(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c)")
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.hashEmbed(input.asInstanceOf[UTF8String], dim)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hashEmbed($c, $dim)")
+  override def prettyName: String = "hash_embed"
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedExpr =
+    copy(child = newChild)
+}
+
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cosineF($a, $b)")
+  override def prettyName: String = "cosine_sim"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+}
+
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dotF($a, $b)")
+  override def prettyName: String = "dot_product"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
+    copy(left = l, right = r)
+}
+
+case class HyperplaneBucketExpr(child: Expression, bits: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.hyperplaneBucket(input.asInstanceOf[ArrayData], bits, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.hyperplaneBucket($c, $bits, ${seed}L)")
+  override def prettyName: String = "hyperplane_bucket"
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
+/** Column-typed API over the custom expressions. */
+object gf {
+  private def u(c: Column)(f: Expression => Expression): Column =
+    GraftBridge.column(f(GraftBridge.expression(c)))
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = u(text)(WordShinglesExpr(_, n))
+
+  /** MinHash signature (k permutations over word n-gram shingles). */
+  def minhashSig(text: Column, n: Int, k: Int): Column = u(text)(MinHashSigExpr(_, n, k))
+
+  /** 64-bit SimHash fingerprint of a text column. */
+  def simhash64(text: Column): Column = u(text)(SimHash64Expr(_))
+
+  /** Feature-hash embedding (array<float>, L2-normalized). */
+  def hashEmbed(text: Column, dim: Int): Column = u(text)(HashEmbedExpr(_, dim))
+
+  /** Cosine similarity of two array<float> columns. */
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Dot product of two array<float> columns. */
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Random-hyperplane LSH bucket id for an array<float> column. */
+  def hyperplaneBucket(v: Column, bits: Int, seed: Long): Column =
+    u(v)(HyperplaneBucketExpr(_, bits, seed))
+}

@@ -1,0 +1,230 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.regex.Pattern
+
+/** One-pass JVM kernels behind graft's custom Catalyst expressions.
+  *
+  * These exist because Spark's higher-order functions (transform/aggregate/
+  * zip_with) evaluate interpreted, per element, with boxing — measured ~2 ms
+  * per 300-char document for n-gram shingling. Each kernel here does the
+  * whole computation in one static call that whole-stage codegen invokes
+  * directly, keeping the hot path allocation-light. All kernels are pure
+  * and deterministic (no per-JVM seeds), so results are stable across
+  * executors and retries — a correctness requirement at cluster scale.
+  */
+object Kernels {
+
+  private val ws = Pattern.compile("\\s+")
+
+  /** Lower-cased whitespace tokens (empty tokens dropped). Matches the
+    * normalize-then-split semantics of TextAnalysis.normalize. */
+  def tokenize(text: UTF8String): Array[String] = {
+    val s = text.toString.toLowerCase
+    val raw = ws.split(s)
+    // leading whitespace yields one leading empty token — drop it
+    var n = 0
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) n += 1; i += 1 }
+    if (n == raw.length) raw
+    else {
+      val out = new Array[String](n)
+      var j = 0
+      i = 0
+      while (i < raw.length) { if (!raw(i).isEmpty) { out(j) = raw(i); j += 1 }; i += 1 }
+      out
+    }
+  }
+
+  /** Distinct word n-gram shingles, space-joined, first-occurrence order. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** FNV-1a 64-bit over a string's UTF-16 chars — fast, deterministic,
+    * dependency-free 64-bit token hash. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  // Mersenne prime 2^61-1: the classic universal-hash modulus for minhash
+  // permutations h_i(x) = (a_i * x + b_i) mod p.
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Deterministic permutation coefficients (SplitMix64 from a fixed seed). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** k-permutation MinHash signature over word n-gram shingles.
+    * One pass: per shingle, one 64-bit hash, then k affine permutations. */
+  def minhashSig(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val toks = tokenize(text)
+    val m = toks.length - n + 1
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (m > 0) {
+      // a odd (never 0 mod p), b arbitrary — fixed per permutation index
+      val as = Array.tabulate(k)(p => mix64(2L * p) | 1L)
+      val bs = Array.tabulate(k)(p => mix64(2L * p + 1))
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val h = fnv1a64(sb.toString) & MersennePrime
+        var p = 0
+        while (p < k) {
+          val v = Math.floorMod(as(p) * h + bs(p), MersennePrime)
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Any](k)
+    var q = 0
+    while (q < k) { out(q) = sig(q); q += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over word unigrams weighted by term frequency. */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokenize(text)
+    val v = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = fnv1a64(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (v(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** Feature-hash embedding: tokens hashed into `dim` signed buckets,
+    * L2-normalized. Deterministic stand-in for a neural embedder
+    * (reference: sutro/templates/embed.py:9). */
+  def hashEmbed(text: UTF8String, dim: Int): ArrayData = {
+    val toks = tokenize(text)
+    val acc = new Array[Double](dim)
+    var i = 0
+    while (i < toks.length) {
+      val h = fnv1a64(toks(i))
+      val bucket = Math.floorMod(h, dim.toLong).toInt
+      val sign = if (((h >>> 62) & 1L) == 1L) -1.0 else 1.0
+      acc(bucket) += sign
+      i += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += acc(j) * acc(j); j += 1 }
+    val norm = if (ss == 0.0) 1.0 else math.sqrt(ss)
+    val out = new Array[Any](dim)
+    j = 0
+    while (j < dim) { out(j) = (acc(j) / norm).toFloat; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Cosine similarity of two float vectors (double accumulation, input
+    * order — bit-stable across engines that do the same). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Dot product of two float vectors in double. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  /** Random-hyperplane LSH bucket: `bits` sign bits of projections onto
+    * deterministic pseudo-random hyperplanes (SplitMix64-generated, seeded
+    * by bit index x dimension — no stored model, identical on every
+    * executor). */
+  def hyperplaneBucket(v: ArrayData, bits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // deterministic N(0,1)-ish weight from a hash: map to [-1,1)
+        val h = mix64(seed + b.toLong * 131071L + i.toLong)
+        val w = (h >> 11).toDouble / (1L << 52).toDouble // [-1, 1)
+        dot += v.getFloat(i).toDouble * w
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+}

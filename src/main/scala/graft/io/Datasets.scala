@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Local dataset registry mirroring the reference's dataset lifecycle
+  * (sutro/sdk.py: create_dataset / upload to dataset / list_datasets /
+  * download): datasets are directories of parquet/csv/jsonl/txt files under
+  * a registry root, addressed by dataset id.
+  */
+class Datasets(root: String) {
+  private def rootPath: Path = {
+    val p = Paths.get(root)
+    Files.createDirectories(p)
+    p
+  }
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Create an empty dataset, returning its id. */
+  def create(name: Option[String] = None): String = {
+    val id = name.getOrElse(f"dataset-${System.currentTimeMillis()}%d-${counter.incrementAndGet()}%d")
+    Files.createDirectories(rootPath.resolve(id))
+    id
+  }
+
+  /** Upload (materialize) a DataFrame into a dataset as the given format. */
+  def upload(df: DataFrame, datasetId: String, format: String = "parquet", name: String = "part"): String = {
+    val dir = rootPath.resolve(datasetId)
+    require(Files.isDirectory(dir), s"unknown dataset $datasetId")
+    val target = dir.resolve(s"$name.$format").toString
+    format match {
+      case "parquet" => df.write.mode("overwrite").parquet(target)
+      case "csv"     => df.write.mode("overwrite").option("header", "true").csv(target)
+      case "json" | "jsonl" => df.write.mode("overwrite").json(target)
+      case other     => throw new IllegalArgumentException(s"Unsupported dataset format: $other")
+    }
+    target
+  }
+
+  def list(): Seq[String] =
+    Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+
+  def listFiles(datasetId: String): Seq[String] = {
+    val dir = rootPath.resolve(datasetId)
+    require(Files.isDirectory(dir), s"unknown dataset $datasetId")
+    Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Download = load a dataset file back as a DataFrame. */
+  def download(spark: SparkSession, datasetId: String, file: String): DataFrame =
+    Tables.load(spark, rootPath.resolve(datasetId).resolve(file).toString)
+}

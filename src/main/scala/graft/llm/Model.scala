@@ -68,28 +68,13 @@ case class JudgeScorer(lo: Int = 0, hi: Int = 10) extends Model {
 
 /** Deterministic feature-hash embedder (sutro/templates/embed.py:9): tokens
   * are hashed into `dim` signed buckets and the vector L2-normalized.
-  * Pure higher-order-function pipeline — no UDF, stays codegen-friendly.
+  * Backed by the one-pass [[graft.functions.HashEmbedExpr]] kernel (the
+  * HOF aggregate/zip_with formulation was O(tokens x dim) interpreted).
   */
 case class HashEmbedder(dim: Int = 64) extends Model {
   val name = "hash-embedder-1"
   override def generate(prompt: Column): Column = embed(prompt).cast("string")
 
   /** array<float> embedding of the prompt. */
-  def embed(prompt: Column): Column = {
-    val tokens = split(prompt, "\\s+")
-    // accumulate counts per bucket: fold tokens into a dim-length vector
-    val zero = array_repeat(lit(0.0d), dim)
-    val summed = aggregate(
-      tokens,
-      zero,
-      (acc, tok) => {
-        val bucket = pmod(hash(tok), lit(dim))
-        val sign = when(pmod(hash(tok, lit(7)), lit(2)) === 0, lit(1.0d)).otherwise(lit(-1.0d))
-        zip_with(acc, sequence(lit(0), lit(dim - 1)), (v, i) =>
-          when(i === bucket, v + sign).otherwise(v))
-      }
-    )
-    val norm = sqrt(aggregate(summed, lit(0.0d), (a, v) => a + v * v))
-    transform(summed, v => (v / when(norm === 0.0d, 1.0d).otherwise(norm)).cast("float"))
-  }
+  def embed(prompt: Column): Column = graft.functions.gf.hashEmbed(prompt, dim)
 }

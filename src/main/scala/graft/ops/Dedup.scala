@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.gf
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -18,14 +19,11 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_key"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of `text` (distinct, space-joined). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(TextAnalysis.normalize(text), " ")
-    array_distinct(
-      filter(
-        transform(toks, (_, i) => when(i + n <= size(toks), array_join(slice(toks, i + 1, lit(n)), " "))),
-        _.isNotNull))
-  }
+  /** Word n-gram shingles of `text` (distinct, space-joined). One-pass
+    * custom expression ([[graft.functions.WordShinglesExpr]]) — the
+    * equivalent transform/slice/array_join HOF pipeline evaluates
+    * interpreted per element and measured ~10x slower. */
+  def shingles(text: Column, n: Int): Column = gf.shingles(text, n)
 
   /** Exact n-gram Jaccard similar pairs via shingle inverted index:
     * explode shingles → co-group by shingle → count shared shingles per
@@ -44,6 +42,103 @@ object Dedup {
       .groupBy("a_id", "b_id", "a_size", "b_size")
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") / (col("a_size") + col("b_size") - col("shared")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** MinHash + LSH banding near-dup pairs — the 100 TB dedup path.
+    *
+    * Each doc gets a k-permutation MinHash signature (custom codegen
+    * expression, one pass over the text). The signature is split into
+    * `bands` bands of k/bands rows; docs agreeing on ALL rows of any band
+    * become candidates (classic LSH banding, Broder 1997 / MMDS ch.3).
+    * Candidates are then verified with exact estimated similarity =
+    * fraction of matching signature components >= threshold.
+    *
+    * Scale: candidate generation is a shuffle on (band, band-hash) — pair
+    * space is bounded by bucket collisions, never O(n^2); the verify step
+    * compares two k-long arrays per candidate pair only.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      gf.minhashSig(col(textCol), n, numHashes).as("sig"))
+    // band key: hash of the band's slice of the signature (bands unrolled
+    // at plan build — they're compile-time constants, no HOF needed)
+    val banded = sig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until bands).map(bi =>
+        hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"), col("sig").as("b_sig"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sig", "b_sig")
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .withColumn("est_sim",
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), m => m))
+          .cast("double") / numHashes)
+      .where(col("est_sim") >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    *
+    * 64-bit SimHash fingerprint (custom codegen expression), then
+    * pigeonhole banding: split the 64 bits into maxHamming+1 blocks — any
+    * pair within maxHamming Hamming distance must agree exactly on at
+    * least one block (complete, no false negatives). Block-equality join,
+    * then exact Hamming verify via bit_count(xor).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val bitsPerBlock = 64 / blocks
+    val fp = df.select(col(idCol).as("id"), gf.simhash64(col(textCol)).as("fp"))
+    // block value: the i-th bit slice; last block keeps the remainder bits
+    val banded = fp.select(
+      col("id"), col("fp"),
+      posexplode(array((0 until blocks).map { i =>
+        val shifted = shiftrightunsigned(col("fp"), i * bitsPerBlock)
+        if (i == blocks - 1) shifted
+        else shifted.bitwiseAND(lit((1L << bitsPerBlock) - 1))
+      }: _*)).as(Seq("block", "blockval")))
+    val a = banded.select(col("block"), col("blockval"), col("id").as("a_id"), col("fp").as("a_fp"))
+    val b = banded.select(col("block"), col("blockval"), col("id").as("b_id"), col("fp").as("b_fp"))
+    a.join(b, Seq("block", "blockval"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .where(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))) <= maxHamming)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs: all (a, b) with cosine >= minCos.
+    *
+    * Exact all-pairs formulation for oracle checking; at scale, swap the
+    * self-join for [[Similarity]] LSH bucketing — same verify step,
+    * bounded pair space.
+    */
+  def embeddingPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.join(b, col("a_id") < col("b_id"))
+      .where(gf.cosine(col("a_vec"), col("b_vec")) >= minCos)
       .select(col("a_id"), col("b_id"))
   }
 }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline; random-hyperplane
+  * LSH bucketing is the scale path (bounded candidate sets, shuffle on
+  * bucket key instead of an all-pairs join).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: for every query vector, the k most similar
+    * corpus vectors (excluding self when ids collide).
+    *
+    * Plan shape: broadcast the (small) query side, score with the codegen
+    * cosine expression, rank with a per-query window. Scale: the corpus
+    * side streams — no shuffle of the corpus except the window's
+    * partition-by-query, which is proportional to |queries| x |corpus|
+    * scored rows only when k is unbounded; for real workloads bound the
+    * candidate set with [[lshTopK]].
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", gf.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH top-k — the scale path for ANN.
+    *
+    * `tables` independent hash tables, each bucketing vectors by `bits`
+    * hyperplane sign bits (deterministic pseudo-random hyperplanes, no
+    * stored model). Query and corpus vectors meeting in any table's bucket
+    * become candidates; candidates are ranked by exact cosine. Recall is
+    * tuned by (tables, bits): more tables -> higher recall, more bits ->
+    * smaller buckets.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 12,
+      tables: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) = {
+      val buckets = array((0 until tables).map(t =>
+        struct(lit(t).as("table"), gf.hyperplaneBucket(col(vec), bits, seed = 0x9e3779b9L * (t + 1)).as("bucket"))): _*)
+      df.select(col(id), col(vec), explode(buckets).as("tb"))
+        .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    }
+    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")), "query_id", "q_vec")
+    val c = bucketed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")), "neighbor_id", "c_vec")
+    val candidates = c.join(q, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_vec", "neighbor_id", "c_vec")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cos_sim", gf.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** kNN majority-label classification: label each query by the majority
+    * label of its k nearest corpus vectors (ties -> smallest label). */
+  def knnLabel(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val topk = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))
+    topk.join(labels, "neighbor_id")
+      .groupBy("query_id", "n_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("query_id"), col("n_label").as("pred_label"), col("votes"))
+  }
+}
