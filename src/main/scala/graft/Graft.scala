@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.io.{Datasets, Tables}
+import graft.llm._
+
+/** The user-facing SDK facade — the reference's `Sutro` client surface
+  * (sutro/sdk.py) re-expressed over a SparkSession.
+  *
+  * A reference user migrates by swapping `Sutro()` for `Graft(spark)`:
+  * `infer`, `classify`, `score`, `embed`, `rank`, `elo`, job lifecycle and
+  * dataset registry keep their shapes; every operation is a lazy DataFrame
+  * transform until a job is submitted (which materializes to the local
+  * parquet result cache, like the reference's ~/.sutro cache).
+  */
+class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/datasets") {
+
+  val datasets = new Datasets(datasetRoot)
+
+  /** Load any supported input into a DataFrame (list/csv/parquet/txt/jsonl;
+    * reference: sutro/common.py:119 prepare_input_data). */
+  def load(path: String): DataFrame = Tables.load(spark, path)
+
+  def fromSeq(items: Seq[String], column: String = "text"): DataFrame = {
+    import spark.implicits._
+    items.toDF(column)
+  }
+
+  /** Run a model over one or more columns (reference: sutro/sdk.py:465). */
+  def infer(
+      df: DataFrame,
+      model: Model,
+      column: Seq[String],
+      outputColumn: String = "inference_result",
+      systemPrompt: Option[String] = None,
+      truncateRows: Boolean = true,
+      unpackJson: Boolean = false): DataFrame = {
+    val inferred = Infer.infer(df, model, column, outputColumn, systemPrompt, truncateRows)
+    if (unpackJson) Results.unpackJson(inferred, outputColumn) else inferred
+  }
+
+  def classify(
+      df: DataFrame,
+      classes: Seq[String],
+      column: Seq[String],
+      outputColumn: String = "classification_result",
+      includeScratchpad: Boolean = false): DataFrame =
+    Templates.classify(df, classes, column, outputColumn, includeScratchpad)
+
+  def score(
+      df: DataFrame,
+      column: Seq[String],
+      criteria: Seq[String],
+      scoreColumnName: String = "score",
+      range: (Int, Int) = (0, 10)): DataFrame =
+    Templates.score(df, column, criteria, scoreColumnName, range)
+
+  def embed(
+      df: DataFrame,
+      column: Seq[String],
+      outputColumn: String = "inference_result",
+      dim: Int = 64): DataFrame =
+    Templates.embed(df, column, outputColumn, dim)
+
+  def rank(df: DataFrame, optionLabels: Seq[String], rankingColumnName: String = "ranking"): DataFrame =
+    Templates.rank(df, optionLabels, rankingColumnName)
+
+  /** Elo ratings from ranking ballots (reference: sutro/templates/evals.py:182). */
+  def elo(ballots: DataFrame, column: String): DataFrame = Elo.ratings(ballots, column)
+
+  // ----- jobs (reference: create/status/await/cancel/results) -----
+  def submitJob(df: DataFrame, name: Option[String] = None): String = Jobs.submit(df, name)
+  def jobStatus(id: String): Jobs.Status = Jobs.status(id)
+  def jobResults(id: String): DataFrame = Jobs.results(spark, id)
+  def cancelJob(id: String): Jobs.Status = Jobs.cancel(id)
+  def listJobs(): Seq[Jobs.Job] = Jobs.list()
+}
+
+object Graft {
+  def apply(spark: SparkSession): Graft = new Graft(spark)
+}

@@ -77,6 +77,17 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
     copy(left = l, right = r)
 }
 
+case class SigAgreementExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sigAgreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.sigAgreement($a, $b)")
+  override def prettyName: String = "sig_agreement"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreementExpr =
+    copy(left = l, right = r)
+}
+
 case class HyperplaneBucketExpr(child: Expression, bits: Int, seed: Long) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any =
@@ -112,6 +123,10 @@ object gf {
   /** Dot product of two array<float> columns. */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Fraction of agreeing positions between two array<long> signatures. */
+  def sigAgreement(a: Column, b: Column): Column =
+    GraftBridge.column(SigAgreementExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Random-hyperplane LSH bucket id for an array<float> column. */
   def hyperplaneBucket(v: Column, bits: Int, seed: Long): Column =

@@ -204,6 +204,20 @@ object Kernels {
     dot
   }
 
+  /** Fraction of positions where two equal-length long signatures agree —
+    * the MinHash similarity estimate. */
+  def sigAgreement(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
   /** Random-hyperplane LSH bucket: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes (SplitMix64-generated, seeded
     * by bit index x dimension — no stored model, identical on every

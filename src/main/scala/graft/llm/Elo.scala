@@ -63,11 +63,12 @@ object Elo {
     if (m == 0) return Map.empty
     val idx = models.zipWithIndex.toMap
 
-    val w = Array.ofDim[Double](m, m)
+    val raw = Array.ofDim[Double](m, m)
     for (((win, lose), c) <- pairCounts; if win != lose)
-      w(idx(win))(idx(lose)) += c
-    if (laplace > 0)
-      for (i <- 0 until m; j <- 0 until m if i != j) w(i)(j) += laplace
+      raw(idx(win))(idx(lose)) += c
+    // laplace smoothing only enters the solve; reported wins/losses stay raw
+    val w = Array.tabulate(m, m)((i, j) =>
+      if (i == j) 0.0 else raw(i)(j) + (if (laplace > 0) laplace else 0.0))
 
     val nMat = Array.tabulate(m, m)((i, j) => if (i == j) 0.0 else w(i)(j) + w(j)(i))
 
@@ -92,9 +93,9 @@ object Elo {
       eloRaw.map(_ - mean + eloMean)
     }
     models.zipWithIndex.map { case (label, i) =>
-      val wins = w(i).sum
-      val losses = (0 until m).map(j => w(j)(i)).sum
-      val matches = nMat(i).sum
+      val wins = raw(i).sum
+      val losses = (0 until m).map(j => raw(j)(i)).sum
+      val matches = wins + losses
       label -> (s(i), beta(i), eloCentered(i), wins, losses, matches)
     }.toMap
   }

@@ -79,15 +79,14 @@ object Dedup {
         hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*)).as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"), col("sig").as("a_sig"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"), col("sig").as("b_sig"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    // score each collision immediately (one-pass codegen kernel), so the
+    // dedup shuffle moves (id, id, double) rows — not two 128-long arrays
+    a.join(b, Seq("band", "bucket"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sig", "b_sig")
-      .dropDuplicates("a_id", "b_id")
-    candidates
-      .withColumn("est_sim",
-        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), m => m))
-          .cast("double") / numHashes)
+      .select(col("a_id"), col("b_id"),
+        gf.sigAgreement(col("a_sig"), col("b_sig")).as("est_sim"))
       .where(col("est_sim") >= threshold)
+      .groupBy("a_id", "b_id").agg(first(col("est_sim")))
       .select(col("a_id"), col("b_id"))
   }
 

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.{gf, Kernels}
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.io.Tables.documents(spark, sfDir)
+
+  test("exact: whitespace/case variants collapse to one content key") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").orderBy("keeper_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 2L)
+  }
+
+  test("ngramJaccard: near-identical pair found, disjoint pair not") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again yesterday"),
+      (3L, "completely different content with no shared shingles at all ok")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("minhashLsh: recovers the exact-jaccard pair set on sf0.001 documents") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, 128, 32, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH estimates sim by signature agreement: demand high recall and that
+    // every extra pair is a near-threshold estimate, not garbage
+    val recall = (exact & lsh).size.toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.9, s"LSH recall $recall too low (${exact.size} exact, ${lsh.size} lsh)")
+    assert(lsh.size <= exact.size + 5, "LSH emitted implausibly many extra pairs")
+  }
+
+  test("simhash pairs = brute-force hamming<=3 pairs (banding is complete)") {
+    val fps = docs.select(col("doc_id"), gf.simhash64(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, fpa) <- fps; (idb, fpb) <- fps
+      if ida < idb && java.lang.Long.bitCount(fpa ^ fpb) <= 3
+    } yield (ida, idb)).toSet
+    val banded = Dedup.simhashPairs(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
+  }
+
+  test("embeddingPairs threshold behaves like a filter on exact cosine") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val pairs = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4).count()
+    val loose = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.3).count()
+    assert(pairs <= loose)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.io.Tables.embeddings(spark, sfDir)
+
+  test("bruteForceTopK: hand-checkable neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(out.toSeq === Seq((1L, 1), (2L, 2)))
+  }
+
+  test("lshTopK: rank-1 self-evident neighbors recalled on sf0.001 embeddings") {
+    val queries = emb.where(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5, bits = 5, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    // uniform-random vectors are the LSH worst case; still demand real signal
+    assert(recall >= 0.5, s"LSH recall $recall vs brute force")
+  }
+
+  test("knnLabel: majority of k=3 identical-label neighbors wins") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 7),
+      (11L, Array(0.95f, 0.05f), 7),
+      (12L, Array(0.9f, 0.1f), 7),
+      (13L, Array(0.0f, 1.0f), 3)).toDF("vec_id", "embedding", "label")
+    val q = Seq((0L, Array(1.0f, 0.01f), -1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabel(corpus, q, "vec_id", "embedding", "label", 3).collect()
+    assert(out.length === 1)
+    assert(out(0).getInt(1) === 7)
+    assert(out(0).getLong(2) === 3L)
+  }
+}
