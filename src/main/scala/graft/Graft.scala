@@ -26,7 +26,8 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
     items.toDF(column)
   }
 
-  /** Run a model over one or more columns (reference: sutro/sdk.py:465). */
+  /** Run a model over one or more columns (reference: sutro/sdk.py:465).
+    * dryRun returns the cost estimate frame instead of running. */
   def infer(
       df: DataFrame,
       model: Model,
@@ -34,8 +35,12 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
       outputColumn: String = "inference_result",
       systemPrompt: Option[String] = None,
       truncateRows: Boolean = true,
-      unpackJson: Boolean = false): DataFrame = {
-    val inferred = Infer.infer(df, model, column, outputColumn, systemPrompt, truncateRows)
+      unpackJson: Boolean = false,
+      dryRun: Boolean = false,
+      randomSeedPerInput: Boolean = false): DataFrame = {
+    if (dryRun) return Infer.estimateCost(df, model, column, truncateRows)
+    val inferred = Infer.infer(df, model, column, outputColumn, systemPrompt,
+      truncateRows, randomSeedPerInput)
     if (unpackJson) Results.unpackJson(inferred, outputColumn) else inferred
   }
 

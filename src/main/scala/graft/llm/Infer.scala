@@ -35,9 +35,17 @@ object Infer {
       .otherwise(array_join(slice(toks, 1, maxTokens), " "))
   }
 
+  /** Deterministic per-input seed (reference `random_seed_per_input`,
+    * sutro/sdk.py:479): a stable 63-bit hash of the prompt — identical
+    * across executors and retries, distinct per distinct input. */
+  def perInputSeed(prompt: Column): Column = abs(xxhash64(prompt))
+
   /** Run inference: optional system prompt is prepended (separated by two
     * newlines, matching chat-template concatenation), prompt optionally
     * truncated to the model's context window, model applied columnar.
+    * With randomSeedPerInput the per-row seed is exposed alongside the
+    * output as `<outputColumn>_seed` (our local models are deterministic;
+    * a sampling backend would consume it in generate()).
     *
     * Returns df + `outputColumn`.
     */
@@ -47,11 +55,34 @@ object Infer {
       column: Seq[String],
       outputColumn: String = "inference_result",
       systemPrompt: Option[String] = None,
-      truncateRows: Boolean = true): DataFrame = {
+      truncateRows: Boolean = true,
+      randomSeedPerInput: Boolean = false): DataFrame = {
     require(column.nonEmpty, "Column name must be specified for DataFrame input")
     var prompt = renderPrompt(df, column)
     if (truncateRows) prompt = truncateTokens(prompt, model.contextWindow)
     systemPrompt.foreach(sp => prompt = concat(lit(sp + "\n\n"), prompt))
-    df.withColumn(outputColumn, model.generate(prompt))
+    val out = df.withColumn(outputColumn, model.generate(prompt))
+    if (randomSeedPerInput) out.withColumn(s"${outputColumn}_seed", perInputSeed(prompt))
+    else out
+  }
+
+  /** Dry-run cost estimate (reference `dry_run`, sutro/sdk.py:501): token
+    * and cost totals computed distributed, returned as a 1-row frame. */
+  def estimateCost(
+      df: DataFrame,
+      model: Model,
+      column: Seq[String],
+      truncateRows: Boolean = true): DataFrame = {
+    val prompt = renderPrompt(df, column)
+    val effective = if (truncateRows) truncateTokens(prompt, model.contextWindow) else prompt
+    val toks = size(split(effective, "\\s+")).cast("long")
+    df.select(toks.as("t"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("t")).as("total_tokens"),
+        max(col("t")).as("max_tokens_per_row"))
+      .withColumn("model", lit(model.name))
+      .withColumn("est_cost_usd",
+        round(col("total_tokens") * lit(model.costPerMTokens) / lit(1e6), 6))
   }
 }

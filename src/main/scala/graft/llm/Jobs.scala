@@ -17,7 +17,9 @@ object Jobs {
   case object Failed extends Status { val isTerminal = true }
   case object Cancelled extends Status { val isTerminal = true }
 
-  case class Job(id: String, name: Option[String], resultPath: String, var status: Status)
+  /** priority mirrors the reference's job_priority (0 = prototyping). */
+  case class Job(id: String, name: Option[String], resultPath: String,
+      var status: Status, priority: Int = 0)
 
   private val counter = new AtomicLong(0)
   private val jobs = new ConcurrentHashMap[String, Job]()
@@ -26,10 +28,10 @@ object Jobs {
 
   /** Submit: materialize `df` to the job cache. Synchronous (local mode);
     * the lifecycle states still transition so callers can poll uniformly. */
-  def submit(df: DataFrame, name: Option[String] = None): String = {
+  def submit(df: DataFrame, name: Option[String] = None, priority: Int = 0): String = {
     val id = s"job-${counter.incrementAndGet()}"
     val path = s"$cacheDir/$id.parquet"
-    val job = Job(id, name, path, Queued)
+    val job = Job(id, name, path, Queued, priority)
     jobs.put(id, job)
     job.status = Running
     try {
@@ -50,6 +52,19 @@ object Jobs {
     val job = Option(jobs.get(id)).getOrElse(throw new NoSuchElementException(s"unknown job $id"))
     require(job.status == Succeeded, s"job $id is ${job.status}")
     spark.read.parquet(job.resultPath)
+  }
+
+  /** Await a terminal status (reference await_job_completion; local jobs
+    * are synchronous, so this returns immediately but keeps the polling
+    * contract for callers written against an async backend). */
+  def await(id: String, pollMillis: Long = 100, timeoutMillis: Long = 60000): Status = {
+    val deadline = System.currentTimeMillis() + timeoutMillis
+    var s = status(id)
+    while (!s.isTerminal && System.currentTimeMillis() < deadline) {
+      Thread.sleep(pollMillis)
+      s = status(id)
+    }
+    s
   }
 
   def cancel(id: String): Status = {

@@ -19,6 +19,9 @@ trait Model extends Serializable {
     * truncateRows=true (reference `truncate_rows`, sutro/sdk.py:480). */
   def contextWindow: Int = 4096
 
+  /** USD per million input tokens — powers dry-run cost estimates. */
+  def costPerMTokens: Double = 0.1
+
   /** prompt column → output column (string). */
   def generate(prompt: Column): Column
 }

@@ -41,7 +41,20 @@ object Results {
     val withFields = fields.foldLeft(unpacked) { (d, f) =>
       d.withColumn(f, col(s"__parsed.$f"))
     }
-    withFields.drop("__parsed").drop(outputColumn)
+    val flat = withFields.drop("__parsed").drop(outputColumn)
+
+    // Reasoning-model outputs nest the real payload one level down:
+    // {content: {...}, reasoning_content: ...} — unpack content's fields
+    // and drop the wrapper (reference: sutro/sdk.py:1313).
+    if (fields.sorted.toSeq == Seq("content", "reasoning_content")) {
+      flat.schema("content").dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          val inner = s.fields.map(_.name)
+          inner.foldLeft(flat) { (d, f) => d.withColumn(f, col(s"content.$f")) }
+            .drop("content")
+        case _ => flat
+      }
+    } else flat
   }
 
   /** Reference column ordering (sutro/sdk.py:1251): inputs first, then
