@@ -111,6 +111,7 @@ object SparkEntry {
   private def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
         length(col("text")).cast("long").as("len_chars"))
 
   private def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -162,6 +163,13 @@ object SparkEntry {
     // vectors, where LSH is hardest); scale bits up with corpus size
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, bits = 5, tables = 16)
+      .orderBy("query_id", "rank")
+  }
+
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -251,6 +259,13 @@ object SparkEntry {
     graft.streaming.Streams.windowAggAvailableNow(s, dir)
       .orderBy("window_start", "event_type")
 
+  /** Streaming sessionization (flatMapGroupsWithState) — same semantics as
+    * the batch q_sessionize, so it shares that oracle's shape. */
+  private def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.sessionizeAvailableNow(s, dir, gapMinutes = 30)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .orderBy("user_id")
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -281,9 +296,11 @@ object SparkEntry {
     "dedup_embedding" -> (dedupEmbedding _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "knn_label" -> (knnLabel _),
     "multimodal_meta" -> (multimodalMeta _),
-    "stream_window_agg" -> (streamWindowAgg _)
+    "stream_window_agg" -> (streamWindowAgg _),
+    "stream_sessionize" -> (streamSessionize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -345,6 +362,7 @@ object SparkEntry {
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS BIGINT) AS n_bpe_tokens,
         |  CAST(length(text) AS BIGINT) AS len_chars
         |FROM documents""".stripMargin,
     "text_quality" ->
@@ -460,6 +478,15 @@ object SparkEntry {
         |  FROM votes)
         |SELECT qid AS query_id, n_label AS pred_label, votes
         |FROM best WHERE rk = 1 ORDER BY query_id""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |x AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '1' HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, count(*) AS n_events,

@@ -78,6 +78,94 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path: a coarse
+    * k-means quantizer partitions the corpus into nlist cells; each query
+    * searches only its nprobe nearest cells.
+    *
+    * Scale shape: the quantizer trains on a driver-side sample (centroid
+    * set is tiny and broadcast); cell assignment is a narrow map over the
+    * corpus; the search join is corpus-cell x query-cell — shuffle bounded
+    * by nprobe/nlist of the corpus per query instead of all-pairs.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    // --- train coarse quantizer on a bounded sample (driver-side Lloyd's;
+    // centroids are nlist x dim doubles — tiny) ---
+    val sample = corpus.select(col(vecCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.toVector).take(nlist).map(_.clone).toArray
+    var iter = 0
+    while (iter < 10) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      iter += 1
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    import org.apache.spark.sql.expressions.Window
+    val assignCell = udf { (v: Seq[Float]) =>
+      nearestCentroid(v.map(_.toDouble).toArray, bc.value)
+    }
+    val probeCells = udf { (v: Seq[Float]) =>
+      val arr = v.map(_.toDouble).toArray
+      bc.value.indices
+        .map(c => (c, -dist2(arr, bc.value(c))))
+        .sortBy(-_._2).take(nprobe).map(_._1)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", assignCell(col("c_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(probeCells(col("q_vec"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", gf.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = dist2(v, cs(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
   /** kNN majority-label classification: label each query by the majority
     * label of its k nearest corpus vectors (ties -> smallest label). */
   def knnLabel(

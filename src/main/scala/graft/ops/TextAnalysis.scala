@@ -13,6 +13,13 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, "\\s+"))
 
+  /** BPE-ish subword-boundary token count: letter runs, digit runs, and
+    * individual punctuation marks each count as one token (the GPT-2
+    * pre-tokenizer split, minus lookaheads so the pattern runs identically
+    * under Java regex and RE2). */
+  val bpePattern = "'(?:[sdmt]|ll|ve|re)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+
   /** Occurrences of literal `word` in `text` via replace-length arithmetic —
     * identical semantics in any ANSI SQL engine (oracle-friendly). */
   def occurrences(text: Column, word: String): Column =

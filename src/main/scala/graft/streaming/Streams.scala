@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface over the events table.
   *
@@ -48,6 +48,65 @@ object Streams {
       .format("memory")
       .queryName(name)
       .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Per-user session state for streaming sessionization. */
+  case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+  case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState — the custom-state
+    * path (gap-based sessions per user, like the batch q_sessionize).
+    *
+    * State is one (lastTs, counters) record per user: constant-size,
+    * partitioned by user across executors — the shape that scales to
+    * billions of users. AvailableNow + NoTimeout processes the backlog in
+    * one batch and emits each user's final counts.
+    */
+  def sessionizeAvailableNow(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val events = {
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    }
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+
+    val updates = events
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_micros"),
+        col("event_id").cast("long").as("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          // within a batch, order by event time then id (batch arrival order
+          // is not time order)
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { case (_, ts, _) =>
+            val newSession = st.lastTsMicros == Long.MinValue || ts > st.lastTsMicros + gapMicros
+            st = SessionState(ts, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          Iterator(SessionUpdate(userId, st.nSessions, st.nEvents))
+      }
+
+    val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
+    val q = updates.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -30,6 +30,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall vs brute force")
   }
 
+  test("ivfTopK: recall vs brute force on sf0.001 embeddings") {
+    val queries = emb.where(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall $recall vs brute force")
+    // each query emits at most k rows
+    assert(ivf.groupBy(_._1).values.map(_.size).max <= 5)
+  }
+
   test("knnLabel: majority of k=3 identical-label neighbors wins") {
     val corpus = Seq(
       (10L, Array(1.0f, 0.0f), 7),

@@ -19,4 +19,23 @@ class StreamingSpec extends SparkSpec {
     assert(s.length === b.length)
     assert(s.sameElements(b))
   }
+
+  test("sessionizeAvailableNow (flatMapGroupsWithState) equals batch sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = Streams.sessionizeAvailableNow(spark, sfDir, gapMinutes = 30)
+      .select("user_id", "n_sessions", "n_events").orderBy("user_id")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = graft.io.Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .select(col("user_id").cast("long"), col("n_sessions"), col("n_events"))
+      .orderBy("user_id")
+    val s = streamed.collect()
+    val b = batch.collect()
+    assert(s.length === b.length)
+    assert(s.sameElements(b))
+  }
 }
