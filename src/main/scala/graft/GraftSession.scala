@@ -14,6 +14,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** graft's custom expressions registered as SQL functions via
+  * SparkSessionExtensions (GraftSession applies them). */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL surface: word_shingles / minhash_sig / simhash64 callable from spark.sql") {
+    Seq((1L, "the quick brown fox jumps")).toDF("id", "text")
+      .createOrReplaceTempView("ext_docs")
+    val row = spark.sql(
+      """SELECT size(word_shingles(text, 3)) AS n_sh,
+        |  size(minhash_sig(text, 3, 64)) AS k,
+        |  simhash64(text) AS fp,
+        |  size(hash_embed(text, 16)) AS dim
+        |FROM ext_docs""".stripMargin).collect()(0)
+    assert(row.getInt(0) === 3)
+    assert(row.getInt(1) === 64)
+    assert(row.getLong(2) !== 0L)
+    assert(row.getInt(3) === 16)
+  }
+
+  test("SQL surface: cosine_sim on embeddings table") {
+    graft.io.Tables.embeddings(spark, sfDir).createOrReplaceTempView("ext_emb")
+    val c = spark.sql(
+      """SELECT cosine_sim(a.embedding, a.embedding) AS self_sim
+        |FROM ext_emb a WHERE a.vec_id = 0""".stripMargin).collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+
+  test("SQL surface: non-literal n rejected with a named error") {
+    Seq((1L, "a b c")).toDF("id", "text").createOrReplaceTempView("ext_docs2")
+    val e = intercept[Exception](
+      spark.sql("SELECT word_shingles(text, id) FROM ext_docs2").collect())
+    assert(e.getMessage.contains("word_shingles"))
+  }
+}
