@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.llm.{EchoModel, Elo, HashEmbedder, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — the operator catalog from SURVEY.md §2.
   *
@@ -69,6 +69,41 @@ object SparkEntry {
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6-style: pushdown-friendly filter + single aggregate. */
+  private def q6Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"))
+
+  /** ASOF join: each event matched to the user's most recent purchase
+    * at-or-before its timestamp (union + carry-forward window — no
+    * inequality join). */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase").select("user_id", "ts")
+    Temporal.asofJoin(events, purchases, "user_id", "ts", "ts", Seq("ts"))
+      .select(col("event_id"), col("asof_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Binned range join: clicks within the hour before each purchase,
+    * counted per purchase (equi-join on (user, time-bin), exact filter). */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    Temporal.rangeJoinBinned(clicks, purchases, "user_id", "click_ts", "ts",
+        windowBeforeSec = 3600, binSec = 3600)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("event_id")
   }
 
   /** Window functions: per-supplier ordered row_number + running quantity. */
@@ -272,6 +307,9 @@ object SparkEntry {
     "q1_agg" -> (q1Agg _),
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_multijoin" -> (q5Multijoin _),
+    "q6_filter" -> (q6Filter _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_window" -> (qWindow _),
     "q_events_json" -> (qEventsJson _),
     "q_sessionize" -> (qSessionize _),
@@ -339,6 +377,29 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_asof_join" ->
+      """SELECT e.event_id, p.ts AS asof_ts
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id, count(*) AS n_clicks
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id
+        |  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "q_window" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
