@@ -44,6 +44,25 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
     if (unpackJson) Results.unpackJson(inferred, outputColumn) else inferred
   }
 
+  /** Fan the same input out across multiple models, one job per model
+    * (reference: sutro/sdk.py:745 infer_per_model). Returns the job ids in
+    * model order; results carry `<outputColumn>` per job. */
+  def inferPerModel(
+      df: DataFrame,
+      models: Seq[Model],
+      column: Seq[String],
+      names: Option[Seq[String]] = None,
+      outputColumn: String = "inference_result",
+      systemPrompt: Option[String] = None,
+      truncateRows: Boolean = true): Seq[String] = {
+    names.foreach(n => require(n.length == models.length,
+      "names parameter must be the same length as the models parameter."))
+    models.zipWithIndex.map { case (m, i) =>
+      val out = Infer.infer(df, m, column, outputColumn, systemPrompt, truncateRows)
+      submitJob(out, names.map(_(i)).orElse(Some(s"infer-${m.name}")))
+    }
+  }
+
   def classify(
       df: DataFrame,
       classes: Seq[String],
