@@ -26,6 +26,35 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
     items.toDF(column)
   }
 
+  /** Unified input resolution with the reference's validation semantics
+    * (sutro/common.py:116 prepare_input_data): `dataset-*` ids resolve via
+    * the dataset registry and REQUIRE a non-empty column name; csv/parquet
+    * paths require a column; txt paths become one line per row. Returns the
+    * DataFrame and the resolved prompt column. */
+  def prepareInput(data: String, column: Option[String] = None): (DataFrame, String) = {
+    if (data.startsWith("dataset-") || datasets.list().contains(data)) {
+      val c = column.map(_.trim).getOrElse("")
+      if (c.isEmpty)
+        throw new IllegalArgumentException("Column name must be a non-empty string for dataset input")
+      val file = datasets.listFiles(data).headOption.getOrElse(
+        throw new IllegalArgumentException(s"dataset $data is empty"))
+      (datasets.download(spark, data, file), c)
+    } else {
+      val ext = data.lastIndexOf('.') match {
+        case -1 => ""
+        case i => data.substring(i + 1).toLowerCase
+      }
+      ext match {
+        case "csv" | "parquet" =>
+          val c = column.getOrElse(
+            throw new IllegalArgumentException("Column name must be specified for CSV/Parquet input"))
+          (Tables.load(spark, data), c)
+        case "txt" | "" => (Tables.load(spark, data), "line")
+        case other => throw new IllegalArgumentException(s"Unsupported file type: .$other")
+      }
+    }
+  }
+
   /** Run a model over one or more columns (reference: sutro/sdk.py:465).
     * dryRun returns the cost estimate frame instead of running. */
   def infer(

@@ -57,6 +57,24 @@ object Results {
     } else flat
   }
 
+  /** Unpack with a caller-provided schema (the `output_schema` analog,
+    * reference normalize_output_schema, sutro/common.py:170) — no data
+    * probe, collision checks as in [[unpackJson]]. */
+  def unpackJsonWithSchema(
+      df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      outputColumn: String = "inference_result"): DataFrame = {
+    val fields = schema.fields.map(_.name)
+    val conflicting = fields.toSet.intersect(df.columns.toSet - outputColumn).toSeq.sorted
+    if (conflicting.nonEmpty)
+      throw new IllegalArgumentException(
+        "Cannot unpack structured output fields that conflict with existing result columns: " +
+          conflicting.mkString(", ") + ". Set unpack_json=False to preserve the metadata and raw structured output.")
+    val unpacked = df.withColumn("__parsed", from_json(col(outputColumn).cast("string"), schema))
+    fields.foldLeft(unpacked)((d, f) => d.withColumn(f, col(s"__parsed.$f")))
+      .drop("__parsed").drop(outputColumn)
+  }
+
   /** Reference column ordering (sutro/sdk.py:1251): inputs first, then
     * caller metadata columns, then the output column, then diagnostics. */
   def orderColumns(

@@ -30,13 +30,34 @@ object Dedup {
     * candidate pair → Jaccard = shared / (|A| + |B| - shared) ≥ threshold.
     * Only pairs sharing ≥1 shingle are ever materialized.
     */
-  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Option[Long] = None): DataFrame = {
     val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sh_size", size(col("sh")))
-    val exploded = sh.select(col("id"), col("sh_size"), explode(col("sh")).as("shingle"))
-    val a = exploded.toDF("a_id", "a_size", "shingle")
-    val b = exploded.toDF("b_id", "b_size", "shingle")
+    val explodedAll = sh.select(col("id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    // Scale valve: candidate generation cost is sum(df(shingle)^2); a hot
+    // shingle in f docs alone yields f^2/2 pairs. maxDf drops shingles with
+    // document frequency > maxDf from candidate generation (pairs sharing
+    // ONLY ultra-common shingles are missed — the standard web-dedup
+    // trade-off; |A|,|B| stay exact so Jaccard of surviving pairs is exact).
+    val exploded = maxDf match {
+      case None => explodedAll
+      case Some(cap) =>
+        val hot = explodedAll.groupBy("shingle")
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap)
+          .select("shingle")
+        explodedAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    // explicit aliases — joins reorder columns, so positional toDF is unsafe
+    val a = exploded.select(col("id").as("a_id"), col("sh_size").as("a_size"), col("shingle"))
+    val b = exploded.select(col("id").as("b_id"), col("sh_size").as("b_size"), col("shingle"))
     a.join(b, Seq("shingle"))
       .where(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id", "a_size", "b_size")
