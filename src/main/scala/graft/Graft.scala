@@ -122,11 +122,33 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
   def elo(ballots: DataFrame, column: String): DataFrame = Elo.ratings(ballots, column)
 
   // ----- jobs (reference: create/status/await/cancel/results) -----
-  def submitJob(df: DataFrame, name: Option[String] = None): String = Jobs.submit(df, name)
+  def submitJob(df: DataFrame, name: Option[String] = None, priority: Int = 0): String =
+    Jobs.submit(df, name, priority)
   def jobStatus(id: String): Jobs.Status = Jobs.status(id)
-  def jobResults(id: String): DataFrame = Jobs.results(spark, id)
   def cancelJob(id: String): Jobs.Status = Jobs.cancel(id)
   def listJobs(): Seq[Jobs.Job] = Jobs.list()
+  def awaitJob(id: String): Jobs.Status = Jobs.await(id)
+
+  /** Full get_job_results parity (sutro/sdk.py:1131): cached read, column
+    * ordering (inputs / metadata / output / diagnostics), optional JSON
+    * unpack (incl. reasoning nesting), optional join-back by id column. */
+  def jobResults(
+      id: String,
+      includeInputs: Boolean = false,
+      includeCumulativeLogprobs: Boolean = false,
+      withOriginalDf: Option[(DataFrame, String)] = None,
+      outputColumn: String = "inference_result",
+      unpackJson: Boolean = true): DataFrame = {
+    var df = Jobs.results(spark, id)
+    if (df.columns.contains(outputColumn)) {
+      df = Results.orderColumns(df, outputColumn, includeInputs, includeCumulativeLogprobs)
+      if (unpackJson) df = Results.unpackJson(df, outputColumn)
+    }
+    withOriginalDf match {
+      case Some((orig, idCol)) => Results.withOriginalDf(orig, df, idCol)
+      case None => df
+    }
+  }
 }
 
 object Graft {

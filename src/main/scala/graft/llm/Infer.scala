@@ -61,10 +61,17 @@ object Infer {
     var prompt = renderPrompt(df, column)
     if (truncateRows) prompt = truncateTokens(prompt, model.contextWindow)
     systemPrompt.foreach(sp => prompt = concat(lit(sp + "\n\n"), prompt))
-    val out = df.withColumn(outputColumn, model.generate(prompt))
-    if (randomSeedPerInput) out.withColumn(s"${outputColumn}_seed", perInputSeed(prompt))
-    else out
+    var out = df.withColumn(outputColumn, model.generate(prompt))
+    model.confidence(prompt).foreach(c => out = out.withColumn("confidence_score", c))
+    if (randomSeedPerInput) out = out.withColumn(s"${outputColumn}_seed", perInputSeed(prompt))
+    out
   }
+
+  /** Deterministic cumulative logprob stand-in: -0.1 per prompt token
+    * (reference results carry `cumulative_logprobs`; a real backend fills
+    * this from the engine). */
+  def cumulativeLogprobs(prompt: Column): Column =
+    round(size(split(prompt, "\\s+")) * lit(-0.1), 4)
 
   /** Dry-run cost estimate (reference `dry_run`, sutro/sdk.py:501): token
     * and cost totals computed distributed, returned as a 1-row frame. */

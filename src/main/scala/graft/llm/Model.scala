@@ -24,6 +24,10 @@ trait Model extends Serializable {
 
   /** prompt column → output column (string). */
   def generate(prompt: Column): Column
+
+  /** Optional per-row confidence in [0,1] — surfaces as the reference's
+    * `confidence_score` results column when defined. */
+  def confidence(prompt: Column): Option[Column] = None
 }
 
 /** Echoes the prompt back, truncated to `maxChars` — the identity model used
@@ -57,6 +61,9 @@ case class KeywordClassifier(classes: Seq[String], fallback: String = "other") e
     classes.foldRight(lit(fallback): Column) { (c, acc) =>
       when(contains(lower(prompt), lit(c)), lit(c)).otherwise(acc)
     }
+  /** High confidence on a keyword hit, low on fallback. */
+  override def confidence(prompt: Column): Option[Column] =
+    Some(when(classification(prompt) === fallback, lit(0.5)).otherwise(lit(0.9)))
 }
 
 /** Deterministic LLM-judge score in [lo, hi] (sutro/templates/evals.py:13):
