@@ -184,6 +184,11 @@ object SparkEntry {
     Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)
       .orderBy("a_id", "b_id")
 
+  private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCos = 0.4, bits = 6, tables = 16)
+      .orderBy("a_id", "b_id")
+
   // ---------------------------------------------------------------- §2.4 similarity
 
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -332,6 +337,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),

@@ -161,4 +161,33 @@ object Dedup {
       .where(gf.cosine(col("a_vec"), col("b_vec")) >= minCos)
       .select(col("a_id"), col("b_id"))
   }
+
+  /** LSH-bucketed embedding near-dup pairs — the scale path for
+    * [[embeddingPairs]]: candidates meet in a random-hyperplane bucket in
+    * any of `tables` hash tables (high-cosine pairs collide with
+    * probability (1 - θ/π)^bits per table), then exact cosine verifies.
+    * Shuffle is on (table, bucket); pair space bounded by bucket occupancy
+    * instead of |n|². */
+  def embeddingPairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      bits: Int = 8,
+      tables: Int = 16): DataFrame = {
+    val bucketed = emb.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array((0 until tables).map(t =>
+        gf.hyperplaneBucket(col(vecCol), bits, seed = 0x9e3779b9L * (t + 1))): _*))
+        .as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val b = bucketed.select(col("table"), col("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
+    a.join(b, Seq("table", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        gf.cosine(col("a_vec"), col("b_vec")).as("cos"))
+      .where(col("cos") >= minCos)
+      .groupBy("a_id", "b_id").agg(first(col("cos")))
+      .select(col("a_id"), col("b_id"))
+  }
 }

@@ -58,4 +58,15 @@ class DedupSpec extends SparkSpec {
     val loose = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.3).count()
     assert(pairs <= loose)
   }
+
+  test("embeddingPairsLsh: subset of exact pairs with useful recall") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.35, bits = 6, tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact-cosine verify: no false positives
+    assert(exact.isEmpty || (exact & lsh).size.toDouble / exact.size >= 0.5,
+      s"recall ${(exact & lsh).size}/${exact.size}")
+  }
 }
