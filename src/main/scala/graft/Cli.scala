@@ -42,6 +42,19 @@ object Cli {
       g.datasets.list().foreach(println)
     case "datasets" :: "files" :: id :: Nil =>
       g.datasets.listFiles(id).foreach(println)
+    case "multimodal" :: path :: column :: rest =>
+      val nFrames = rest.headOption.map(_.toInt).getOrElse(4)
+      val df = g.load(path)
+      val idCol = df.columns.headOption.getOrElse("doc_id")
+      val wp = graft.ops.Multimodal.withBinaryPayload(df, idCol, column)
+      val features = graft.ops.Multimodal.extractFeatures(wp)
+      val resized = graft.ops.Multimodal.resizeMeta(features, 128, 128)
+      println(s"payloads: ${wp.count()}")
+      resized.select("doc_id", "mime", "n_bytes", "decoded_width", "decoded_height",
+        "resized_width", "resized_height").show(5)
+      val frames = graft.ops.Multimodal.sampleFrames(wp, nFrames)
+      println(s"frames sampled: ${frames.count()} ($nFrames per payload)")
+      frames.toDF().show(5)
     case "infer" :: path :: column :: rest =>
       val maxChars = rest.headOption.map(_.toInt).getOrElse(100)
       val df = g.load(path)

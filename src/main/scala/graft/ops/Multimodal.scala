@@ -52,6 +52,50 @@ object Multimodal {
     (w, h, distinct)
   }
 
+  /** One sampled "frame" of a (stub-decoded) video payload. */
+  case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,
+      byte_offset: Int,
+      frame_checksum: Long)
+
+  /** Frame sampling over binary payloads: emit `nFrames` evenly-spaced
+    * frames per payload (STUB decode: a frame is a byte slice + checksum;
+    * a real sampler seeks keyframes via the codec). The Spark shape is the
+    * real part: per-partition batching, one row in -> nFrames rows out,
+    * no driver involvement. */
+  def sampleFrames(withPayload: DataFrame, nFrames: Int): Dataset[FrameFeatures] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val step = math.max(payload.length / math.max(nFrames, 1), 1)
+          (0 until nFrames).iterator.map { f =>
+            val off = math.min(f * step, math.max(payload.length - 1, 0))
+            val end = math.min(off + step, payload.length)
+            var sum = 0L
+            var i = off
+            while (i < end) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
+            FrameFeatures(id, f, off, sum)
+          }
+        }
+      }
+  }
+
+  /** STUB resize: recompute "decoded" dimensions for a target box keeping
+    * aspect; real implementation swaps in a codec call, the columnar shape
+    * (narrow map, no shuffle) stays. */
+  def resizeMeta(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame = {
+    val df = features.toDF()
+    val scale = least(
+      lit(maxW).cast("double") / col("decoded_width"),
+      lit(maxH).cast("double") / col("decoded_height"),
+      lit(1.0))
+    df.withColumn("resized_width", floor(col("decoded_width") * scale).cast("int"))
+      .withColumn("resized_height", floor(col("decoded_height") * scale).cast("int"))
+  }
+
   /** Batched per-partition feature extraction over binary payloads.
     *
     * mapPartitions so per-partition setup (a real codec context) happens

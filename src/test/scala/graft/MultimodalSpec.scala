@@ -27,6 +27,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(r => r.decoded_width >= 64 && r.decoded_height >= 64))
   }
 
+  test("sampleFrames: n rows per payload, deterministic, offsets in bounds") {
+    val df = Seq((0L, "a longer payload with enough bytes to slice"), (1L, "tiny")).toDF("doc_id", "text")
+    val wp = Multimodal.withBinaryPayload(df, "doc_id", "text")
+    val f1 = Multimodal.sampleFrames(wp, 4).collect().sortBy(r => (r.doc_id, r.frame_idx))
+    val f2 = Multimodal.sampleFrames(wp, 4).collect().sortBy(r => (r.doc_id, r.frame_idx))
+    assert(f1.length === 8)
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.forall(f => f.byte_offset >= 0))
+    assert(f1.map(_.frame_idx).toSet === Set(0, 1, 2, 3))
+  }
+
+  test("resizeMeta: aspect preserved, never upscales") {
+    val df = Seq((0L, "hello world again and again")).toDF("doc_id", "text")
+    val wp = Multimodal.withBinaryPayload(df, "doc_id", "text")
+    val resized = Multimodal.resizeMeta(Multimodal.extractFeatures(wp), 64, 64).collect()(0)
+    val (w, h) = (resized.getAs[Int]("resized_width"), resized.getAs[Int]("resized_height"))
+    assert(w <= 64 && h <= 64)
+    val (ow, oh) = (resized.getAs[Int]("decoded_width"), resized.getAs[Int]("decoded_height"))
+    assert(w <= ow && h <= oh)
+  }
+
   test("partitioning preserved through the mapPartitions transform") {
     val df = spark.range(100).toDF("doc_id").withColumn("text", concat(lit("doc "), col("doc_id")))
       .repartition(7)
