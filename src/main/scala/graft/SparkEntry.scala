@@ -167,8 +167,14 @@ object SparkEntry {
     Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
       .orderBy("content_key")
 
+  /** maxDf=10 is the scale valve: shingles present in more than 10 docs are
+    * dropped from candidate generation (cost is sum df(shingle)^2, so hot
+    * shingles dominate at scale). The oracle mirrors the cap exactly; at
+    * the driver's verify scale (sf0.01, max df 7) it is a no-op, so the
+    * result also equals the uncapped one there. */
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5)
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.5,
+        maxDf = Some(10L))
       .orderBy("a_id", "b_id")
 
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -265,9 +271,20 @@ object SparkEntry {
       .select(col("doc_id"), array_join(col("ranking"), ",").as("ranking_str"), col("winner"))
   }
 
-  private def embedHash(s: SparkSession, dir: String): DataFrame =
-    Templates.embed(t(s, dir, "documents"), Seq("text"), outputColumn = "embedding", dim = 64)
-      .select("doc_id", "embedding")
+  /** Feature-hash embedding, projected to scalars: the driver's compare
+    * (pandas sort + hash) can't order raw array<float> columns, so the
+    * catalog entry emits a scalar fingerprint of the vector — dimension,
+    * first component, and the component sum — all reproducible in DuckDB
+    * from the same FNV-1a / signed-bucket / L2-normalize semantics. The
+    * full array stays available via Templates.embed / Graft.embed. */
+  private def embedHash(s: SparkSession, dir: String): DataFrame = {
+    val emb = Templates.embed(t(s, dir, "documents"), Seq("text"), outputColumn = "embedding", dim = 64)
+    emb.select(
+      col("doc_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
+      round(aggregate(col("embedding"), lit(0.0d), (a, x) => a + x.cast("double")), 5).as("e_sum"))
+  }
 
   /** Elo over per-document language-ranking ballots: each doc ranks the
     * five langId marker languages by marker occurrences (desc, lang asc) —
@@ -474,9 +491,12 @@ object SparkEntry {
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shl
         |  FROM norm),
         |ex AS (SELECT id, len(shl) AS sz, unnest(shl) AS shingle FROM sh),
+        |exf AS (
+        |  SELECT * FROM ex WHERE shingle NOT IN (
+        |    SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 10)),
         |pairs AS (
         |  SELECT a.id AS a_id, b.id AS b_id, any_value(a.sz) AS a_size, any_value(b.sz) AS b_size, count(*) AS shared
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.id < b.id
         |  GROUP BY a.id, b.id)
         |SELECT a_id, b_id FROM pairs
         |WHERE CAST(shared AS DOUBLE) / (a_size + b_size - shared) >= 0.5
@@ -558,6 +578,61 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1' HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // embed oracle recomputes the feature-hash embedding from first
+    // principles in SQL: FNV-1a 64 per token (UBIGINT mod-2^64 arithmetic),
+    // signed bucket accumulate, L2 normalize, float32 rounding via REAL.
+    "embed_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |      list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS UBIGINT))),
+        |    (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS hv
+        |  FROM toks),
+        |acc AS (
+        |  SELECT doc_id, CAST(hv % 64 AS INTEGER) AS bucket,
+        |    sum(CASE WHEN ((hv >> 62) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+        |  FROM hashed GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, b.bucket FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b),
+        |comp AS (
+        |  SELECT g.doc_id, g.bucket, coalesce(a.w, 0.0) AS w
+        |  FROM grid g LEFT JOIN acc a ON g.doc_id = a.doc_id AND g.bucket = a.bucket),
+        |nrm AS (
+        |  SELECT doc_id, CASE WHEN sum(w*w) = 0 THEN 1.0 ELSE sqrt(sum(w*w)) END AS nv
+        |  FROM comp GROUP BY 1),
+        |fin AS (
+        |  SELECT c.doc_id, c.bucket, CAST(CAST(c.w / n.nv AS REAL) AS DOUBLE) AS cv
+        |  FROM comp c JOIN nrm n ON c.doc_id = n.doc_id)
+        |SELECT doc_id, CAST(64 AS BIGINT) AS dim,
+        |  round(max(CASE WHEN bucket = 0 THEN cv END), 6) AS e0,
+        |  round(sum(cv), 5) AS e_sum
+        |FROM fin GROUP BY doc_id""".stripMargin,
+    // multimodal stub-decode is deterministic over the utf-8 payload bytes
+    // (all-ASCII corpus: byte == code point), so every MediaFeatures field
+    // is SQL-expressible: byte sum -> width/height, distinct bytes ->
+    // entropy proxy, first 4 bytes hex -> magic.
+    "multimodal_meta" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unicode(text[i]) AS code
+        |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)),
+        |stats AS (
+        |  SELECT doc_id, sum(code) AS bsum, count(DISTINCT code) AS distinct_bytes
+        |  FROM chars GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes,
+        |  CASE CAST(d.doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |  list_aggregate(list_transform(range(1, least(length(d.text), 4)+1),
+        |    i -> printf('%02x', unicode(d.text[i]))), 'string_agg', '') AS magic,
+        |  CAST(64 + (s.bsum % 512) AS INTEGER) AS decoded_width,
+        |  CAST(64 + ((s.bsum // 7) % 512) AS INTEGER) AS decoded_height,
+        |  CAST(s.distinct_bytes AS BIGINT) AS entropy_m
+        |FROM documents d JOIN stats s ON d.doc_id = s.doc_id""".stripMargin
   )
 }
