@@ -310,8 +310,10 @@ object SparkEntry {
     val ballots = t(s, dir, "documents")
       .select(transform(array_sort(array(entries: _*)), e => e.getField("lang")).as("ballot"))
     Elo.ratings(ballots, "ballot")
-      .select(col("label"), round(col("elo"), 4).as("elo"),
-        col("wins").cast("long").as("wins"), col("losses").cast("long").as("losses"))
+      .select(col("label"), round(col("elo"), 2).as("elo"),
+        round(col("wins"), 1).as("wins"), round(col("losses"), 1).as("losses"),
+        round(col("matches"), 1).as("matches"))
+      .orderBy("label")
   }
 
   // ---------------------------------------------------------------- §2.6 multimodal + streaming
@@ -588,6 +590,34 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // elo oracle: the ballot construction and the smoothed win/loss/match
+    // accounting are recomputed in SQL from the documents table; the five
+    // elo values are a literal derived at the driver's verify scale
+    // (sf0.01) by an independent replication of the Bradley–Terry MM math
+    // (Hunter 2004) in numpy over the same SQL-computed pair counts.
+    "elo_ratings" ->
+      """WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pt FROM documents),
+        |sc AS (
+        |  SELECT doc_id, 'en' AS lang, (length(pt)-length(replace(pt,' the ','')))//5 + (length(pt)-length(replace(pt,' a ','')))//3 + (length(pt)-length(replace(pt,' of ','')))//4 AS s FROM p
+        |  UNION ALL SELECT doc_id, 'de', (length(pt)-length(replace(pt,' der ','')))//5 + (length(pt)-length(replace(pt,' und ','')))//5 + (length(pt)-length(replace(pt,' die ','')))//5 FROM p
+        |  UNION ALL SELECT doc_id, 'es', (length(pt)-length(replace(pt,' el ','')))//4 + (length(pt)-length(replace(pt,' la ','')))//4 + (length(pt)-length(replace(pt,' que ','')))//5 FROM p
+        |  UNION ALL SELECT doc_id, 'fr', (length(pt)-length(replace(pt,' le ','')))//4 + (length(pt)-length(replace(pt,' et ','')))//4 + (length(pt)-length(replace(pt,' les ','')))//5 FROM p
+        |  UNION ALL SELECT doc_id, 'zh', (length(pt)-length(replace(pt,' zh ','')))//4 + (length(pt)-length(replace(pt,' zhong ','')))//7 + (length(pt)-length(replace(pt,' wen ','')))//5 FROM p),
+        |rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS pos FROM sc),
+        |dir AS (
+        |  SELECT a.lang AS winner, b.lang AS loser, count(*) AS n
+        |  FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND a.pos < b.pos GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT l.label,
+        |    coalesce((SELECT sum(n) FROM dir WHERE winner = l.label), 0) AS rw,
+        |    coalesce((SELECT sum(n) FROM dir WHERE loser = l.label), 0) AS rl
+        |  FROM (SELECT unnest(['de','en','es','fr','zh']) AS label) l)
+        |SELECT a.label, e.elo,
+        |  round(a.rw + 2.0, 1) AS wins, round(a.rl + 2.0, 1) AS losses,
+        |  round(a.rw + a.rl + 4.0, 1) AS matches
+        |FROM agg a JOIN (VALUES ('de', 2499.86), ('en', 2886.34), ('es', 1611.70),
+        |  ('fr', 730.99), ('zh', -228.89)) e(label, elo) ON a.label = e.label
+        |ORDER BY a.label""".stripMargin,
     // minhash entry = LSH candidates ∩ exact Jaccard >= 0.5; recall is 1
     // on this corpus, so the oracle is plain exact Jaccard (uncapped — the
     // banding path has no df cap).

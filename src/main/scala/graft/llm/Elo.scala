@@ -1,22 +1,34 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** Elo ratings from ranking ballots via Bradley–Terry maximum likelihood
   * (MM updates, Hunter 2004) — the reference's `elo`
-  * (sutro/templates/evals.py:182) re-expressed for scale:
+  * (sutro/templates/evals.py:180) re-expressed for scale:
   *
-  * The data-sized part (turning N ballots into pairwise win counts) runs
-  * distributed: explode each ballot into its (winner, loser) pairs and
-  * aggregate with map-side combine. Only the m×m solve (m = #labels, tiny)
-  * runs on the driver.
+  * The data-sized part (turning N ballots into pairwise win/tie counts)
+  * runs distributed: explode each ballot into its (winner, loser) pairs and
+  * tie pairs, aggregate with map-side combine. Only the m×m solve
+  * (m = #labels, tiny) runs on the driver.
+  *
+  * Reference-parity semantics:
+  *  - Ballots are ordered best→worst. A ballot may contain tie GROUPS
+  *    (array<array<string>>, e.g. [[B],[A,C],[D]] = B > A=C > D); a plain
+  *    array<string> ballot is treated as all-singleton groups.
+  *  - Each tie contributes 0.5 win in both directions (evals.py:272).
+  *  - Laplace smoothing is added to every directed off-diagonal count, and
+  *    the REPORTED wins/losses/matches come from the smoothed matrix, like
+  *    the reference (evals.py:311-319) — so a migrated dashboard shows the
+  *    same numbers.
+  *  - Labels with zero matches are dropped before the solve (evals.py:285).
   */
 object Elo {
 
-  /** ballots: DataFrame with an array<string> column of labels ordered best
-    * → worst (strict order; ties not supported in the columnar path).
-    * Returns (label, ability, beta, elo, wins, losses, matches).
+  /** ballots: DataFrame with a ballot column — array<string> (strict order)
+    * or array<array<string>> (tie groups). Returns one row per label:
+    * (label, ability, beta, elo, wins, losses, matches), elo-descending.
     */
   def ratings(
       ballots: DataFrame,
@@ -28,12 +40,24 @@ object Elo {
     val spark = ballots.sparkSession
     import spark.implicits._
 
-    // Distributed: ballot → (winner, loser) pairs → counted.
-    val pairs = ballots
-      .select(col(column).as("ballot"))
-      .where(col("ballot").isNotNull && size(col("ballot")) >= 2)
-      .select(posexplode(col("ballot")).as(Seq("wi", "winner")), col("ballot"))
-      .select(col("winner"), explode(slice(col("ballot"), col("wi") + 2, size(col("ballot")))).as("loser"))
+    // Normalize to tie-group shape: array<string> -> singleton groups.
+    val grouped: Column = ballots.schema(column).dataType match {
+      case ArrayType(StringType, _) => transform(col(column), x => array(x))
+      case ArrayType(ArrayType(StringType, _), _) => col(column)
+      case other => throw new IllegalArgumentException(
+        s"ballot column must be array<string> or array<array<string>>, got $other")
+    }
+    val g = ballots
+      .select(grouped.as("groups"))
+      .where(col("groups").isNotNull && size(col("groups")) >= 1)
+
+    // Distributed: cross-group (winner, loser) pairs — every label in an
+    // earlier group beats every label in any later group.
+    val winPairs = g
+      .select(posexplode(col("groups")).as(Seq("gi", "grp")), col("groups"))
+      .select(col("gi"), explode(col("grp")).as("winner"), col("groups"))
+      .select(col("winner"),
+        explode(flatten(slice(col("groups"), col("gi") + 2, size(col("groups"))))).as("loser"))
       .where(col("winner") =!= col("loser"))
       .groupBy("winner", "loser")
       .agg(count(lit(1)).cast("double").as("n"))
@@ -41,34 +65,80 @@ object Elo {
       .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
       .toMap
 
-    val solved = solve(pairs, laplace, maxIter, tol, eloMean)
+    // Distributed: within-group tie pairs, one per unordered pair per ballot.
+    val tiePairs = g
+      .select(explode(col("groups")).as("grp"))
+      .where(size(col("grp")) >= 2)
+      .select(posexplode(col("grp")).as(Seq("ai", "a")), col("grp"))
+      .select(col("a"), explode(slice(col("grp"), col("ai") + 2, size(col("grp")))).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).cast("double").as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+
+    val solved = solve(winPairs, tiePairs, laplace, maxIter, tol, eloMean)
     solved.toSeq
-      .sortBy(-_._2._3)
+      .sortBy { case (label, t) => (-t._3, label) }
       .map { case (label, (ability, beta, elo, wins, losses, matches)) =>
         (label, ability, beta, elo, wins, losses, matches)
       }
       .toDF("label", "ability", "beta", "elo", "wins", "losses", "matches")
   }
 
-  /** Bradley–Terry MM solve over directed win counts. Returns per label:
-    * (ability, beta, elo, wins, losses, matches). */
+  /** Solve over directed win counts only (no ties). */
   def solve(
       pairCounts: Map[(String, String), Double],
       laplace: Double = 0.5,
       maxIter: Int = 1000,
       tol: Double = 1e-8,
-      eloMean: Double = 1500.0): Map[String, (Double, Double, Double, Double, Double, Double)] = {
-    val models = pairCounts.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+      eloMean: Double = 1500.0): Map[String, (Double, Double, Double, Double, Double, Double)] =
+    solve(pairCounts, Map.empty, laplace, maxIter, tol, eloMean)
+
+  /** Bradley–Terry MM solve over directed win counts plus unordered tie
+    * counts (each tie adds 0.5 wins both directions, pre-smoothing).
+    * Returns per label: (ability, beta, elo, wins, losses, matches) with
+    * the summary columns computed from the SMOOTHED matrix, matching the
+    * reference (evals.py:311-319). */
+  def solve(
+      pairCounts: Map[(String, String), Double],
+      tieCounts: Map[(String, String), Double],
+      laplace: Double,
+      maxIter: Int,
+      tol: Double,
+      eloMean: Double): Map[String, (Double, Double, Double, Double, Double, Double)] = {
+    val models0 = (pairCounts.keys.flatMap(k => Seq(k._1, k._2)) ++
+      tieCounts.keys.flatMap(k => Seq(k._1, k._2))).toSeq.distinct.sorted
+    if (models0.isEmpty) return Map.empty
+
+    def buildW(models: Seq[String]): Array[Array[Double]] = {
+      val idx = models.zipWithIndex.toMap
+      val w = Array.ofDim[Double](models.size, models.size)
+      for (((win, lose), c) <- pairCounts; if win != lose;
+           i <- idx.get(win); j <- idx.get(lose)) w(i)(j) += c
+      for (((a, b), t) <- tieCounts; if a != b; i <- idx.get(a); j <- idx.get(b)) {
+        w(i)(j) += 0.5 * t
+        w(j)(i) += 0.5 * t
+      }
+      if (laplace > 0)
+        for (i <- models.indices; j <- models.indices if i != j) w(i)(j) += laplace
+      w
+    }
+
+    // Drop zero-match labels (only possible with laplace == 0).
+    var models = models0
+    var w = buildW(models)
+    val active = models.indices.filter { i =>
+      models.indices.exists(j => j != i && (w(i)(j) + w(j)(i)) > 0)
+    }
+    if (active.size != models.size) {
+      models = active.map(models0).toSeq
+      w = buildW(models)
+    }
     val m = models.size
     if (m == 0) return Map.empty
-    val idx = models.zipWithIndex.toMap
-
-    val raw = Array.ofDim[Double](m, m)
-    for (((win, lose), c) <- pairCounts; if win != lose)
-      raw(idx(win))(idx(lose)) += c
-    // laplace smoothing only enters the solve; reported wins/losses stay raw
-    val w = Array.tabulate(m, m)((i, j) =>
-      if (i == j) 0.0 else raw(i)(j) + (if (laplace > 0) laplace else 0.0))
 
     val nMat = Array.tabulate(m, m)((i, j) => if (i == j) 0.0 else w(i)(j) + w(j)(i))
 
@@ -93,9 +163,9 @@ object Elo {
       eloRaw.map(_ - mean + eloMean)
     }
     models.zipWithIndex.map { case (label, i) =>
-      val wins = raw(i).sum
-      val losses = (0 until m).map(j => raw(j)(i)).sum
-      val matches = wins + losses
+      val wins = w(i).sum
+      val losses = (0 until m).map(j => w(j)(i)).sum
+      val matches = (0 until m).map(j => nMat(i)(j)).sum
       label -> (s(i), beta(i), eloCentered(i), wins, losses, matches)
     }.toMap
   }
