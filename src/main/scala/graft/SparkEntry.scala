@@ -234,6 +234,16 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** LSH-backed kNN vote at its full-recall operating point (bits=3,
+    * tables=48 recovers the exact top-10 for every query on this corpus),
+    * so the brute-force kNN oracle applies verbatim. */
+  private def knnLabelLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.knnLabelLsh(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label",
+        k = 10, bits = 3, tables = 48)
+      .orderBy("query_id")
+  }
+
   // ---------------------------------------------------------------- §2.1 LLM surface
 
   private def inferRender(s: SparkSession, dir: String): DataFrame = {
@@ -327,6 +337,13 @@ object SparkEntry {
     graft.streaming.Streams.windowAggAvailableNow(s, dir)
       .orderBy("window_start", "event_type")
 
+  /** Append-mode variant — watermark finalizes + evicts every window, so
+    * the emitted stream equals the batch answer (the production contract;
+    * complete mode above is the test-harness variant). */
+  private def streamWindowAggAppend(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.windowAggAppendAvailableNow(s, dir)
+      .orderBy("window_start", "event_type")
+
   /** Streaming sessionization (flatMapGroupsWithState) — same semantics as
     * the batch q_sessionize, so it shares that oracle's shape. */
   private def streamSessionize(s: SparkSession, dir: String): DataFrame =
@@ -370,8 +387,10 @@ object SparkEntry {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "knn_label" -> (knnLabel _),
+    "knn_label_lsh" -> (knnLabelLsh _),
     "multimodal_meta" -> (multimodalMeta _),
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_window_agg_append" -> (streamWindowAggAppend _),
     "stream_sessionize" -> (streamSessionize _)
   )
 
@@ -576,6 +595,23 @@ object SparkEntry {
         |  FROM votes)
         |SELECT qid AS query_id, n_label AS pred_label, votes
         |FROM best WHERE rk = 1 ORDER BY query_id""".stripMargin,
+    // LSH-backed kNN runs at full recall here, so the exact brute-force
+    // kNN oracle applies verbatim (same SQL as knn_label).
+    "knn_label_lsh" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.label AS n_label,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rk
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 50),
+        |votes AS (
+        |  SELECT qid, n_label, count(*) AS votes FROM scored WHERE rk <= 10 GROUP BY qid, n_label),
+        |best AS (
+        |  SELECT qid, n_label, votes,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, n_label) AS rk
+        |  FROM votes)
+        |SELECT qid AS query_id, n_label AS pred_label, votes
+        |FROM best WHERE rk = 1 ORDER BY query_id""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
         |x AS (
@@ -586,6 +622,13 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_window_agg" ->
+      """SELECT time_bucket(INTERVAL '1' HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // append mode emits each window exactly once when the watermark passes
+    // it, so the emitted set equals the batch aggregation — same oracle.
+    "stream_window_agg_append" ->
       """SELECT time_bucket(INTERVAL '1' HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

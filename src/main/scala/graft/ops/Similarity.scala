@@ -167,15 +167,38 @@ object Similarity {
   }
 
   /** kNN majority-label classification: label each query by the majority
-    * label of its k nearest corpus vectors (ties -> smallest label). */
+    * label of its k nearest corpus vectors (ties -> smallest label).
+    * Exact baseline — rides the all-pairs brute-force plan; use
+    * [[knnLabelLsh]] for the bounded-candidate scale path. */
   def knnLabel(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       labelCol: String,
-      k: Int): DataFrame = {
-    val topk = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      k: Int): DataFrame =
+    voteLabels(bruteForceTopK(corpus, queries, idCol, vecCol, k), corpus, idCol, labelCol)
+
+  /** kNN majority vote over LSH-bucketed top-k — the scale path: candidate
+    * sets bounded by hyperplane-bucket collisions instead of |q|x|corpus|
+    * scored rows. (bits, tables) tune recall exactly as in [[lshTopK]]. */
+  def knnLabelLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      bits: Int = 12,
+      tables: Int = 8): DataFrame =
+    voteLabels(lshTopK(corpus, queries, idCol, vecCol, k, bits, tables), corpus, idCol, labelCol)
+
+  /** Majority vote of neighbor labels per query (ties -> smallest label). */
+  private def voteLabels(
+      topk: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      labelCol: String): DataFrame = {
     val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"))
     val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("n_label"))
     topk.join(labels, "neighbor_id")

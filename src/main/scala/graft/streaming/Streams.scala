@@ -54,6 +54,79 @@ object Streams {
     spark.table(name)
   }
 
+  /** Append-mode tumbling window aggregation — the PRODUCTION streaming
+    * path: the watermark actually finalizes and EVICTS each window once
+    * event time passes window.end + delay, so state is bounded by the
+    * number of open windows regardless of how long the stream runs (the
+    * complete-mode variant above retains every window forever and exists
+    * for the single-batch test harness only).
+    *
+    * To exercise eviction deterministically under Trigger.AvailableNow,
+    * the input is staged as three files consumed one per micro-batch
+    * (maxFilesPerTrigger=1): the real events, then two far-future sentinel
+    * rows. Each sentinel batch advances the watermark past the previous
+    * batch's windows, so by termination every REAL window has been
+    * finalized, emitted downstream, and dropped from state; the sentinel
+    * windows themselves are still open and never emitted. The result is
+    * exactly the batch answer — the append-mode contract.
+    */
+  def windowAggAppendAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val tsIsLong = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+
+    // --- stage: [real events] [sentinel +10h] [sentinel +20h], mtimes
+    // spaced so the file source processes them oldest-first ---
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-append")
+    val raw = spark.read.parquet(path)
+    val maxTs = raw.agg(max(col("ts"))).head().get(0)
+    def sentinel(offsetHours: Int) = {
+      val bumped =
+        if (tsIsLong) raw.limit(1).withColumn("ts",
+          lit(maxTs.asInstanceOf[Long] + offsetHours.toLong * 3600L * 1000000000L))
+        else raw.limit(1).withColumn("ts",
+          col("ts") + expr(s"INTERVAL $offsetHours HOURS"))
+      bumped.withColumn("event_type", lit("__sentinel"))
+    }
+    def stageOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stage-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(stageDir.toFile, name)
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stageOne(raw, "events-0.parquet", t0)
+    stageOne(sentinel(10), "events-1.parquet", t0 + 20000)
+    stageOne(sentinel(20), "events-2.parquet", t0 + 40000)
+
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir.toString)
+    val events =
+      if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else stream
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+    val name = s"graft_stream_agg_append_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).where(col("event_type") =!= "__sentinel")
+  }
+
   /** Per-user session state for streaming sessionization. */
   case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)

@@ -54,4 +54,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getInt(1) === 7)
     assert(out(0).getLong(2) === 3L)
   }
+
+  test("knnLabelLsh at full-recall params agrees with brute-force kNN on sf0.001") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.knnLabel(emb, queries, "vec_id", "embedding", "label", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val lsh = Similarity.knnLabelLsh(emb, queries, "vec_id", "embedding", "label", 10,
+        bits = 3, tables = 48)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(lsh === exact)
+  }
 }
