@@ -3,8 +3,22 @@ package graft
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":...,"queries":{...}}. Uses GraftSession
   * (AQE on, shuffle partitions = cores) — the same conf the library
-  * recommends in production. */
+  * recommends in production.
+  *
+  * A failing query is recorded as {"err": "..."} under its name (and
+  * counted in "errors") instead of a bogus elapsed time — a broken plan
+  * must never masquerade as a fast one. */
 object Bench {
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
@@ -12,15 +26,24 @@ object Bench {
     // the plan, not first-query session initialization
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      }
+    val qs = results.map {
+      case (k, Right(sec)) => s"${jstr(k)}:$sec"
+      case (k, Left(err)) => s"""${jstr(k)}:{"err":${jstr(err)}}"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val errors = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,8 +32,23 @@ object Cli {
       else jobs.foreach(j => println(s"${j.id}\t${j.status}\tpriority=${j.priority}\t${j.name.getOrElse("-")}"))
     case "jobs" :: "status" :: id :: Nil =>
       println(s"$id\t${Jobs.status(id)}")
-    case "jobs" :: "results" :: id :: Nil =>
-      g.jobResults(id).show(20, truncate = 60)
+    case "jobs" :: "results" :: id :: rest =>
+      // reference cli.py:237: --include-inputs, --include-cumulative-logprobs,
+      // --save, --save-format parquet|csv, plus --output-path for the dir
+      val save = rest.contains("--save")
+      val fmt = optValue(rest, "--save-format").getOrElse("parquet")
+      require(fmt == "parquet" || fmt == "csv", s"unsupported save format: $fmt")
+      val outDir = optValue(rest, "--output-path").getOrElse(".")
+      val df = g.jobResults(id,
+        includeInputs = rest.contains("--include-inputs"),
+        includeCumulativeLogprobs = rest.contains("--include-cumulative-logprobs"))
+      if (!save) df.show(20, truncate = 60)
+      else {
+        val dest = s"$outDir/$id.$fmt"
+        if (fmt == "parquet") df.coalesce(1).write.mode("overwrite").parquet(dest)
+        else df.coalesce(1).write.mode("overwrite").option("header", "true").csv(dest)
+        println(s"Results saved to $dest")
+      }
     case "jobs" :: "cancel" :: id :: Nil =>
       println(s"$id\t${g.cancelJob(id)}")
     case "datasets" :: "create" :: name :: Nil =>
@@ -42,6 +57,37 @@ object Cli {
       g.datasets.list().foreach(println)
     case "datasets" :: "files" :: id :: Nil =>
       g.datasets.listFiles(id).foreach(println)
+    case "cache" :: "show" :: Nil =>
+      // reference cli.py:379: contents + size of the job results cache
+      val dir = new java.io.File(sys.props.getOrElse("graft.jobs.dir", "target/graft/job-results"))
+      val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      if (entries.isEmpty) println("Job results cache is empty.")
+      else {
+        var total = 0L
+        entries.sortBy(_.getName).foreach { f =>
+          val sz = dirSize(f)
+          total += sz
+          println(f"${f.getName}%-40s ${sz}%10d bytes")
+        }
+        println(f"total: ${entries.length} entries, $total bytes")
+      }
+    case "cache" :: "clear" :: Nil =>
+      val dir = new java.io.File(sys.props.getOrElse("graft.jobs.dir", "target/graft/job-results"))
+      Option(dir.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+      println("Job results cache cleared.")
+    case "function" :: "run" :: name :: rest if rest.nonEmpty =>
+      // key=value pairs -> input_data map; prints the standardized shape
+      val input = rest.map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case _ => sys.error(s"expected key=value, got: $kv")
+        }
+      }.toMap
+      val r = g.runFunction(name, input)
+      println(s"response: ${r.response}")
+      println(s"confidence: ${r.confidence}")
+      println(s"predictions: ${r.predictions.map(p => s"${p.label}=${p.confidence}").mkString(", ")}")
+      println(s"run_id: ${r.run_id}")
     case "multimodal" :: path :: column :: rest =>
       val nFrames = rest.headOption.map(_.toInt).getOrElse(4)
       val df = g.load(path)
@@ -67,9 +113,30 @@ object Cli {
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
            |Commands:
-           |  jobs list | jobs status <id> | jobs results <id> | jobs cancel <id>
+           |  jobs list | jobs status <id> | jobs cancel <id>
+           |  jobs results <id> [--save] [--save-format parquet|csv] [--output-path dir]
+           |                    [--include-inputs] [--include-cumulative-logprobs]
+           |  cache show | cache clear
+           |  function run <name> key=value [key=value ...]
            |  datasets create <name> | datasets list | datasets files <id>
+           |  multimodal <path> <column> [nFrames]
            |  infer <path> <column> [maxChars]""".stripMargin)
       sys.exit(2)
+  }
+
+  /** Value of `--flag v` in an argument list, if present. */
+  private def optValue(args: List[String], flag: String): Option[String] =
+    args.dropWhile(_ != flag) match {
+      case `flag` :: v :: _ => Some(v)
+      case _ => None
+    }
+
+  private def dirSize(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty).map(dirSize).sum
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

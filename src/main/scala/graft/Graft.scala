@@ -121,6 +121,27 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
   /** Elo ratings from ranking ballots (reference: sutro/templates/evals.py:182). */
   def elo(ballots: DataFrame, column: String): DataFrame = Elo.ratings(ballots, column)
 
+  // ----- function endpoint (reference: run_function sdk.py:539,
+  //       batch_run_function sdk.py:617) -----
+
+  /** Immediate single-input function execution returning the standardized
+    * {response, confidence, predictions, run_id} shape. */
+  def runFunction(name: String, inputData: Map[String, String]): Functions.FunctionResult =
+    Functions.run(spark, name, inputData)
+
+  /** Batch function execution over a frame: infer + job submission at
+    * priority 1; returns the job id. dryRun materializes cost estimates. */
+  def batchRunFunction(
+      name: String,
+      df: DataFrame,
+      outputColumn: String = "inference_result",
+      jobName: Option[String] = None,
+      dryRun: Boolean = false): String =
+    Functions.batchRun(df, name, outputColumn, jobName, dryRun)
+
+  /** Register a custom named function backed by any [[Model]]. */
+  def registerFunction(name: String, model: Model): Unit = Functions.register(name, model)
+
   // ----- jobs (reference: create/status/await/cancel/results) -----
   def submitJob(df: DataFrame, name: Option[String] = None, priority: Int = 0): String =
     Jobs.submit(df, name, priority)

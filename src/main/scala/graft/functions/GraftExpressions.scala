@@ -99,6 +99,39 @@ case class HyperplaneBucketExpr(child: Expression, bits: Int, seed: Long) extend
     copy(child = newChild)
 }
 
+/** Nearest-centroid cell id over a small broadcast-by-plan centroid table
+  * (the IVF coarse quantizer). The centroid array rides the serialized
+  * expression — nlist x dim doubles, tiny — and codegen references it via
+  * addReferenceObj, so assignment stays inside whole-stage codegen. */
+case class NearestCellExpr(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nearestCell(input.asInstanceOf[ArrayData], centroids)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nearestCell($c, $ref)")
+  }
+  override def prettyName: String = "nearest_cell"
+  override protected def withNewChildInternal(newChild: Expression): NearestCellExpr =
+    copy(child = newChild)
+}
+
+/** The nprobe nearest centroid indices for a query vector (IVF probe list). */
+case class ProbeCellsExpr(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.probeCells(input.asInstanceOf[ArrayData], centroids, nprobe)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.probeCells($c, $ref, $nprobe)")
+  }
+  override def prettyName: String = "probe_cells"
+  override protected def withNewChildInternal(newChild: Expression): ProbeCellsExpr =
+    copy(child = newChild)
+}
+
 /** Column-typed API over the custom expressions. */
 object gf {
   private def u(c: Column)(f: Expression => Expression): Column =
@@ -131,4 +164,12 @@ object gf {
   /** Random-hyperplane LSH bucket id for an array<float> column. */
   def hyperplaneBucket(v: Column, bits: Int, seed: Long): Column =
     u(v)(HyperplaneBucketExpr(_, bits, seed))
+
+  /** Nearest-centroid cell id (IVF assignment). */
+  def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    u(v)(NearestCellExpr(_, centroids))
+
+  /** nprobe nearest centroid indices (IVF probe list). */
+  def probeCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    u(v)(ProbeCellsExpr(_, centroids, nprobe))
 }

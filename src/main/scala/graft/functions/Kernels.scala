@@ -218,6 +218,58 @@ object Kernels {
     eq.toDouble / n
   }
 
+  /** Index of the nearest centroid (squared-L2) for a float vector.
+    * Ties resolve to the lowest index — deterministic across executors. */
+  def nearestCell(v: ArrayData, cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = dist2(v, cs(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest centroid indices, ascending by distance (ties ->
+    * lowest index): the IVF probe list for a query vector. */
+  def probeCells(v: ArrayData, cs: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val m = cs.length
+    val d = new Array[Double](m)
+    var c = 0
+    while (c < m) { d(c) = dist2(v, cs(c)); c += 1 }
+    val n = math.min(nprobe, m)
+    val out = new Array[Any](n)
+    val taken = new Array[Boolean](m)
+    var k = 0
+    while (k < n) {
+      var best = -1
+      var bestD = Double.MaxValue
+      c = 0
+      while (c < m) {
+        if (!taken(c) && d(c) < bestD) { bestD = d(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(k) = best
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def dist2(v: ArrayData, c: Array[Double]): Double = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble - c(i)
+      s += x * x
+      i += 1
+    }
+    s
+  }
+
   /** Random-hyperplane LSH bucket: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes (SplitMix64-generated, seeded
     * by bit index x dimension — no stored model, identical on every

@@ -97,10 +97,17 @@ object Similarity {
       nprobe: Int = 4,
       sampleSize: Int = 10000,
       seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
     // --- train coarse quantizer on a bounded sample (driver-side Lloyd's;
-    // centroids are nlist x dim doubles — tiny) ---
-    val sample = corpus.select(col(vecCol)).limit(sampleSize)
+    // centroids are nlist x dim doubles — tiny). Sampled as the sampleSize
+    // smallest xxhash64(id) rows: a per-partition top-k + driver merge (no
+    // full shuffle) whose result is independent of partition layout — the
+    // quantizer, and therefore every cell assignment, is deterministic
+    // across runs and executor counts. ---
+    val sample = corpus
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h"))
+      .limit(sampleSize)
+      .select(col(vecCol))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
@@ -122,22 +129,13 @@ object Similarity {
       }.toArray
       iter += 1
     }
-    val bc = spark.sparkContext.broadcast(centroids)
-
-    import org.apache.spark.sql.expressions.Window
-    val assignCell = udf { (v: Seq[Float]) =>
-      nearestCentroid(v.map(_.toDouble).toArray, bc.value)
-    }
-    val probeCells = udf { (v: Seq[Float]) =>
-      val arr = v.map(_.toDouble).toArray
-      bc.value.indices
-        .map(c => (c, -dist2(arr, bc.value(c))))
-        .sortBy(-_._2).take(nprobe).map(_._1)
-    }
+    // cell assignment + probe lists run as codegen expressions carrying the
+    // tiny centroid table in the plan itself — no UDF boxing, no separate
+    // broadcast lifecycle
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cell", assignCell(col("c_vec")))
+      .withColumn("cell", gf.nearestCell(col("c_vec"), centroids))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(probeCells(col("q_vec"))))
+      .withColumn("cell", explode(gf.probeCells(col("q_vec"), centroids, nprobe)))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     c.join(q, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))

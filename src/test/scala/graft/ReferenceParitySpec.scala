@@ -58,4 +58,45 @@ class ReferenceParitySpec extends SparkSpec {
     assert(Jobs.list().find(_.id === id).get.priority === 1)
     assert(Jobs.await(id).isTerminal)
   }
+
+  test("run_function: standardized {response, confidence, predictions, run_id} shape (sdk.py:539)") {
+    val g = Graft(spark)
+    val r = g.runFunction("keyword-classifier-1", Map("text" -> "a window function demo"))
+    assert(r.response.contains("\"classification\":\"window\""))
+    assert(r.confidence === 0.9)
+    // every class + fallback scored, sorted confidence desc then label
+    assert(r.predictions.map(_.label).toSet === Set("join", "window", "stream", "other"))
+    assert(r.predictions.head.label === "window" && r.predictions.head.confidence === 0.9)
+    assert(r.predictions.tail.forall(p => math.abs(p.confidence - (0.1 / 3)) < 1e-9))
+    assert(r.run_id.startsWith("run-"))
+    // non-classifier: single prediction mirroring the response
+    val e = g.runFunction("echo-1", Map("text" -> "hello"))
+    assert(e.response === "hello" && e.predictions === Seq(Functions.Prediction("hello", 1.0)))
+  }
+
+  test("run_function: multi-field input joins values in sorted key order; unknown name rejected") {
+    val g = Graft(spark)
+    val r = g.runFunction("echo-1", Map("b_second" -> "world", "a_first" -> "hello"))
+    assert(r.response === "hello\nworld")
+    intercept[NoSuchElementException](g.runFunction("no-such-function", Map("x" -> "y")))
+  }
+
+  test("batch_run_function: priority-1 job over whole rows; dry run estimates (sdk.py:617)") {
+    val g = Graft(spark)
+    val df = Seq(("a window demo", 1L), ("plain text", 2L)).toDF("text", "row_id")
+    val id = g.batchRunFunction("keyword-classifier-1", df)
+    assert(Jobs.list().find(_.id === id).get.priority === 1)
+    val res = g.jobResults(id, unpackJson = false).collect()
+    assert(res.length === 2)
+    assert(res.map(_.getAs[String]("inference_result")).exists(_.contains("window")))
+    val dry = g.batchRunFunction("echo-1", df, dryRun = true)
+    val est = g.jobResults(dry, unpackJson = false).collect()(0)
+    assert(est.getAs[Long]("n_rows") === 2L)
+  }
+
+  test("registerFunction: custom model addressable by name") {
+    val g = Graft(spark)
+    g.registerFunction("shout", TemplateModel("LOUD: "))
+    assert(g.runFunction("shout", Map("t" -> "hi")).response === "LOUD: hi")
+  }
 }

@@ -55,6 +55,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getLong(2) === 3L)
   }
 
+  test("ivfTopK is deterministic across partition layouts (hash-ordered sample, no UDFs)") {
+    val queries = emb.where(col("vec_id") < 20)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(c, queries, "vec_id", "embedding", 5, nlist = 16, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = run(emb)
+    val b = run(emb.repartition(7))
+    val c = run(emb.repartition(1))
+    assert(a === b)
+    assert(a === c)
+  }
+
   test("knnLabelLsh at full-recall params agrees with brute-force kNN on sf0.001") {
     val queries = emb.where(col("vec_id") < 20)
     val exact = Similarity.knnLabel(emb, queries, "vec_id", "embedding", "label", 10)
