@@ -99,6 +99,25 @@ case class HyperplaneBucketExpr(child: Expression, bits: Int, seed: Long) extend
     copy(child = newChild)
 }
 
+/** Bucket-local pair scorer: all (min_id, max_id) pairs in one LSH bucket
+  * with cosine >= minCos, in a single codegen call — the O(b²) loop runs
+  * inside the aggregate's projection, so non-surviving candidate pairs are
+  * never materialized as rows and never shuffled. */
+case class BucketPairsCosExpr(child: Expression, minCos: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a_id", LongType, nullable = false),
+      StructField("b_id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.bucketPairsCos(input.asInstanceOf[ArrayData], minCos)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bucketPairsCos($c, $minCos)")
+  override def prettyName: String = "bucket_pairs_cos"
+  override protected def withNewChildInternal(newChild: Expression): BucketPairsCosExpr =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid cell id over a small broadcast-by-plan centroid table
   * (the IVF coarse quantizer). The centroid array rides the serialized
   * expression — nlist x dim doubles, tiny — and codegen references it via
@@ -164,6 +183,10 @@ object gf {
   /** Random-hyperplane LSH bucket id for an array<float> column. */
   def hyperplaneBucket(v: Column, bits: Int, seed: Long): Column =
     u(v)(HyperplaneBucketExpr(_, bits, seed))
+
+  /** Bucket-local cosine pair scoring over array<struct<id, vec>>. */
+  def bucketPairsCos(items: Column, minCos: Double): Column =
+    u(items)(BucketPairsCosExpr(_, minCos))
 
   /** Nearest-centroid cell id (IVF assignment). */
   def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =

@@ -218,6 +218,54 @@ object Kernels {
     eq.toDouble / n
   }
 
+  /** All id pairs within one LSH bucket whose cosine >= minCos, emitted as
+    * (min_id, max_id) structs. One pass over the bucket: vectors are
+    * decoded and norms precomputed once, then the O(b²) pair loop does a
+    * dot product each — no candidate-pair materialization, no shuffle of
+    * non-survivors. `items` is array<struct<id:long, vec:array<float>>>
+    * from a per-bucket collect_list. */
+  def bucketPairsCos(items: ArrayData, minCos: Double): ArrayData = {
+    val n = items.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](n)
+    val vs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = items.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1).toFloatArray()
+      vs(i) = v
+      var ss = 0.0
+      var j = 0
+      while (j < v.length) { ss += v(j).toDouble * v(j).toDouble; j += 1 }
+      norms(i) = math.sqrt(ss)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var a = 0
+    while (a < n) {
+      val va = vs(a)
+      var b = a + 1
+      while (b < n) {
+        val vb = vs(b)
+        var dot = 0.0
+        var j = 0
+        while (j < va.length) { dot += va(j).toDouble * vb(j).toDouble; j += 1 }
+        val denom = norms(a) * norms(b)
+        val cos = if (denom == 0.0) 0.0 else dot / denom
+        if (cos >= minCos) {
+          val lo = if (ids(a) < ids(b)) ids(a) else ids(b)
+          val hi = if (ids(a) < ids(b)) ids(b) else ids(a)
+          out += org.apache.spark.sql.catalyst.InternalRow(lo, hi)
+        }
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Index of the nearest centroid (squared-L2) for a float vector.
     * Ties resolve to the lowest index — deterministic across executors. */
   def nearestCell(v: ArrayData, cs: Array[Array[Double]]): Int = {

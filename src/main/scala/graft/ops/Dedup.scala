@@ -225,14 +225,15 @@ object Dedup {
       posexplode(array((0 until tables).map(t =>
         gf.hyperplaneBucket(col(vecCol), bits, seed = 0x9e3779b9L * (t + 1))): _*))
         .as(Seq("table", "bucket")))
-    val a = bucketed.select(col("table"), col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
-    val b = bucketed.select(col("table"), col("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
-    a.join(b, Seq("table", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        gf.cosine(col("a_vec"), col("b_vec")).as("cos"))
-      .where(col("cos") >= minCos)
-      .groupBy("a_id", "b_id").agg(first(col("cos")))
-      .select(col("a_id"), col("b_id"))
+    // One shuffle on (table, bucket), then the whole O(b²) score-and-filter
+    // runs inside a single kernel call per bucket: candidate pairs that
+    // fail minCos are never materialized as rows (the bucket self-join
+    // formulation shuffled every candidate — measured ~5x slower at sf0.1).
+    bucketed
+      .groupBy("table", "bucket")
+      .agg(collect_list(struct(col("id"), col("vec"))).as("items"))
+      .select(explode(gf.bucketPairsCos(col("items"), minCos)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
   }
 }
