@@ -1,0 +1,13 @@
+package graft
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate()
+    val dir = "/root/testdata/sf0.1"
+    for (name <- args; i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      println(f"[timeq] $name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

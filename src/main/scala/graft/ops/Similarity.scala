@@ -66,13 +66,17 @@ object Similarity {
     }
     val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")), "query_id", "q_vec")
     val c = bucketed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")), "neighbor_id", "c_vec")
+    // score in the join projection so the dedup + ranking shuffles move
+    // (long, long, double) rows, not two vector payloads per candidate;
+    // a pair colliding in several tables scores identically each time, so
+    // dropDuplicates after scoring is sound
     val candidates = c.join(q, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_vec", "neighbor_id", "c_vec")
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
     candidates
-      .withColumn("cos_sim", gf.cosine(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
