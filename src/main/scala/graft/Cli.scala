@@ -57,6 +57,15 @@ object Cli {
       g.datasets.list().foreach(println)
     case "datasets" :: "files" :: id :: Nil =>
       g.datasets.listFiles(id).foreach(println)
+    case "datasets" :: "upload" :: first :: rest =>
+      // reference semantics: with a single argument it is the file path and
+      // a fresh dataset is created; otherwise the first arg is the dataset
+      val (dsId, paths) =
+        if (rest.isEmpty) (None, List(first))
+        else (Some(first), rest)
+      val (id, names) = g.datasets.uploadFiles(paths, dsId)
+      println(s"Uploaded ${names.size} file(s) to dataset: $id")
+      names.foreach(println)
     case "cache" :: "show" :: Nil =>
       // reference cli.py:379: contents + size of the job results cache
       val dir = new java.io.File(sys.props.getOrElse("graft.jobs.dir", "target/graft/job-results"))

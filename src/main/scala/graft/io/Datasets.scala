@@ -39,6 +39,45 @@ class Datasets(root: String) {
     target
   }
 
+  /** Supported raw-file formats — the set [[Tables.load]] can read back. */
+  val supportedExtensions: Set[String] = Set("parquet", "csv", "txt", "jsonl", "json")
+
+  /** Upload raw files by path (reference upload_to_dataset,
+    * sutro/sdk.py:1400): accepts file paths or a directory (expanded,
+    * error when empty), validates each extension against the loadable
+    * formats, creates the dataset when none is given. Returns the dataset
+    * id and the uploaded file names. */
+  def uploadFiles(
+      filePaths: Seq[String],
+      datasetId: Option[String] = None): (String, Seq[String]) = {
+    require(filePaths.nonEmpty, "File paths must be provided")
+    val expanded = filePaths.flatMap { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory) {
+        val children = Option(f.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+        if (children.isEmpty) throw new IllegalArgumentException("No files found in the directory")
+        children.map(_.getPath).sorted.toSeq
+      } else Seq(p)
+    }
+    expanded.foreach { p =>
+      require(new java.io.File(p).isFile, s"no such file: $p")
+      val ext = p.substring(p.lastIndexOf('.') + 1).toLowerCase
+      if (!supportedExtensions.contains(ext))
+        throw new IllegalArgumentException(
+          s"Unsupported file type: .$ext (supported: ${supportedExtensions.toSeq.sorted.mkString(", ")})")
+    }
+    val id = datasetId.getOrElse(create())
+    val dir = rootPath.resolve(id)
+    require(Files.isDirectory(dir), s"unknown dataset $id")
+    val names = expanded.map { p =>
+      val name = new java.io.File(p).getName
+      Files.copy(Paths.get(p), dir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      name
+    }
+    (id, names)
+  }
+
   def list(): Seq[String] =
     Files.list(rootPath).iterator().asScala.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
 

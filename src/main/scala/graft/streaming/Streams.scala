@@ -163,8 +163,13 @@ object Streams {
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          // within a batch, order by event time then id (batch arrival order
-          // is not time order)
+          // Within a batch, order by event time then id (batch arrival order
+          // is not time order). This buffers ONE user's batch slice — state
+          // across batches stays O(1) per user. A user whose single-batch
+          // volume exceeds executor memory would need a secondary sort
+          // (repartition + sortWithinPartitions on the update stream) —
+          // the standard trade-off; bound batch size via
+          // maxFilesPerTrigger/maxBytesPerTrigger in production.
           val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           sorted.foreach { case (_, ts, _) =>

@@ -44,4 +44,25 @@ class JobsDatasetsSpec extends SparkSpec {
     val ds = new Datasets(java.nio.file.Files.createTempDirectory("graft-ds2").toString)
     intercept[IllegalArgumentException](ds.listFiles("missing"))
   }
+
+  test("datasets: raw file upload with format validation (sdk.py:1400)") {
+    val ds = new Datasets(java.nio.file.Files.createTempDirectory("graft-ds3").toString)
+    val src = java.nio.file.Files.createTempDirectory("graft-upload-src")
+    java.nio.file.Files.writeString(src.resolve("lines.txt"), "one\ntwo\n")
+    java.nio.file.Files.writeString(src.resolve("rows.csv"), "a,b\n1,2\n")
+    // directory expansion + auto-created dataset
+    val (id, names) = ds.uploadFiles(Seq(src.toString))
+    assert(names.sorted === Seq("lines.txt", "rows.csv"))
+    assert(ds.listFiles(id).toSet === Set("lines.txt", "rows.csv"))
+    // uploaded txt loads back one line per row
+    assert(ds.download(spark, id, "lines.txt").count() === 2)
+    // unsupported extension rejected
+    java.nio.file.Files.writeString(src.resolve("blob.xyz"), "nope")
+    val ex = intercept[IllegalArgumentException](
+      ds.uploadFiles(Seq(src.resolve("blob.xyz").toString), Some(id)))
+    assert(ex.getMessage.contains("Unsupported file type"))
+    // empty directory rejected
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty")
+    intercept[IllegalArgumentException](ds.uploadFiles(Seq(empty.toString)))
+  }
 }
