@@ -89,6 +89,16 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
+  // permutation coefficients depend only on k — computed once per JVM,
+  // not per row (they were per-row Array.tabulate allocations before)
+  private val minhashCoefCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def minhashCoefs(k: Int): (Array[Long], Array[Long]) =
+    minhashCoefCache.computeIfAbsent(k, kk =>
+      // a odd (never 0 mod p), b arbitrary — fixed per permutation index
+      (Array.tabulate(kk)(p => mix64(2L * p) | 1L),
+       Array.tabulate(kk)(p => mix64(2L * p + 1))))
+
   /** k-permutation MinHash signature over word n-gram shingles.
     * One pass: per shingle, one 64-bit hash, then k affine permutations. */
   def minhashSig(text: UTF8String, n: Int, k: Int): ArrayData = {
@@ -97,9 +107,7 @@ object Kernels {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     if (m > 0) {
-      // a odd (never 0 mod p), b arbitrary — fixed per permutation index
-      val as = Array.tabulate(k)(p => mix64(2L * p) | 1L)
-      val bs = Array.tabulate(k)(p => mix64(2L * p + 1))
+      val (as, bs) = minhashCoefs(k)
       val sb = new java.lang.StringBuilder(64)
       var i = 0
       while (i < m) {

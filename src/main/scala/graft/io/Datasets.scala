@@ -90,4 +90,32 @@ class Datasets(root: String) {
   /** Download = load a dataset file back as a DataFrame. */
   def download(spark: SparkSession, datasetId: String, file: String): DataFrame =
     Tables.load(spark, rootPath.resolve(datasetId).resolve(file).toString)
+
+  /** Download raw dataset files to a local directory (reference
+    * download_from_dataset, sutro/sdk.py:1535): all files by default, or
+    * the named subset. Returns the written paths. */
+  def exportFiles(
+      datasetId: String,
+      outputDir: String,
+      files: Option[Seq[String]] = None): Seq[String] = {
+    val names = files.getOrElse(listFiles(datasetId))
+    val out = Paths.get(outputDir)
+    Files.createDirectories(out)
+    names.map { name =>
+      val src = rootPath.resolve(datasetId).resolve(name)
+      require(Files.exists(src), s"no such file in dataset $datasetId: $name")
+      val dest = out.resolve(name)
+      copyRecursively(src, dest)
+      dest.toString
+    }
+  }
+
+  /** Copy a file or a directory tree (df-materialized entries are dirs). */
+  private def copyRecursively(src: Path, dest: Path): Unit = {
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dest)
+      Files.list(src).iterator().asScala.foreach(c => copyRecursively(c, dest.resolve(c.getFileName)))
+    } else
+      Files.copy(src, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
 }

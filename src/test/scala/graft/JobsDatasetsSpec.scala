@@ -64,5 +64,11 @@ class JobsDatasetsSpec extends SparkSpec {
     // empty directory rejected
     val empty = java.nio.file.Files.createTempDirectory("graft-empty")
     intercept[IllegalArgumentException](ds.uploadFiles(Seq(empty.toString)))
+    // raw download round-trip (sdk.py:1535)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-export")
+    val written = ds.exportFiles(id, outDir.toString)
+    assert(written.map(p => new java.io.File(p).getName).sorted === Seq("lines.txt", "rows.csv"))
+    assert(java.nio.file.Files.readString(outDir.resolve("lines.txt")) === "one\ntwo\n")
+    intercept[IllegalArgumentException](ds.exportFiles(id, outDir.toString, Some(Seq("missing.bin"))))
   }
 }
