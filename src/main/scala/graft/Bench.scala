@@ -21,11 +21,14 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val spark = GraftSession.getOrCreate()
-    // JIT/codegen warmup on the smallest sf so per-query numbers measure
-    // the plan, not first-query session initialization
-    try SparkEntry.entry(spark).count()
-    catch { case _: Throwable => () }
+    // JIT/codegen warmup: run the whole catalog once at the smallest sf so
+    // each measured number reflects the plan, not that query family's
+    // first-run codegen compilation (measured up to 5s of the first run)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+    }
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -41,9 +41,11 @@ object Elo {
     import spark.implicits._
 
     // Normalize to tie-group shape: array<string> -> singleton groups.
-    val grouped: Column = ballots.schema(column).dataType match {
-      case ArrayType(StringType, _) => transform(col(column), x => array(x))
-      case ArrayType(ArrayType(StringType, _), _) => col(column)
+    // Strict ballots cannot contain ties, so their tie scan is skipped
+    // entirely (one distributed pass instead of two).
+    val (grouped: Column, mayHaveTies) = ballots.schema(column).dataType match {
+      case ArrayType(StringType, _) => (transform(col(column), x => array(x)), false)
+      case ArrayType(ArrayType(StringType, _), _) => (col(column), true)
       case other => throw new IllegalArgumentException(
         s"ballot column must be array<string> or array<array<string>>, got $other")
     }
@@ -66,7 +68,7 @@ object Elo {
       .toMap
 
     // Distributed: within-group tie pairs, one per unordered pair per ballot.
-    val tiePairs = g
+    val tiePairs = if (!mayHaveTies) Map.empty[(String, String), Double] else g
       .select(explode(col("groups")).as("grp"))
       .where(size(col("grp")) >= 2)
       .select(posexplode(col("grp")).as(Seq("ai", "a")), col("grp"))
