@@ -17,11 +17,13 @@ object Similarity {
     * corpus vectors (excluding self when ids collide).
     *
     * Plan shape: broadcast the (small) query side, score with the codegen
-    * cosine expression, rank with a per-query window. Scale: the corpus
-    * side streams — no shuffle of the corpus except the window's
-    * partition-by-query, which is proportional to |queries| x |corpus|
-    * scored rows only when k is unbounded; for real workloads bound the
-    * candidate set with [[lshTopK]].
+    * cosine expression, then rank with the bounded-heap top-k aggregate
+    * ([[graft.functions.TopKByScoreAgg]]): partial aggregation keeps k
+    * candidates per query MAP-SIDE, so the corpus streams through the scan
+    * and the shuffle moves at most k rows per (partition, query) — never
+    * the |queries| x |corpus| scored set a rank-window would move.
+    * Exact; identical output ordering to rank-by-window (score desc,
+    * id asc).
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -34,12 +36,19 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", gf.cosine(col("q_vec"), col("c_vec")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    rankTopK(scored, k)
   }
+
+  /** (query_id, cos_sim, neighbor_id) -> top-k per query via the bounded
+    * heap aggregate, ranks 1..k best-first. */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topK(
+        struct(col("cos_sim").cast("double"), col("neighbor_id").cast("long")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rk0", "item")))
+      .select(col("query_id"), col("item.id").as("neighbor_id"),
+        (col("rk0") + 1).cast("int").as("rank"))
 
   /** Random-hyperplane LSH top-k — the scale path for ANN.
     *
@@ -75,11 +84,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         gf.cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    candidates
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    rankTopK(candidates, k)
   }
 
   /** IVF (inverted-file) ANN — the other classic scale path: a coarse
@@ -140,13 +145,11 @@ object Similarity {
       .withColumn("cell", gf.nearestCell(col("c_vec"), centroids))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cell", explode(gf.probeCells(col("q_vec"), centroids, nprobe)))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))
-    c.join(q, Seq("cell"))
+    val scored = c.join(q, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", gf.cosine(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+    rankTopK(scored, k)
   }
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {

@@ -55,6 +55,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getLong(2) === 3L)
   }
 
+  test("TopKBuffer: bounded heap keeps k best with window-compatible tie-breaks") {
+    val buf = new graft.functions.TopKBuffer(3)
+    // shuffled inserts incl. score ties (0.9 twice: id 7 must beat id 9)
+    Seq((0.5, 1L), (0.9, 9L), (0.2, 2L), (0.9, 7L), (0.8, 3L), (0.1, 4L))
+      .foreach { case (s, i) => buf.insert(s, i) }
+    val order = buf.sortedIndices.map(i => (buf.scores(i), buf.ids(i))).toSeq
+    assert(order === Seq((0.9, 7L), (0.9, 9L), (0.8, 3L)))
+    // a later better element evicts the current worst
+    buf.insert(0.95, 11L)
+    val merged = buf.sortedIndices.map(i => (buf.scores(i), buf.ids(i))).toSeq
+    assert(merged === Seq((0.95, 11L), (0.9, 7L), (0.9, 9L)))
+  }
+
   test("ivfTopK is deterministic across partition layouts (hash-ordered sample, no UDFs)") {
     val queries = emb.where(col("vec_id") < 20)
     def run(c: org.apache.spark.sql.DataFrame) =
