@@ -99,6 +99,26 @@ case class HyperplaneBucketExpr(child: Expression, bits: Int, seed: Long) extend
     copy(child = newChild)
 }
 
+/** Candidate-pair emission from a shingle posting list (inverted-index
+  * Jaccard join): array<struct<id, sz>> -> array<struct<a_id, b_id,
+  * a_size, b_size>> with a_id < b_id. */
+case class PostingPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a_id", LongType, nullable = false),
+      StructField("b_id", LongType, nullable = false),
+      StructField("a_size", IntegerType, nullable = false),
+      StructField("b_size", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.postingPairs(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.postingPairs($c)")
+  override def prettyName: String = "posting_pairs"
+  override protected def withNewChildInternal(newChild: Expression): PostingPairsExpr =
+    copy(child = newChild)
+}
+
 /** Bucket-local pair scorer: all (min_id, max_id) pairs in one LSH bucket
   * with cosine >= minCos, in a single codegen call — the O(b²) loop runs
   * inside the aggregate's projection, so non-surviving candidate pairs are
@@ -183,6 +203,9 @@ object gf {
   /** Random-hyperplane LSH bucket id for an array<float> column. */
   def hyperplaneBucket(v: Column, bits: Int, seed: Long): Column =
     u(v)(HyperplaneBucketExpr(_, bits, seed))
+
+  /** Candidate pairs from a shingle posting list array<struct<id, sz>>. */
+  def postingPairs(items: Column): Column = u(items)(PostingPairsExpr(_))
 
   /** Bucket-local cosine pair scoring over array<struct<id, vec>>. */
   def bucketPairsCos(items: Column, minCos: Double): Column =

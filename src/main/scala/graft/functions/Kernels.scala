@@ -226,6 +226,40 @@ object Kernels {
     eq.toDouble / n
   }
 
+  /** All ordered id pairs from one shingle's posting list, with both doc
+    * sizes attached: the candidate-pair emission step of an inverted-index
+    * Jaccard join, run bucket-locally so the only shuffles are building
+    * the postings and counting the emitted pairs. `items` is
+    * array<struct<id:long, sz:int>>. */
+  def postingPairs(items: ArrayData): ArrayData = {
+    val n = items.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](n)
+    val szs = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val row = items.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      szs(i) = row.getInt(1)
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var w = 0
+    var a = 0
+    while (a < n) {
+      var b = a + 1
+      while (b < n) {
+        val (loI, hiI) = if (ids(a) < ids(b)) (a, b) else (b, a)
+        out(w) = org.apache.spark.sql.catalyst.InternalRow(
+          ids(loI), ids(hiI), szs(loI), szs(hiI))
+        w += 1
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All id pairs within one LSH bucket whose cosine >= minCos, emitted as
     * (min_id, max_id) structs. One pass over the bucket: vectors are
     * decoded and norms precomputed once, then the O(b²) pair loop does a

@@ -26,9 +26,18 @@ object Dedup {
   def shingles(text: Column, n: Int): Column = gf.shingles(text, n)
 
   /** Exact n-gram Jaccard similar pairs via shingle inverted index:
-    * explode shingles → co-group by shingle → count shared shingles per
-    * candidate pair → Jaccard = shared / (|A| + |B| - shared) ≥ threshold.
-    * Only pairs sharing ≥1 shingle are ever materialized.
+    * shingle ONCE, build the posting list per shingle in one shuffle, emit
+    * each posting list's candidate pairs with a bucket-local kernel, count
+    * shared shingles per pair → Jaccard = shared / (|A| + |B| - shared) ≥
+    * threshold. Only pairs sharing ≥1 surviving shingle are materialized,
+    * and the corpus is shingled exactly once (the join formulation
+    * re-shingled it for the df pass and for both join sides).
+    *
+    * Scale valve: candidate cost is sum(df(shingle)²) — a hot shingle in
+    * f docs alone yields f²/2 pairs. maxDf drops shingles with document
+    * frequency > maxDf from candidate generation (pairs sharing ONLY
+    * ultra-common shingles are missed — the standard web-dedup trade-off;
+    * |A|,|B| stay exact so Jaccard of surviving pairs is exact).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -40,27 +49,17 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sh_size", size(col("sh")))
-    val explodedAll = sh.select(col("id"), col("sh_size"), explode(col("sh")).as("shingle"))
-    // Scale valve: candidate generation cost is sum(df(shingle)^2); a hot
-    // shingle in f docs alone yields f^2/2 pairs. maxDf drops shingles with
-    // document frequency > maxDf from candidate generation (pairs sharing
-    // ONLY ultra-common shingles are missed — the standard web-dedup
-    // trade-off; |A|,|B| stay exact so Jaccard of surviving pairs is exact).
-    val exploded = maxDf match {
-      case None => explodedAll
-      case Some(cap) =>
-        val hot = explodedAll.groupBy("shingle")
-          .agg(count(lit(1)).as("__df"))
-          .where(col("__df") > cap)
-          .select("shingle")
-        explodedAll.join(broadcast(hot), Seq("shingle"), "left_anti")
-    }
-    // explicit aliases — joins reorder columns, so positional toDF is unsafe
-    val a = exploded.select(col("id").as("a_id"), col("sh_size").as("a_size"), col("shingle"))
-    val b = exploded.select(col("id").as("b_id"), col("sh_size").as("b_size"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "a_size", "b_size")
+    val postings = sh
+      .select(col("id"), col("sh_size"), explode(col("sh")).as("shingle"))
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("id"), col("sh_size"))).as("postings"))
+      // df == 1 emits nothing; df > cap is the hot-shingle valve
+      .where(size(col("postings")) >= 2 &&
+        maxDf.map(cap => size(col("postings")) <= cap).getOrElse(lit(true)))
+    postings
+      .select(explode(gf.postingPairs(col("postings"))).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.a_size").as("a_size"), col("p.b_size").as("b_size"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") / (col("a_size") + col("b_size") - col("shared")) >= threshold)
       .select(col("a_id"), col("b_id"))
