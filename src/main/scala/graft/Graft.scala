@@ -56,7 +56,10 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
   }
 
   /** Run a model over one or more columns (reference: sutro/sdk.py:465).
-    * dryRun returns the cost estimate frame instead of running. */
+    * dryRun returns the cost estimate frame instead of running.
+    * outputSchema is the reference's `output_schema`/json_schema analog:
+    * when set, the structured output is unpacked against that schema with
+    * no data probe (and it wins over unpackJson's inferred-schema path). */
   def infer(
       df: DataFrame,
       model: Model,
@@ -66,11 +69,15 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
       truncateRows: Boolean = true,
       unpackJson: Boolean = false,
       dryRun: Boolean = false,
-      randomSeedPerInput: Boolean = false): DataFrame = {
+      randomSeedPerInput: Boolean = false,
+      outputSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     if (dryRun) return Infer.estimateCost(df, model, column, truncateRows)
     val inferred = Infer.infer(df, model, column, outputColumn, systemPrompt,
       truncateRows, randomSeedPerInput)
-    if (unpackJson) Results.unpackJson(inferred, outputColumn) else inferred
+    outputSchema match {
+      case Some(schema) => Results.unpackJsonWithSchema(inferred, schema, outputColumn)
+      case None => if (unpackJson) Results.unpackJson(inferred, outputColumn) else inferred
+    }
   }
 
   /** Fan the same input out across multiple models, one job per model
@@ -115,8 +122,21 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
       dim: Int = 64): DataFrame =
     Templates.embed(df, column, outputColumn, dim)
 
-  def rank(df: DataFrame, optionLabels: Seq[String], rankingColumnName: String = "ranking"): DataFrame =
-    Templates.rank(df, optionLabels, rankingColumnName)
+  def rank(
+      df: DataFrame,
+      optionLabels: Seq[String],
+      rankingColumnName: String = "ranking",
+      criteria: Seq[String] = Seq.empty): DataFrame =
+    Templates.rank(df, optionLabels, rankingColumnName, criteria)
+
+  /** rank with the reference's run_elo=True chaining: returns the ranked
+    * frame and the Elo ratings fit over the produced ballots. */
+  def rankWithElo(
+      df: DataFrame,
+      optionLabels: Seq[String],
+      rankingColumnName: String = "ranking",
+      criteria: Seq[String] = Seq.empty): (DataFrame, DataFrame) =
+    Templates.rankWithElo(df, optionLabels, rankingColumnName, criteria)
 
   /** Elo ratings from ranking ballots (reference: sutro/templates/evals.py:182). */
   def elo(ballots: DataFrame, column: String): DataFrame = Elo.ratings(ballots, column)

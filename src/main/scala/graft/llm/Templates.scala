@@ -50,11 +50,15 @@ object Templates {
 
   /** Rank template over labeled option columns: deterministic judge orders
     * options by descending content length, label ascending on ties.
-    * Emits the ranking as an ordered array plus the winner. */
+    * Emits the ranking as an ordered array plus the winner. `criteria`
+    * mirrors the reference's judge-criteria parameter
+    * (sutro/templates/evals.py:89) — it shapes the system prompt of a real
+    * LLM judge; the deterministic local judge records it for parity. */
   def rank(
       df: DataFrame,
       optionLabels: Seq[String],
-      rankingColumnName: String = "ranking"): DataFrame = {
+      rankingColumnName: String = "ranking",
+      criteria: Seq[String] = Seq.empty): DataFrame = {
     require(optionLabels.nonEmpty)
     // build array of (len, label) structs, sort by -len then label
     val entries = optionLabels.map { l =>
@@ -63,5 +67,17 @@ object Templates {
     val ranked = transform(array_sort(array(entries: _*)), e => e.getField("label"))
     df.withColumn(rankingColumnName, ranked)
       .withColumn("winner", element_at(col(rankingColumnName), 1))
+  }
+
+  /** rank with run_elo=True parity (evals.py:171-173): rank every row,
+    * then fit Elo over the produced ballots. Returns (ranked frame,
+    * elo ratings frame). */
+  def rankWithElo(
+      df: DataFrame,
+      optionLabels: Seq[String],
+      rankingColumnName: String = "ranking",
+      criteria: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+    val ranked = rank(df, optionLabels, rankingColumnName, criteria)
+    (ranked, Elo.ratings(ranked, rankingColumnName))
   }
 }

@@ -94,6 +94,27 @@ class ReferenceParitySpec extends SparkSpec {
     assert(est.getAs[Long]("n_rows") === 2L)
   }
 
+  test("infer with output_schema: schema-driven unpack, no data probe (sdk.py json_schema)") {
+    import org.apache.spark.sql.types._
+    val g = Graft(spark)
+    val df = Seq("one two three", "four").toDF("text")
+    val out = g.infer(df, JudgeScorer(0, 10), Seq("text"),
+      outputSchema = Some(StructType(Seq(StructField("score", LongType)))))
+    assert(out.columns.contains("score") && !out.columns.contains("inference_result"))
+    assert(out.select("score").collect().forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 10))
+  }
+
+  test("rankWithElo: run_elo=True chaining (evals.py:171) fits Elo over produced ballots") {
+    val g = Graft(spark)
+    val df = Seq(("long option text", "a"), ("longer option text here", "b"))
+      .toDF("opt_x", "opt_y")
+    val (ranked, elo) = g.rankWithElo(df, Seq("opt_x", "opt_y"), criteria = Seq("clarity"))
+    assert(ranked.columns.contains("ranking") && ranked.columns.contains("winner"))
+    val byLabel = elo.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // opt_x is longer in both rows -> always ranked first -> higher elo
+    assert(byLabel("opt_x") > byLabel("opt_y"))
+  }
+
   test("registerFunction: custom model addressable by name") {
     val g = Graft(spark)
     g.registerFunction("shout", TemplateModel("LOUD: "))
