@@ -188,6 +188,52 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Connected components over near-dup pairs — the step that turns a
+    * pair list into dedup decisions (one keeper per duplicate cluster).
+    *
+    * Min-label propagation: every node starts as its own component; each
+    * iteration every node adopts the smallest component id among itself
+    * and its neighbors, until a fixpoint. Each iteration is one
+    * shuffle-on-key join + min-aggregate — the Pregel-lite shape. Near-dup
+    * graphs are overwhelmingly small cliques, so convergence is 1–2
+    * iterations; for adversarial long-chain graphs swap in large-star /
+    * small-star (Kiveris 2014), which this API deliberately matches.
+    *
+    * Returns (id, component) for every node appearing in `pairs`, where
+    * component = min node id reachable — so the component id doubles as
+    * the canonical keeper id.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own comp, neighbors' comps)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("comp", "n_comp"), "v")
+        .select(col("u").as("id"), col("n_comp").as("comp"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("id")
+        .agg(min(col("comp")).as("comp"))
+        .localCheckpoint(eager = true) // truncate the iterative lineage
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .where(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs: all (a, b) with cosine >= minCos.
     *
     * Exact all-pairs formulation for oracle checking; at scale, swap the

@@ -69,4 +69,19 @@ class DedupSpec extends SparkSpec {
     assert(exact.isEmpty || (exact & lsh).size.toDouble / exact.size >= 0.5,
       s"recall ${(exact & lsh).size}/${exact.size}")
   }
+
+  test("connectedComponents: multi-hop chains collapse to the min id (multiple iterations)") {
+    // chain 1-2-3-4-5 (needs propagation over 4 hops), plus clique {10,11,12}
+    // and isolated pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comps(_) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) === 10L))
+    assert(Seq(20L, 21L).forall(comps(_) === 20L))
+    assert(comps.size === 10)
+  }
 }
