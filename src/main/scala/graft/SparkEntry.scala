@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.llm.{EchoModel, Elo, HashEmbedder, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
-import graft.ops.{Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — the operator catalog from SURVEY.md §2.
   *
@@ -160,6 +160,22 @@ object SparkEntry {
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  /** Rollup stats per (lang, source) + subtotals + grand total. */
+  private def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Corpus.stats(t(s, dir, "documents"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** Engine-reproducible 20% sample by md5 bucket of the doc id. */
+  private def corpusSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.deterministicSample(t(s, dir, "documents"), "doc_id", pct = 20)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  /** Token-budget sequence packing per source (2048-token sequences). */
+  private def corpusPack(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(t(s, dir, "documents"), "doc_id", "text", "source", 2048)
+      .orderBy("source", "doc_id")
 
   // ---------------------------------------------------------------- §2.3 dedup
 
@@ -380,6 +396,9 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
+    "corpus_stats" -> (corpusStats _),
+    "corpus_sample" -> (corpusSample _),
+    "corpus_pack" -> (corpusPack _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
@@ -658,6 +677,35 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "corpus_stats" ->
+      """WITH s AS (
+        |  SELECT lang, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS toks,
+        |    CAST(greatest(0, least(100,
+        |      least(len(regexp_split_to_array(text, '\s+')), 50)
+        |      + floor(len(list_distinct(regexp_split_to_array(text, '\s+'))) * 40.0
+        |              / greatest(len(regexp_split_to_array(text, '\s+')), 1))
+        |      - least(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')), 10)
+        |      + 10)) AS BIGINT) AS q
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS avg_quality
+        |FROM s GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    // md5-derived bucket: reproducible in any engine with md5(varchar) —
+    // the cross-engine determinism IS the operator's contract.
+    "corpus_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_pack" ->
+      """SELECT source, doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(floor(coalesce(sum(CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS seq_id
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
     // clusters = transitive closure over the same capped-Jaccard pair
     // graph, as a recursive CTE; comp = min reachable id (the keeper).
     "dedup_clusters" ->

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operators a training-data pipeline runs between dedup and
+  * training: rollup statistics, reproducible sampling, and sequence
+  * packing. All pure columnar plans — map-side partial aggregation,
+  * window-per-stratum, no driver loops.
+  */
+object Corpus {
+
+  /** Rollup statistics per (lang, source) with subtotals and a grand total
+    * (GROUPING SETS): doc counts, exact token totals, and average quality
+    * derived from the exact sums so every engine computes the identical
+    * value. */
+  def stats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("toks"),
+        TextAnalysis.qualityScore(col(textCol)).cast("long").as("q"))
+      .rollup("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        round(sum(col("q")).cast("double") / count(lit(1)), 4).as("avg_quality"))
+
+  /** Deterministic, engine-reproducible sample: keep rows whose
+    * md5(id)-derived bucket (first 4 hex chars mod 100) falls under
+    * `pct`. Unlike rand()-based sampling this is stable across engines,
+    * executors, retries, and runs — the property training pipelines need
+    * to re-materialize the same subset anywhere. */
+  def deterministicSample(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct must be in [0, 100]")
+    df.where(sampleBucket(col(idCol)) < pct)
+  }
+
+  /** md5-derived bucket in [0, 100) for an id column. */
+  def sampleBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** Pack documents into training sequences by cumulative token budget:
+    * within each stratum (ordered by id), a doc joins sequence
+    * floor(tokens_before / maxTokensPerSeq). One window per stratum —
+    * shuffle on the stratum key only; strata are independent so the plan
+    * parallelizes across them (use a hash-salted stratum for very hot
+    * strata). Deterministic and SQL-expressible on any engine. */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stratumCol: String,
+      maxTokensPerSeq: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(stratumCol), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("tokens_before") / maxTokensPerSeq).cast("long"))
+      .drop("tokens_before")
+  }
+}

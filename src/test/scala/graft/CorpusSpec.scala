@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Corpus
+import org.apache.spark.sql.functions._
+
+/** Corpus operators: rollup stats, reproducible sampling, sequence packing. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = graft.io.Tables.table(spark, sfDir, "documents")
+
+  test("stats: rollup emits per-(lang,source), per-lang subtotal, and grand total") {
+    val out = Corpus.stats(docs).collect()
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("n_docs") === docs.count())
+    val perLang = out.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(perLang.map(_.getAs[Long]("n_docs")).sum === docs.count())
+  }
+
+  test("deterministicSample: stable across runs and partition layouts, ~pct kept") {
+    val a = Corpus.deterministicSample(docs, "doc_id", 20).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.deterministicSample(docs.repartition(7), "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.1 && a.size < n * 0.3, s"kept ${a.size} of $n")
+    // pct=0 and pct=100 behave as empty / identity
+    assert(Corpus.deterministicSample(docs, "doc_id", 0).count() === 0L)
+    assert(Corpus.deterministicSample(docs, "doc_id", 100).count() === docs.count())
+  }
+
+  test("packSequences: per-stratum token budget respected at the bin boundaries") {
+    val packed = Corpus.packSequences(docs, "doc_id", "text", "source", 500)
+    // tokens before a doc's bin = seq_id * budget <= cumulative tokens so far
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val check = packed
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("expected", floor(col("before") / 500))
+      .where(col("seq_id") =!= col("expected"))
+    assert(check.count() === 0L)
+    // sequences are contiguous per stratum starting at 0
+    val firsts = packed.groupBy("source").agg(min("seq_id").as("m")).collect()
+    assert(firsts.forall(_.getLong(1) === 0L))
+  }
+}
