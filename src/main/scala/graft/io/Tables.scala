@@ -51,3 +51,33 @@ object Tables {
     }
   }
 }
+
+/** Physical-layout helpers for the 100 TB posture: partitioned writes (so
+  * scans prune directories) and bucketed tables (so repeated equi-joins
+  * and aggregations on the bucket key run with NO shuffle on either side).
+  * Local tests assert the plan properties (PartitionFilters on the scan;
+  * no Exchange under a bucketed join) — the same properties that hold on
+  * a real cluster.
+  */
+object Layout {
+  import org.apache.spark.sql.DataFrame
+
+  /** Write `df` partitioned by the given columns; readers filtering on
+    * them scan only the matching directories (partition pruning). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Persist `df` as a bucketed+sorted managed table: `numBuckets` by
+    * `bucketCol`. Joins/aggregations between tables bucketed the same way
+    * skip the shuffle entirely — the co-location is in the layout. */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+}

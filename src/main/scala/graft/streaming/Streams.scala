@@ -71,51 +71,8 @@ object Streams {
     * exactly the batch answer — the append-mode contract.
     */
   def windowAggAppendAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val batchSchema = spark.read.parquet(path).schema
-    val tsIsLong = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
-
-    // --- stage: [real events] [sentinel +10h] [sentinel +20h], mtimes
-    // spaced so the file source processes them oldest-first ---
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-append")
-    val raw = spark.read.parquet(path)
-    val maxTs = raw.agg(max(col("ts"))).head().get(0)
-    def sentinel(offsetHours: Int) = {
-      val bumped =
-        if (tsIsLong) raw.limit(1).withColumn("ts",
-          lit(maxTs.asInstanceOf[Long] + offsetHours.toLong * 3600L * 1000000000L))
-        else raw.limit(1).withColumn("ts",
-          col("ts") + expr(s"INTERVAL $offsetHours HOURS"))
-      bumped.withColumn("event_type", lit("__sentinel"))
-    }
-    def stageOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stage-part")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(stageDir.toFile, name)
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(mtime)
-    }
-    val t0 = System.currentTimeMillis() - 60000
-    stageOne(raw, "events-0.parquet", t0)
-    stageOne(sentinel(10), "events-1.parquet", t0 + 20000)
-    stageOne(sentinel(20), "events-2.parquet", t0 + 40000)
-
-    val stream = spark.readStream
-      .schema(batchSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stageDir.toString)
-    val events =
-      if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else stream
-    val agg = events
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-append").toString
+    val agg = stagedAppendAgg(spark, sfDir, stageDir)
     val name = s"graft_stream_agg_append_${counter.incrementAndGet()}"
     val q = agg.writeStream
       .format("memory")
@@ -125,6 +82,84 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.table(name).where(col("event_type") =!= "__sentinel")
+  }
+
+  /** Append-mode windowed agg to a PARQUET sink with checkpointing — the
+    * production deployment shape: the file sink plus the checkpoint gives
+    * exactly-once output (a restart with the same checkpoint sees no new
+    * input and writes nothing new — idempotent). `workDir` holds the
+    * staged input, the checkpoint, and the output; calling again with the
+    * same workDir resumes from the checkpoint instead of reprocessing. */
+  def windowAggAppendToParquet(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val stage = new java.io.File(workDir, "stage")
+    val out = new java.io.File(workDir, "out")
+    val ckpt = new java.io.File(workDir, "checkpoint")
+    val agg = stagedAppendAgg(spark, sfDir, stage.toString)
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString).where(col("event_type") =!= "__sentinel")
+  }
+
+  /** Stage [real events] [sentinel +10h] [sentinel +20h] into `stageDir`
+    * (skipped when already staged — enables checkpoint-resume runs), and
+    * build the append-mode windowed aggregation over a
+    * maxFilesPerTrigger=1 stream of it: each sentinel batch advances the
+    * watermark past the previous batch's windows, so every REAL window is
+    * finalized, emitted, and evicted by termination, while the sentinel
+    * windows stay open and unemitted. */
+  private def stagedAppendAgg(spark: SparkSession, sfDir: String, stageDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val tsIsLong = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+
+    val stage = new java.io.File(stageDir)
+    if (!new java.io.File(stage, "events-2.parquet").exists()) {
+      stage.mkdirs()
+      val raw = spark.read.parquet(path)
+      val maxTs = raw.agg(max(col("ts"))).head().get(0)
+      def sentinel(offsetHours: Int) = {
+        val bumped =
+          if (tsIsLong) raw.limit(1).withColumn("ts",
+            lit(maxTs.asInstanceOf[Long] + offsetHours.toLong * 3600L * 1000000000L))
+          else raw.limit(1).withColumn("ts",
+            col("ts") + expr(s"INTERVAL $offsetHours HOURS"))
+        bumped.withColumn("event_type", lit("__sentinel"))
+      }
+      def stageOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stage-part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(stage, name)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(mtime)
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      stageOne(raw, "events-0.parquet", t0)
+      stageOne(sentinel(10), "events-1.parquet", t0 + 20000)
+      stageOne(sentinel(20), "events-2.parquet", t0 + 40000)
+    }
+
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    val events =
+      if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else stream
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
   }
 
   /** Per-user session state for streaming sessionization. */

@@ -1,0 +1,54 @@
+package graft
+
+import graft.io.Layout
+import org.apache.spark.sql.functions._
+
+/** Physical-layout properties that carry the 100 TB posture: partition
+  * pruning reaches the scan, and bucketed joins run without a shuffle.
+  * These assert the PLAN, not just the answer — the same properties hold
+  * on a real cluster. */
+class LayoutSpec extends SparkSpec {
+
+  private def docs = graft.io.Tables.table(spark, sfDir, "documents")
+
+  test("partitioned write: filters on the partition column prune at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Layout.writePartitioned(docs, dir, Seq("lang"))
+    val read = spark.read.parquet(dir).where(col("lang") === "en")
+    val plan = read.queryExecution.executedPlan.toString
+    // pruning shows as a PartitionFilters entry on the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition filter in plan:\n$plan")
+    // and the answer matches the unpartitioned filter
+    assert(read.count() === docs.where(col("lang") === "en").count())
+  }
+
+  test("bucketed tables: equi-join on the bucket key runs with no shuffle") {
+    for (t <- Seq("graft_docs_a", "graft_docs_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
+    Layout.writeBucketed(docs.select("doc_id", "lang"), "graft_docs_a", "doc_id", 4)
+    Layout.writeBucketed(docs.select("doc_id", "source"), "graft_docs_b", "doc_id", 4)
+    // at test scale the planner would rather broadcast (also shuffle-free);
+    // disable it to surface the bucketed sort-merge path a big-table join
+    // would take — the property under test is NO ShuffleExchange
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_docs_a")
+        .join(spark.table("graft_docs_b"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"join did not use bucketing:\n$plan")
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === docs.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+}

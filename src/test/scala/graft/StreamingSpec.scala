@@ -35,6 +35,17 @@ class StreamingSpec extends SparkSpec {
     assert(s.sameElements(b))
   }
 
+  test("parquet sink + checkpoint: exactly-once output, restart writes nothing new") {
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val first = Streams.windowAggAppendToParquet(spark, sfDir, work)
+    val batchCount = graft.io.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count()
+    assert(first.count() === batchCount)
+    // restart with the same checkpoint: no new input -> output unchanged
+    val second = Streams.windowAggAppendToParquet(spark, sfDir, work)
+    assert(second.count() === batchCount)
+  }
+
   test("sessionizeAvailableNow (flatMapGroupsWithState) equals batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val streamed = Streams.sessionizeAvailableNow(spark, sfDir, gapMinutes = 30)
