@@ -214,6 +214,17 @@ object SparkEntry {
     Dedup.connectedComponents(pairs).orderBy("id")
   }
 
+  /** End-to-end dedup application: corpus minus non-keeper cluster
+    * members (pairs → components → anti-join). */
+  private def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.5, maxDf = Some(10L))
+    Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)
       .orderBy("a_id", "b_id")
@@ -402,6 +413,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_apply" -> (dedupApply _),
     "infer_render" -> (inferRender _),
     "infer_echo" -> (inferEcho _),
     "infer_structured" -> (inferStructured _),
@@ -733,6 +745,36 @@ object SparkEntry {
         |  UNION
         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
         |SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u ORDER BY id""".stripMargin,
+    // dedup applied = corpus minus non-keeper cluster members, same
+    // recursive-CTE closure as dedup_clusters.
+    "dedup_apply" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shl
+        |  FROM norm),
+        |ex AS (SELECT id, len(shl) AS sz, unnest(shl) AS shingle FROM sh),
+        |exf AS (
+        |  SELECT * FROM ex WHERE shingle NOT IN (
+        |    SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > 10)),
+        |prs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, any_value(a.sz) AS a_size, any_value(b.sz) AS b_size, count(*) AS shared
+        |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |jac AS (
+        |  SELECT a_id, b_id FROM prs
+        |  WHERE CAST(shared AS DOUBLE) / (a_size + b_size - shared) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM jac UNION SELECT b_id, a_id FROM jac),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)
+        |ORDER BY doc_id""".stripMargin,
     // elo oracle: the ballot construction and the smoothed win/loss/match
     // accounting are recomputed in SQL from the documents table; the five
     // elo values are a literal derived at the driver's verify scale

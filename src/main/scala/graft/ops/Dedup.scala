@@ -234,6 +234,20 @@ object Dedup {
     labels
   }
 
+  /** Apply dedup decisions: drop every document that belongs to a near-dup
+    * cluster but is not its keeper (the min-id member). The complete
+    * pipeline is pairs → [[connectedComponents]] → this anti-join — one
+    * broadcast-able frame of non-keepers against the corpus. */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val nonKeepers = connectedComponents(pairs)
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(nonKeepers), Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs: all (a, b) with cosine >= minCos.
     *
     * Exact all-pairs formulation for oracle checking; at scale, swap the
