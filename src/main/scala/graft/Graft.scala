@@ -59,7 +59,12 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
     * dryRun returns the cost estimate frame instead of running.
     * outputSchema is the reference's `output_schema`/json_schema analog:
     * when set, the structured output is unpacked against that schema with
-    * no data probe (and it wins over unpackJson's inferred-schema path). */
+    * no data probe (and it wins over unpackJson's inferred-schema path).
+    * samplingParams mirrors the reference's sampling_params dict: keys are
+    * validated against the backend-supported set; the deterministic local
+    * models are sampling-independent, so validated params are accepted and
+    * recorded but do not change output (a remote backend consumes them in
+    * Model.generate). */
   def infer(
       df: DataFrame,
       model: Model,
@@ -70,7 +75,15 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
       unpackJson: Boolean = false,
       dryRun: Boolean = false,
       randomSeedPerInput: Boolean = false,
-      outputSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      outputSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      samplingParams: Map[String, Double] = Map.empty): DataFrame = {
+    val knownSamplingKeys = Set(
+      "temperature", "top_p", "top_k", "max_tokens", "seed",
+      "frequency_penalty", "presence_penalty", "repetition_penalty")
+    val unknown = samplingParams.keySet -- knownSamplingKeys
+    require(unknown.isEmpty,
+      s"Unsupported sampling_params: ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(supported: ${knownSamplingKeys.toSeq.sorted.mkString(", ")})")
     if (dryRun) return Infer.estimateCost(df, model, column, truncateRows)
     val inferred = Infer.infer(df, model, column, outputColumn, systemPrompt,
       truncateRows, randomSeedPerInput)

@@ -115,6 +115,18 @@ class ReferenceParitySpec extends SparkSpec {
     assert(byLabel("opt_x") > byLabel("opt_y"))
   }
 
+  test("infer validates sampling_params keys against the supported set") {
+    val g = Graft(spark)
+    val df = Seq("hello").toDF("text")
+    // known keys accepted (deterministic local models are sampling-independent)
+    val out = g.infer(df, EchoModel(), Seq("text"),
+      samplingParams = Map("temperature" -> 0.7, "top_p" -> 0.9))
+    assert(out.count() === 1)
+    val ex = intercept[IllegalArgumentException](
+      g.infer(df, EchoModel(), Seq("text"), samplingParams = Map("tempurature" -> 1.0)))
+    assert(ex.getMessage.contains("tempurature"))
+  }
+
   test("registerFunction: custom model addressable by name") {
     val g = Graft(spark)
     g.registerFunction("shout", TemplateModel("LOUD: "))
