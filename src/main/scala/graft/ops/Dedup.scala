@@ -208,8 +208,12 @@ object Dedup {
       aCol: String = "a_id",
       bCol: String = "b_id",
       maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — every iteration (and its
+    // convergence check) reuses it instead of recomputing the upstream
+    // candidate-generation pipeline per step
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
     var iter = 0
