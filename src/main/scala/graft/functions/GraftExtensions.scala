@@ -63,7 +63,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(v: Int, _) => v.toLong
           case other => throw new IllegalArgumentException(
             s"hyperplane_bucket: argument 3 must be an integer literal, got $other")
-        }) }))
+        }) }),
+    (FunctionIdentifier("bucket_pairs_cos"),
+      info("bucket_pairs_cos", "bucket_pairs_cos(items, minCos) - id pairs in a bucket with cosine >= minCos"),
+      (args: Seq[Expression]) => { val a = arity("bucket_pairs_cos", 2)(args); BucketPairsCosExpr(a(0),
+        a(1) match {
+          case Literal(v: Double, _) => v
+          case Literal(v: Int, _) => v.toDouble
+          case Literal(v: Long, _) => v.toDouble
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"bucket_pairs_cos: argument 2 must be a numeric literal, got $other")
+        }) }),
+    (FunctionIdentifier("posting_pairs"),
+      info("posting_pairs", "posting_pairs(items) - candidate pairs from a shingle posting list"),
+      (args: Seq[Expression]) => PostingPairsExpr(arity("posting_pairs", 1)(args)(0))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (id, inf, builder) => ext.injectFunction((id, inf, builder)) }

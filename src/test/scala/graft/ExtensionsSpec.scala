@@ -30,6 +30,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-9)
   }
 
+  test("SQL surface: bucket_pairs_cos and posting_pairs over grouped structs") {
+    graft.io.Tables.embeddings(spark, sfDir).createOrReplaceTempView("ext_emb2")
+    // every bucket of identical vectors pairs up at cosine 1
+    val n = spark.sql(
+      """SELECT explode(bucket_pairs_cos(collect_list(struct(vec_id, embedding)), 0.99)) AS p
+        |FROM (SELECT vec_id, embedding FROM ext_emb2 WHERE vec_id < 2)""".stripMargin).count()
+    assert(n >= 0) // callable; pair count depends on data
+    val pairs = spark.sql(
+      """SELECT explode(posting_pairs(array(struct(CAST(1 AS BIGINT) AS id, 5 AS sz),
+        |  struct(CAST(2 AS BIGINT) AS id, 7 AS sz)))) AS p""".stripMargin)
+      .select("p.a_id", "p.b_id", "p.a_size", "p.b_size").collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L)
+    assert(pairs(0).getInt(2) === 5 && pairs(0).getInt(3) === 7)
+  }
+
   test("SQL surface: non-literal n rejected with a named error") {
     Seq((1L, "a b c")).toDF("id", "text").createOrReplaceTempView("ext_docs2")
     val e = intercept[Exception](
