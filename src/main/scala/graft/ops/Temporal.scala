@@ -20,34 +20,65 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** For each left row: the latest right row with the same key and
-    * rightTime <= leftTime. Right payload columns come back null when no
-    * prior right row exists (ASOF LEFT JOIN semantics). */
+  /** For each left row: the nearest right row with the same key in the
+    * given direction ("backward": latest rightTime <= leftTime, the ASOF
+    * default; "forward": earliest rightTime >= leftTime), optionally
+    * bounded by `toleranceSec` (pandas merge_asof semantics: a match
+    * farther than the tolerance comes back null). Right payload columns
+    * come back null when no match exists (ASOF LEFT JOIN semantics). */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       leftTime: String,
       rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String],
+      direction: String = "backward",
+      toleranceSec: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got $direction")
+    val backward = direction == "backward"
     val lCols = left.columns
-    // union schema: all left columns + right payload (renamed asof_*) + tags
+    // union schema: all left columns + right payload (renamed asof_*) + tags.
+    // Tie ordering on equal timestamps makes the match inclusive: backward
+    // needs the right row to sort BEFORE the left row, forward AFTER.
     val l = left
       .withColumn("__t", col(leftTime))
-      .withColumn("__src", lit(1))
+      .withColumn("__src", lit(if (backward) 1 else 0))
     val lPadded = payload.foldLeft(l)((d, p) => d.withColumn(s"asof_$p", lit(null).cast(right.schema(p).dataType)))
+      .withColumn("__asof_t", lit(null).cast(right.schema(rightTime).dataType))
     val r0 = right.select((Seq(col(key), col(rightTime).as("__t")) ++ payload.map(p => col(p).as(s"asof_$p"))): _*)
-      .withColumn("__src", lit(0))
+      .withColumn("__src", lit(if (backward) 0 else 1))
+      .withColumn("__asof_t", col("__t"))
     val rPadded = lCols.filterNot(c => c == key).foldLeft(r0)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = lPadded.unionByName(rPadded.select(lPadded.columns.map(col): _*))
-    // right rows sort before left rows on timestamp ties -> inclusive match
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__src"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (d, p) =>
-      d.withColumn(s"asof_$p", last(col(s"asof_$p"), ignoreNulls = true).over(w))
+    val w0 = Window.partitionBy(key).orderBy(col("__t"), col("__src"))
+    val w =
+      if (backward) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carryCols = payload.map(p => s"asof_$p") :+ "__asof_t"
+    val carried = carryCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(c,
+        if (backward) last(col(c), ignoreNulls = true).over(w)
+        else first(col(c), ignoreNulls = true).over(w))
     }
-    carried.where(col("__src") === 1).drop("__t", "__src")
+    val leftSrc = if (backward) 1 else 0
+    val matchedOnly = carried.where(col("__src") === leftSrc)
+    // tolerance: null out matches farther than the bound (signed gap is
+    // non-negative in the match direction by construction)
+    val bounded = toleranceSec match {
+      case None => matchedOnly
+      case Some(tol) =>
+        val gap =
+          if (backward) unix_micros(col("__t")) - unix_micros(col("__asof_t"))
+          else unix_micros(col("__asof_t")) - unix_micros(col("__t"))
+        val keep = col("__asof_t").isNotNull && gap <= tol * 1000000L
+        payload.foldLeft(matchedOnly) { (d, p) =>
+          d.withColumn(s"asof_$p", when(keep, col(s"asof_$p")))
+        }
+    }
+    bounded.drop("__t", "__src", "__asof_t")
   }
 
   /** Pairs (left, right) with same key and leftTime in

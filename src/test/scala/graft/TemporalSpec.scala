@@ -26,6 +26,37 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, Some("a")), (101L, Some("b")), (102L, None)))
   }
 
+  test("asofJoin forward: earliest at-or-after match, ties inclusive") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (1L, 101L, ts("2024-01-01 12:00:00")),
+      (2L, 102L, ts("2024-01-01 09:40:00"))
+    ).toDF("k", "id", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"), // tie at 10:00 -> inclusive
+      (1L, ts("2024-01-01 11:00:00"), "b"), // before 12:00 -> no forward match for 101
+      (2L, ts("2024-01-01 09:30:00"), "c")  // before left -> no match
+    ).toDF("k", "t", "v")
+    val out = Temporal.asofJoin(left, right, "k", "t", "t", Seq("v"), direction = "forward")
+      .select("id", "asof_v").orderBy("id")
+      .as[(Long, Option[String])].collect()
+    assert(out.toSeq === Seq((100L, Some("a")), (101L, None), (102L, None)))
+  }
+
+  test("asofJoin tolerance: matches beyond the bound come back null (merge_asof semantics)") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // match 30 min old -> within 1h
+      (1L, 101L, ts("2024-01-01 13:00:00"))  // match 2h old -> nulled
+    ).toDF("k", "id", "t")
+    val right = Seq((1L, ts("2024-01-01 09:30:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b")).toDF("k", "t", "v")
+    val out = Temporal.asofJoin(left, right, "k", "t", "t", Seq("v"),
+        toleranceSec = Some(3600L))
+      .select("id", "asof_v").orderBy("id")
+      .as[(Long, Option[String])].collect()
+    assert(out.toSeq === Seq((100L, Some("a")), (101L, None)))
+  }
+
   test("rangeJoinBinned equals the naive inequality join on sf0.001 events") {
     val events = graft.io.Tables.events(spark, sfDir)
     val clicks = events.filter(col("event_type") === "click")
