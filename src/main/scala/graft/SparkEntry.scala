@@ -177,6 +177,13 @@ object SparkEntry {
     Corpus.packSequences(t(s, dir, "documents"), "doc_id", "text", "source", 2048)
       .orderBy("source", "doc_id")
 
+  /** Deterministic per-language cap at 75 docs: downsamples the
+    * overrepresented language (en) while smaller ones pass through. */
+  private def corpusCap(s: SparkSession, dir: String): DataFrame =
+    Corpus.capPerStratum(t(s, dir, "documents"), "lang", "doc_id", maxRows = 75)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- §2.3 dedup
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -410,6 +417,7 @@ object SparkEntry {
     "corpus_stats" -> (corpusStats _),
     "corpus_sample" -> (corpusSample _),
     "corpus_pack" -> (corpusPack _),
+    "corpus_cap" -> (corpusCap _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
@@ -745,6 +753,13 @@ object SparkEntry {
         |  UNION
         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
         |SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u ORDER BY id""".stripMargin,
+    "corpus_cap" ->
+      """WITH rk AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents)
+        |SELECT doc_id, lang FROM rk WHERE r <= 75 ORDER BY doc_id""".stripMargin,
     // dedup applied = corpus minus non-keeper cluster members, same
     // recursive-CTE closure as dedup_clusters.
     "dedup_apply" ->

@@ -40,6 +40,26 @@ object Corpus {
   def sampleBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
 
+  /** Cap each stratum at `maxRows` documents — the "downsample
+    * overrepresented sources" step. Selection is by md5-hash order within
+    * the stratum, so which rows survive is deterministic, engine-
+    * reproducible, and unbiased by the physical row order. One window per
+    * stratum. */
+  def capPerStratum(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      maxRows: Int): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(sampleHash(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= maxRows)
+      .drop("__rk")
+  }
+
+  /** Full md5 hex of an id — the deterministic sort key behind
+    * [[capPerStratum]] (and the prefix behind [[sampleBucket]]). */
+  def sampleHash(id: Column): Column = md5(id.cast("string"))
+
   /** Pack documents into training sequences by cumulative token budget:
     * within each stratum (ordered by id), a doc joins sequence
     * floor(tokens_before / maxTokensPerSeq). One window per stratum —

@@ -30,6 +30,20 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.deterministicSample(docs, "doc_id", 100).count() === docs.count())
   }
 
+  test("capPerStratum: every stratum capped, selection stable across layouts") {
+    val capped = Corpus.capPerStratum(docs, "source", "doc_id", 10)
+    val sizes = capped.groupBy("source").count().collect()
+    assert(sizes.forall(_.getLong(1) <= 10))
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.capPerStratum(docs.repartition(5), "source", "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // strata smaller than the cap keep everything
+    val total = docs.groupBy("source").count().collect()
+      .map(r => math.min(r.getLong(1), 10L)).sum
+    assert(a.size.toLong === total)
+  }
+
   test("packSequences: per-stratum token budget respected at the bin boundaries") {
     val packed = Corpus.packSequences(docs, "doc_id", "text", "source", 500)
     // tokens before a doc's bin = seq_id * budget <= cumulative tokens so far
