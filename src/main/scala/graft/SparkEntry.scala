@@ -391,6 +391,12 @@ object SparkEntry {
     graft.streaming.Streams.windowAggAppendAvailableNow(s, dir)
       .orderBy("window_start", "event_type")
 
+  /** Streaming exact dedup — per-content-key state; single-batch
+    * AvailableNow run equals the batch dedup, so it shares that oracle. */
+  private def streamDedupExact(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.dedupExactAvailableNow(s, dir)
+      .orderBy("content_key")
+
   /** Streaming sessionization (flatMapGroupsWithState) — same semantics as
     * the batch q_sessionize, so it shares that oracle's shape. */
   private def streamSessionize(s: SparkSession, dir: String): DataFrame =
@@ -444,7 +450,8 @@ object SparkEntry {
     "multimodal_meta" -> (multimodalMeta _),
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_window_agg_append" -> (streamWindowAggAppend _),
-    "stream_sessionize" -> (streamSessionize _)
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_dedup_exact" -> (streamDedupExact _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -676,6 +683,10 @@ object SparkEntry {
         |  FROM votes)
         |SELECT qid AS query_id, n_label AS pred_label, votes
         |FROM best WHERE rk = 1 ORDER BY query_id""".stripMargin,
+    "stream_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key,
+        |  min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
         |x AS (

@@ -162,6 +162,55 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Per-content-key dedup state for streaming exact dedup. */
+  case class DedupState(keeperId: Long, nCopies: Long)
+  case class DedupDecision(content_key: String, keeper_id: Long, n_copies: Long)
+
+  /** Streaming exact dedup — continuous-ingestion dedup: documents stream
+    * in, state is one (keeper, count) record per content fingerprint, and
+    * each key's current decision is emitted per batch. Keeper is the min
+    * doc id seen so far (deterministic regardless of arrival order inside
+    * a batch). State is O(distinct contents), partitioned by fingerprint
+    * across executors — the same key space the batch groupBy shuffles on.
+    * Under AvailableNow on a single input file this emits exactly the
+    * batch dedup answer. */
+  def dedupExactAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$sfDir/documents.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val keyed = raw.select(
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("content_key"),
+      col("doc_id").cast("long").as("doc_id"))
+
+    val decisions = keyed
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DedupState, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[DedupState]) =>
+          var st = state.getOption.getOrElse(DedupState(Long.MaxValue, 0L))
+          rows.foreach { case (_, id) =>
+            st = DedupState(math.min(st.keeperId, id), st.nCopies + 1)
+          }
+          state.update(st)
+          Iterator(DedupDecision(key, st.keeperId, st.nCopies))
+      }
+
+    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
+    val q = decisions.toDF().writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Per-user session state for streaming sessionization. */
   case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)

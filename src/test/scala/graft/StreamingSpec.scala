@@ -46,6 +46,16 @@ class StreamingSpec extends SparkSpec {
     assert(second.count() === batchCount)
   }
 
+  test("dedupExactAvailableNow equals batch exact dedup") {
+    val streamed = Streams.dedupExactAvailableNow(spark, sfDir)
+      .orderBy("content_key").collect()
+    val batch = graft.ops.Dedup.exact(
+        graft.io.Tables.table(spark, sfDir, "documents"), "text", "doc_id")
+      .orderBy("content_key").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
   test("sessionizeAvailableNow (flatMapGroupsWithState) equals batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val streamed = Streams.sessionizeAvailableNow(spark, sfDir, gapMinutes = 30)
