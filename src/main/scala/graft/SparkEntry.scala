@@ -209,8 +209,15 @@ object SparkEntry {
         n = 3, numHashes = 128, bands = 32, threshold = 0.5)
       .orderBy("a_id", "b_id")
 
+  /** Canonical (distinct-fingerprint) banding with the maxBucket=500
+    * hot-bucket valve: candidate cost per bucket is occupancy², counted
+    * over distinct fingerprints (a 10x template-heavy rehearsal measured
+    * 52M candidate rows with naive banding). At the driver's verify scale
+    * max occupancy is 26, so the cap is a no-op there and the all-pairs
+    * oracle applies unchanged. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+    Dedup.simhashPairsCanonical(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3,
+        maxBucket = Some(500L))
       .orderBy("a_id", "b_id")
 
   /** Duplicate clusters over the (capped) exact-Jaccard pair graph:

@@ -2,7 +2,7 @@ package graft
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate()
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()

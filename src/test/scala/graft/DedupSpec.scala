@@ -70,6 +70,19 @@ class DedupSpec extends SparkSpec {
       s"recall ${(exact & lsh).size}/${exact.size}")
   }
 
+  test("simhashPairsCanonical equals naive simhashPairs (incl. exact-duplicate groups)") {
+    val docs = graft.io.Tables.table(spark, sfDir, "documents")
+    // add exact duplicates so fingerprint groups have >1 member
+    val dups = docs.limit(5).withColumn("doc_id", col("doc_id") + 1000000L)
+    val corpus = docs.unionByName(dups)
+    val naive = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val canonical = Dedup.simhashPairsCanonical(corpus, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(canonical === naive)
+    assert(canonical.nonEmpty) // the planted duplicates guarantee pairs
+  }
+
   test("connectedComponents: multi-hop chains collapse to the min id (multiple iterations)") {
     // chain 1-2-3-4-5 (needs propagation over 4 hops), plus clique {10,11,12}
     // and isolated pair {20,21}
