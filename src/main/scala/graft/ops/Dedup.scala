@@ -130,11 +130,50 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
+    // Canonicalize identical normalized contents first — the exact-dedup-
+    // before-near-dup pipeline order every web-scale corpus needs (exact
+    // duplication runs 30-50% on crawls, and each exact copy multiplies
+    // every bucket it lands in). Near-dup work then runs on DISTINCT
+    // contents; same-content pairs are Jaccard-1 matches by definition
+    // (emitted directly, guarded on a non-empty shingle set to mirror the
+    // naive path, where shingle-less docs never become candidates).
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"),
+      TextAnalysis.fingerprint(col(textCol)).as("__ck"))
+    val groups = keyed.groupBy("__ck")
+      .agg(min(col("id")).as("rep_id"),
+        sort_array(collect_list(col("id"))).as("members"),
+        first(col("__text")).as("__text"))
+      .localCheckpoint(eager = true) // reused by reps, within, and expansion
+    val within = groups
+      .where(size(col("members")) >= 2 && size(shingles(col("__text"), n)) > 0)
+      .select(explode(gf.postingPairs(transform(col("members"),
+        m => struct(m.as("id"), lit(0).as("sz"))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    val reps = groups.select(col("rep_id").as("id"), col("__text"))
+    val repPairs = minhashVerifiedRepPairs(reps, n, numHashes, bands, threshold)
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("a_id"), col("members").as("a_members")), "a_id")
+      .join(groups.select(col("rep_id").as("b_id"), col("members").as("b_members")), "b_id")
+      .select(explode(col("a_members")).as("x"), col("b_members"))
+      .select(col("x"), explode(col("b_members")).as("y"))
+      .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
+    within.unionByName(cross)
+  }
+
+  /** Banding candidates + exact-Jaccard verify over (id, __text) rows with
+    * distinct contents — the representative-level core of
+    * [[minhashLshPairsVerified]]. */
+  private def minhashVerifiedRepPairs(
+      reps: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      gf.minhashSig(col(textCol), n, numHashes).as("sig"))
+    val sig = reps.select(
+      col("id"),
+      gf.minhashSig(col("__text"), n, numHashes).as("sig"))
     val banded = sig.select(
       col("id"),
       posexplode(array((0 until bands).map(bi =>
@@ -144,7 +183,7 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shl"))
+    val sh = reps.select(col("id"), shingles(col("__text"), n).as("shl"))
       .withColumn("sz", size(col("shl")))
     val withSets = candidates
       .join(sh.select(col("id").as("a_id"), col("shl").as("a_shl"), col("sz").as("a_sz")), "a_id")
@@ -358,7 +397,8 @@ object Dedup {
       vecCol: String,
       minCos: Double,
       bits: Int = 8,
-      tables: Int = 16): DataFrame = {
+      tables: Int = 16,
+      maxBucket: Option[Int] = None): DataFrame = {
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       posexplode(array((0 until tables).map(t =>
@@ -368,9 +408,17 @@ object Dedup {
     // runs inside a single kernel call per bucket: candidate pairs that
     // fail minCos are never materialized as rows (the bucket self-join
     // formulation shuffled every candidate — measured ~5x slower at sf0.1).
-    bucketed
+    // maxBucket is the degenerate-density valve: buckets denser than the
+    // cap are skipped in that table (a dense region usually recurs across
+    // tables; the principled fix for persistent density is more bits).
+    val grouped = bucketed
       .groupBy("table", "bucket")
       .agg(collect_list(struct(col("id"), col("vec"))).as("items"))
+    val bounded = maxBucket match {
+      case None => grouped
+      case Some(cap) => grouped.where(size(col("items")) <= cap)
+    }
+    bounded
       .select(explode(gf.bucketPairsCos(col("items"), minCos)).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
