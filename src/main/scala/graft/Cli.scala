@@ -68,7 +68,7 @@ object Cli {
       names.foreach(println)
     case "cache" :: "show" :: Nil =>
       // reference cli.py:379: contents + size of the job results cache
-      val dir = new java.io.File(sys.props.getOrElse("graft.jobs.dir", "target/graft/job-results"))
+      val dir = new java.io.File(graft.llm.Jobs.cacheDir)
       val entries = Option(dir.listFiles()).getOrElse(Array.empty)
       if (entries.isEmpty) println("Job results cache is empty.")
       else {
@@ -81,7 +81,7 @@ object Cli {
         println(f"total: ${entries.length} entries, $total bytes")
       }
     case "cache" :: "clear" :: Nil =>
-      val dir = new java.io.File(sys.props.getOrElse("graft.jobs.dir", "target/graft/job-results"))
+      val dir = new java.io.File(graft.llm.Jobs.cacheDir)
       Option(dir.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
       println("Job results cache cleared.")
     case "function" :: "run" :: name :: rest if rest.nonEmpty =>

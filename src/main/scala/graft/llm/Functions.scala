@@ -69,8 +69,12 @@ object Functions {
       case kc: KeywordClassifier =>
         val winner = {
           // classification is embedded in the structured JSON output;
-          // recompute it through the model's own column expression
-          val r = df.select(kc.classification(col("__prompt")).cast("string")).head()
+          // recompute it through the model's own column expression over the
+          // SAME truncated prompt infer used (an untruncated recompute
+          // could contradict the response when the only keyword sits past
+          // the context window)
+          val effective = Infer.truncateTokens(col("__prompt"), kc.contextWindow)
+          val r = df.select(kc.classification(effective).cast("string")).head()
           r.getString(0)
         }
         val others = (kc.classes :+ kc.fallback).filterNot(_ == winner)

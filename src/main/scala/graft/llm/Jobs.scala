@@ -23,7 +23,10 @@ object Jobs {
 
   private val counter = new AtomicLong(0)
   private val jobs = new ConcurrentHashMap[String, Job]()
-  private def cacheDir: String =
+
+  /** Resolved job-results cache directory — the single source of truth
+    * (the CLI cache commands operate on the same location). */
+  def cacheDir: String =
     sys.props.getOrElse("graft.jobs.dir", "target/graft/job-results")
 
   /** Submit: materialize `df` to the job cache. Synchronous (local mode);

@@ -13,11 +13,80 @@ import graft.functions.gf
   */
 object Dedup {
 
+  /** The pair kernels (postingPairs, bucketPairsCos, group expansion) read
+    * ids as 64-bit longs; a silently-mis-read string id would corrupt
+    * output, so integral id columns are enforced (and widened) up front. */
+  private[graft] def requireLongId(df: DataFrame, idCol: String): Unit =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => ()
+      case other => throw new IllegalArgumentException(
+        s"id column '$idCol' must be an integral type (read as long by the pair kernels), got $other")
+    }
+
   /** Exact dedup by normalized-content hash: one row per distinct content,
     * keeping the minimum id as the canonical representative. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_key"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  // ----- shared structure for the canonicalized near-dup paths -----
+
+  /** Group a corpus by a canonical key, one row per group:
+    * (rep_id = min member, sorted members, a representative payload). */
+  private def canonicalGroups(
+      df: DataFrame, idCol: String, keyCol: Column, payload: Column): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), payload.as("__payload"), keyCol.as("__ck"))
+      .groupBy("__ck")
+      .agg(min(col("id")).as("rep_id"),
+        sort_array(collect_list(col("id"))).as("members"),
+        first(col("__payload")).as("__payload"))
+      .localCheckpoint(eager = true) // reused by reps, within, and expansion
+
+  /** All member pairs inside each group (trivial matches by construction),
+    * restricted to groups passing `emitWhen`. */
+  private def withinGroupPairs(groups: DataFrame, emitWhen: Column): DataFrame =
+    groups
+      .where(size(col("members")) >= 2 && emitWhen)
+      .select(explode(gf.postingPairs(transform(col("members"),
+        m => struct(m.as("id"), lit(0).as("sz"))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+
+  /** Expand representative-level pairs to member-level (a_id, b_id) pairs
+    * through group membership, min-id first. */
+  private def expandGroupPairs(groups: DataFrame, repPairs: DataFrame): DataFrame =
+    repPairs
+      .join(groups.select(col("rep_id").as("a_id"), col("members").as("a_members")), "a_id")
+      .join(groups.select(col("rep_id").as("b_id"), col("members").as("b_members")), "b_id")
+      .select(explode(col("a_members")).as("x"), col("b_members"))
+      .select(col("x"), explode(col("b_members")).as("y"))
+      .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
+
+  /** Drop (block, value) buckets whose occupancy exceeds the cap — the
+    * hot-bucket valve shared by the banding paths. */
+  private def capHotBuckets(banded: DataFrame, maxBucket: Option[Long]): DataFrame =
+    maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        val hot = banded.groupBy("block", "blockval")
+          .agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") > cap)
+          .select("block", "blockval")
+        banded.join(broadcast(hot), Seq("block", "blockval"), "left_anti")
+    }
+
+  /** SimHash pigeonhole block explosion: (carry, block, blockval) rows. */
+  private def simhashBlocks(fp: DataFrame, carryCol: String, maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    val bitsPerBlock = 64 / blocks
+    fp.select(
+      col(carryCol), col("fp"),
+      posexplode(array((0 until blocks).map { i =>
+        val shifted = shiftrightunsigned(col("fp"), i * bitsPerBlock)
+        if (i == blocks - 1) shifted
+        else shifted.bitwiseAND(lit((1L << bitsPerBlock) - 1))
+      }: _*)).as(Seq("block", "blockval")))
+  }
 
   /** Word n-gram shingles of `text` (distinct, space-joined). One-pass
     * custom expression ([[graft.functions.WordShinglesExpr]]) — the
@@ -46,8 +115,9 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Option[Long] = None): DataFrame = {
+    requireLongId(df, idCol)
     val sh = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).cast("long").as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sh_size", size(col("sh")))
     val postings = sh
       .select(col("id"), col("sh_size"), explode(col("sh")).as("shingle"))
@@ -137,27 +207,13 @@ object Dedup {
     // contents; same-content pairs are Jaccard-1 matches by definition
     // (emitted directly, guarded on a non-empty shingle set to mirror the
     // naive path, where shingle-less docs never become candidates).
-    val keyed = df.select(col(idCol).as("id"), col(textCol).as("__text"),
-      TextAnalysis.fingerprint(col(textCol)).as("__ck"))
-    val groups = keyed.groupBy("__ck")
-      .agg(min(col("id")).as("rep_id"),
-        sort_array(collect_list(col("id"))).as("members"),
-        first(col("__text")).as("__text"))
-      .localCheckpoint(eager = true) // reused by reps, within, and expansion
-    val within = groups
-      .where(size(col("members")) >= 2 && size(shingles(col("__text"), n)) > 0)
-      .select(explode(gf.postingPairs(transform(col("members"),
-        m => struct(m.as("id"), lit(0).as("sz"))))).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-    val reps = groups.select(col("rep_id").as("id"), col("__text"))
+    requireLongId(df, idCol)
+    val groups = canonicalGroups(df, idCol,
+      TextAnalysis.fingerprint(col(textCol)), col(textCol))
+    val within = withinGroupPairs(groups, size(shingles(col("__payload"), n)) > 0)
+    val reps = groups.select(col("rep_id").as("id"), col("__payload").as("__text"))
     val repPairs = minhashVerifiedRepPairs(reps, n, numHashes, bands, threshold)
-    val cross = repPairs
-      .join(groups.select(col("rep_id").as("a_id"), col("members").as("a_members")), "a_id")
-      .join(groups.select(col("rep_id").as("b_id"), col("members").as("b_members")), "b_id")
-      .select(explode(col("a_members")).as("x"), col("b_members"))
-      .select(col("x"), explode(col("b_members")).as("y"))
-      .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
-    within.unionByName(cross)
+    within.unionByName(expandGroupPairs(groups, repPairs))
   }
 
   /** Banding candidates + exact-Jaccard verify over (id, __text) rows with
@@ -216,26 +272,9 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Option[Long] = None): DataFrame = {
-    val blocks = maxHamming + 1
-    val bitsPerBlock = 64 / blocks
-    val fp = df.select(col(idCol).as("id"), gf.simhash64(col(textCol)).as("fp"))
-    // block value: the i-th bit slice; last block keeps the remainder bits
-    val banded = fp.select(
-      col("id"), col("fp"),
-      posexplode(array((0 until blocks).map { i =>
-        val shifted = shiftrightunsigned(col("fp"), i * bitsPerBlock)
-        if (i == blocks - 1) shifted
-        else shifted.bitwiseAND(lit((1L << bitsPerBlock) - 1))
-      }: _*)).as(Seq("block", "blockval")))
-    val capped = maxBucket match {
-      case None => banded
-      case Some(cap) =>
-        val hot = banded.groupBy("block", "blockval")
-          .agg(count(lit(1)).as("__occ"))
-          .where(col("__occ") > cap)
-          .select("block", "blockval")
-        banded.join(broadcast(hot), Seq("block", "blockval"), "left_anti")
-    }
+    requireLongId(df, idCol)
+    val fp = df.select(col(idCol).cast("long").as("id"), gf.simhash64(col(textCol)).as("fp"))
+    val capped = capHotBuckets(simhashBlocks(fp, "id", maxHamming), maxBucket)
     val a = capped.select(col("block"), col("blockval"), col("id").as("a_id"), col("fp").as("a_fp"))
     val b = capped.select(col("block"), col("blockval"), col("id").as("b_id"), col("fp").as("b_fp"))
     a.join(b, Seq("block", "blockval"))
@@ -251,56 +290,34 @@ object Dedup {
     * occupancy (and the occupancy² candidate cost) is counted over
     * DISTINCT fingerprints; pairs then expand back through group
     * membership. Same-fingerprint pairs are hamming-0 matches by
-    * definition and are emitted directly. Output is identical to
-    * [[simhashPairs]] (measured 10x faster on a 10x duplicate-heavy
-    * rehearsal corpus). */
+    * definition and are emitted directly. With maxBucket = None the output
+    * is identical to [[simhashPairs]] (measured 10x faster on a 10x
+    * duplicate-heavy rehearsal corpus); with a cap the valve semantics
+    * intentionally differ — occupancy here counts distinct fingerprints,
+    * which is the robust definition (a million exact copies of one
+    * document should not evict their bucket). */
   def simhashPairsCanonical(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
       maxBucket: Option[Long] = None): DataFrame = {
-    val blocks = maxHamming + 1
-    val bitsPerBlock = 64 / blocks
-    val fp = df.select(col(idCol).as("id"), gf.simhash64(col(textCol)).as("fp"))
-    val groups = fp.groupBy("fp")
-      .agg(sort_array(collect_list(col("id"))).as("members"))
-      .localCheckpoint(eager = true) // reused by banding + both expansion joins
+    requireLongId(df, idCol)
+    val fp = df.select(col(idCol).cast("long").as("id"), gf.simhash64(col(textCol)).as("fp"))
+    val groups = canonicalGroups(fp, "id", col("fp"), col("fp"))
+      .withColumnRenamed("__payload", "fp")
     // within-group: every member pair is an exact-fingerprint (hamming 0) match
-    val within = groups
-      .where(size(col("members")) >= 2)
-      .select(explode(gf.postingPairs(transform(col("members"),
-        m => struct(m.as("id"), lit(0).as("sz"))))).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    val within = withinGroupPairs(groups, lit(true))
     // cross-group: band over DISTINCT fingerprints only
-    val banded = groups.select(
-      col("fp"),
-      posexplode(array((0 until blocks).map { i =>
-        val shifted = shiftrightunsigned(col("fp"), i * bitsPerBlock)
-        if (i == blocks - 1) shifted
-        else shifted.bitwiseAND(lit((1L << bitsPerBlock) - 1))
-      }: _*)).as(Seq("block", "blockval")))
-    val capped = maxBucket match {
-      case None => banded
-      case Some(cap) =>
-        val hot = banded.groupBy("block", "blockval")
-          .agg(count(lit(1)).as("__occ"))
-          .where(col("__occ") > cap)
-          .select("block", "blockval")
-        banded.join(broadcast(hot), Seq("block", "blockval"), "left_anti")
-    }
-    val fpPairs = capped.select(col("block"), col("blockval"), col("fp").as("a_fp"))
-      .join(capped.select(col("block"), col("blockval"), col("fp").as("b_fp")), Seq("block", "blockval"))
-      .where(col("a_fp") < col("b_fp"))
-      .dropDuplicates("a_fp", "b_fp")
+    val capped = capHotBuckets(simhashBlocks(groups, "rep_id", maxHamming), maxBucket)
+    val fpPairs = capped.select(col("block"), col("blockval"), col("rep_id").as("a_id"), col("fp").as("a_fp"))
+      .join(capped.select(col("block"), col("blockval"), col("rep_id").as("b_id"), col("fp").as("b_fp")),
+        Seq("block", "blockval"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
       .where(bit_count(col("a_fp").bitwiseXOR(col("b_fp"))) <= maxHamming)
-    val cross = fpPairs
-      .join(groups.select(col("fp").as("a_fp"), col("members").as("a_members")), "a_fp")
-      .join(groups.select(col("fp").as("b_fp"), col("members").as("b_members")), "b_fp")
-      .select(explode(col("a_members")).as("x"), col("b_members"))
-      .select(col("x"), explode(col("b_members")).as("y"))
-      .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
-    within.unionByName(cross)
+      .select(col("a_id"), col("b_id"))
+    within.unionByName(expandGroupPairs(groups, fpPairs))
   }
 
   /** Connected components over near-dup pairs — the step that turns a
@@ -350,6 +367,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter iterations " +
+        "(graph diameter exceeds the bound) — raise maxIter or use a " +
+        "large-star/small-star formulation for long-chain graphs")
     labels
   }
 
@@ -361,10 +382,13 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       idCol: String): DataFrame = {
+    // plain anti-join: the non-keeper set is proportional to the duplicate
+    // mass (30-50% of a crawl), far past any broadcast limit at scale —
+    // AQE still broadcasts it when it is actually small
     val nonKeepers = connectedComponents(pairs)
       .where(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(nonKeepers), Seq(idCol), "left_anti")
+    docs.join(nonKeepers, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-dup pairs: all (a, b) with cosine >= minCos.
@@ -378,8 +402,9 @@ object Dedup {
       idCol: String,
       vecCol: String,
       minCos: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    requireLongId(emb, idCol)
+    val a = emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("a_vec"))
+    val b = emb.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("b_vec"))
     a.join(b, col("a_id") < col("b_id"))
       .where(gf.cosine(col("a_vec"), col("b_vec")) >= minCos)
       .select(col("a_id"), col("b_id"))
@@ -399,8 +424,9 @@ object Dedup {
       bits: Int = 8,
       tables: Int = 16,
       maxBucket: Option[Int] = None): DataFrame = {
+    requireLongId(emb, idCol)
     val bucketed = emb.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
+      col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
       posexplode(array((0 until tables).map(t =>
         gf.hyperplaneBucket(col(vecCol), bits, seed = 0x9e3779b9L * (t + 1))): _*))
         .as(Seq("table", "bucket")))

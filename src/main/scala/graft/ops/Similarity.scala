@@ -31,6 +31,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    Dedup.requireLongId(corpus, idCol)
+    Dedup.requireLongId(queries, idCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
@@ -67,6 +69,8 @@ object Similarity {
       k: Int,
       bits: Int = 12,
       tables: Int = 8): DataFrame = {
+    Dedup.requireLongId(corpus, idCol)
+    Dedup.requireLongId(queries, idCol)
     def bucketed(df: DataFrame, id: String, vec: String) = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("table"), gf.hyperplaneBucket(col(vec), bits, seed = 0x9e3779b9L * (t + 1)).as("bucket"))): _*)
@@ -106,6 +110,8 @@ object Similarity {
       nprobe: Int = 4,
       sampleSize: Int = 10000,
       seed: Long = 42L): DataFrame = {
+    Dedup.requireLongId(corpus, idCol)
+    Dedup.requireLongId(queries, idCol)
     // --- train coarse quantizer on a bounded sample (driver-side Lloyd's;
     // centroids are nlist x dim doubles — tiny). Sampled as the sampleSize
     // smallest xxhash64(id) rows: a per-partition top-k + driver merge (no

@@ -42,43 +42,48 @@ object Temporal {
     // union schema: all left columns + right payload (renamed asof_*) + tags.
     // Tie ordering on equal timestamps makes the match inclusive: backward
     // needs the right row to sort BEFORE the left row, forward AFTER.
+    // The matched right ROW travels as one nullable struct wrapper, so the
+    // carried payload and the timestamp the tolerance checks always come
+    // from the SAME row — carrying payload columns individually with
+    // ignoreNulls would skip a nearer row whose payload happens to be null
+    // and break merge_asof semantics (which matches the nearest row, null
+    // payload and all).
+    val rowStructFields = payload.map(p => col(p).as(p)) :+ col(rightTime).as("__mt")
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__src", lit(if (backward) 1 else 0))
-    val lPadded = payload.foldLeft(l)((d, p) => d.withColumn(s"asof_$p", lit(null).cast(right.schema(p).dataType)))
-      .withColumn("__asof_t", lit(null).cast(right.schema(rightTime).dataType))
-    val r0 = right.select((Seq(col(key), col(rightTime).as("__t")) ++ payload.map(p => col(p).as(s"asof_$p"))): _*)
+      .withColumn("__asof_row",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)) :+
+            org.apache.spark.sql.types.StructField("__mt", right.schema(rightTime).dataType))))
+    val r0 = right.select(col(key), col(rightTime).as("__t"), struct(rowStructFields: _*).as("__asof_row"))
       .withColumn("__src", lit(if (backward) 0 else 1))
-      .withColumn("__asof_t", col("__t"))
     val rPadded = lCols.filterNot(c => c == key).foldLeft(r0)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lPadded.unionByName(rPadded.select(lPadded.columns.map(col): _*))
+    val unioned = l.unionByName(rPadded.select(l.columns.map(col): _*))
     val w0 = Window.partitionBy(key).orderBy(col("__t"), col("__src"))
     val w =
       if (backward) w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carryCols = payload.map(p => s"asof_$p") :+ "__asof_t"
-    val carried = carryCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c,
-        if (backward) last(col(c), ignoreNulls = true).over(w)
-        else first(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__asof_row",
+      if (backward) last(col("__asof_row"), ignoreNulls = true).over(w)
+      else first(col("__asof_row"), ignoreNulls = true).over(w))
     val leftSrc = if (backward) 1 else 0
     val matchedOnly = carried.where(col("__src") === leftSrc)
-    // tolerance: null out matches farther than the bound (signed gap is
+    // tolerance: drop matches farther than the bound (signed gap is
     // non-negative in the match direction by construction)
-    val bounded = toleranceSec match {
-      case None => matchedOnly
+    val keep = toleranceSec match {
+      case None => col("__asof_row").isNotNull
       case Some(tol) =>
         val gap =
-          if (backward) unix_micros(col("__t")) - unix_micros(col("__asof_t"))
-          else unix_micros(col("__asof_t")) - unix_micros(col("__t"))
-        val keep = col("__asof_t").isNotNull && gap <= tol * 1000000L
-        payload.foldLeft(matchedOnly) { (d, p) =>
-          d.withColumn(s"asof_$p", when(keep, col(s"asof_$p")))
-        }
+          if (backward) unix_micros(col("__t")) - unix_micros(col("__asof_row.__mt"))
+          else unix_micros(col("__asof_row.__mt")) - unix_micros(col("__t"))
+        col("__asof_row").isNotNull && gap <= tol * 1000000L
     }
-    bounded.drop("__t", "__src", "__asof_t")
+    val unpacked = payload.foldLeft(matchedOnly) { (d, p) =>
+      d.withColumn(s"asof_$p", when(keep, col(s"__asof_row.$p")))
+    }
+    unpacked.drop("__t", "__src", "__asof_row")
   }
 
   /** Pairs (left, right) with same key and leftTime in

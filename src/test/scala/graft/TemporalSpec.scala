@@ -57,6 +57,24 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq === Seq((100L, Some("a")), (101L, None)))
   }
 
+  test("asofJoin matches the nearest ROW even when its payload is null (merge_asof semantics)") {
+    val left = Seq((1L, 100L, ts("2024-01-01 10:00:00"))).toDF("k", "id", "t")
+    // nearest right row (9:50) has a null payload; an older row (9:00) has
+    // a value — merge_asof matches 9:50 and returns null
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some("a")),
+      (1L, ts("2024-01-01 09:50:00"), None: Option[String])).toDF("k", "t", "v")
+    val noTol = Temporal.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[String])].collect()
+    assert(noTol.toSeq === Seq((100L, None)))
+    // and the tolerance is measured against that same nearest row (10 min),
+    // not the older valued row (60 min)
+    val tol = Temporal.asofJoin(left, right, "k", "t", "t", Seq("v"),
+        toleranceSec = Some(1800L))
+      .select("id", "asof_v").as[(Long, Option[String])].collect()
+    assert(tol.toSeq === Seq((100L, None)))
+  }
+
   test("rangeJoinBinned equals the naive inequality join on sf0.001 events") {
     val events = graft.io.Tables.events(spark, sfDir)
     val clicks = events.filter(col("event_type") === "click")
