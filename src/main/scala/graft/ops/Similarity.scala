@@ -112,12 +112,95 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     Dedup.requireLongId(corpus, idCol)
     Dedup.requireLongId(queries, idCol)
-    // --- train coarse quantizer on a bounded sample (driver-side Lloyd's;
-    // centroids are nlist x dim doubles — tiny). Sampled as the sampleSize
-    // smallest xxhash64(id) rows: a per-partition top-k + driver merge (no
-    // full shuffle) whose result is independent of partition layout — the
-    // quantizer, and therefore every cell assignment, is deterministic
-    // across runs and executor counts. ---
+    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist, sampleSize, seed)
+    // cell assignment + probe lists run as codegen expressions carrying the
+    // tiny centroid table in the plan itself — no UDF boxing, no separate
+    // broadcast lifecycle
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", gf.nearestCell(col("c_vec"), centroids))
+    queryCells(c, queries, idCol, vecCol, centroids, k, nprobe)
+  }
+
+  /** Build a PERSISTENT IVF index — the "index once, query many" shape: the
+    * quantizer trains once, the corpus is written as a managed table
+    * bucketed BY CELL (so a query batch's cell equi-join reads co-located
+    * data with no corpus-side shuffle), and the centroids are stored next
+    * to it in `<table>_centroids`. */
+  def ivfBuildIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tableName: String,
+      nlist: Int = 16,
+      numBuckets: Int = 16,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): Unit = {
+    Dedup.requireLongId(corpus, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainQuantizer(corpus, idCol, vecCol, nlist, sampleSize, seed)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", gf.nearestCell(col("c_vec"), centroids))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .format("parquet")
+      .saveAsTable(tableName)
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_centroids")
+  }
+
+  /** Query a persistent IVF index built by [[ivfBuildIndex]]: loads the
+    * (tiny) centroid table, probes nprobe cells per query, and joins the
+    * pre-bucketed corpus on cell. */
+  def ivfQueryIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tableName: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    Dedup.requireLongId(queries, idCol)
+    val spark = queries.sparkSession
+    val centroids = spark.table(s"${tableName}_centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    queryCells(spark.table(tableName), queries, idCol, vecCol, centroids, k, nprobe)
+  }
+
+  /** Probe + score + rank against a (neighbor_id, c_vec, cell) corpus. */
+  private def queryCells(
+      corpusWithCells: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(gf.probeCells(col("q_vec"), centroids, nprobe)))
+    val scored = corpusWithCells.join(q, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  /** Train the coarse quantizer on a bounded sample (driver-side Lloyd's;
+    * centroids are nlist x dim doubles — tiny). Sampled as the sampleSize
+    * smallest xxhash64(id) rows: a per-partition top-k + driver merge (no
+    * full shuffle) whose result is independent of partition layout — the
+    * quantizer, and therefore every cell assignment, is deterministic
+    * across runs and executor counts. */
+  private def trainQuantizer(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      sampleSize: Int,
+      seed: Long): Array[Array[Double]] = {
     val sample = corpus
       .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h"))
@@ -144,18 +227,7 @@ object Similarity {
       }.toArray
       iter += 1
     }
-    // cell assignment + probe lists run as codegen expressions carrying the
-    // tiny centroid table in the plan itself — no UDF boxing, no separate
-    // broadcast lifecycle
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cell", gf.nearestCell(col("c_vec"), centroids))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(gf.probeCells(col("q_vec"), centroids, nprobe)))
-    val scored = c.join(q, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        gf.cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
-    rankTopK(scored, k)
+    centroids
   }
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {

@@ -80,6 +80,19 @@ class SimilaritySpec extends SparkSpec {
     assert(a === c)
   }
 
+  test("ivf persistent index: build once, query equals direct ivfTopK") {
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_idx")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_idx_centroids")
+    val queries = emb.where(col("vec_id") < 20)
+    Similarity.ivfBuildIndex(emb, "vec_id", "embedding", "graft_ivf_idx", nlist = 16)
+    val viaIndex = Similarity.ivfQueryIndex(queries, "vec_id", "embedding", "graft_ivf_idx",
+        k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex === direct)
+  }
+
   test("knnLabelLsh at full-recall params agrees with brute-force kNN on sf0.001") {
     val queries = emb.where(col("vec_id") < 20)
     val exact = Similarity.knnLabel(emb, queries, "vec_id", "embedding", "label", 10)
