@@ -183,6 +183,18 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
   def listJobs(): Seq[Jobs.Job] = Jobs.list()
   def awaitJob(id: String): Jobs.Status = Jobs.await(id)
 
+  /** Await a terminal state and return the results frame (reference
+    * await_job_completion, sutro/sdk.py:1643). Throws if the job did not
+    * succeed. */
+  def awaitJobCompletion(
+      id: String,
+      outputColumn: String = "inference_result",
+      unpackJson: Boolean = true): DataFrame = {
+    val status = Jobs.await(id)
+    require(status == Jobs.Succeeded, s"job $id finished as $status")
+    jobResults(id, outputColumn = outputColumn, unpackJson = unpackJson)
+  }
+
   /** Full get_job_results parity (sutro/sdk.py:1131): cached read, column
     * ordering (inputs / metadata / output / diagnostics), optional JSON
     * unpack (incl. reasoning nesting), optional join-back by id column. */

@@ -127,6 +127,14 @@ class ReferenceParitySpec extends SparkSpec {
     assert(ex.getMessage.contains("tempurature"))
   }
 
+  test("awaitJobCompletion returns the results frame (sdk.py:1643)") {
+    val g = Graft(spark)
+    val id = g.submitJob(Seq(("x", 1L)).toDF("text", "row_id"), Some("await-test"))
+    val res = g.awaitJobCompletion(id)
+    assert(res.count() === 1)
+    intercept[Exception](g.awaitJobCompletion("job-nonexistent"))
+  }
+
   test("registerFunction: custom model addressable by name") {
     val g = Graft(spark)
     g.registerFunction("shout", TemplateModel("LOUD: "))
