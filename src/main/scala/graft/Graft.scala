@@ -189,9 +189,13 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
   def awaitJobCompletion(
       id: String,
       outputColumn: String = "inference_result",
-      unpackJson: Boolean = true): DataFrame = {
-    val status = Jobs.await(id)
-    require(status == Jobs.Succeeded, s"job $id finished as $status")
+      unpackJson: Boolean = true,
+      pollMillis: Long = 100,
+      timeoutMillis: Long = 60000): DataFrame = {
+    val status = Jobs.await(id, pollMillis, timeoutMillis)
+    if (status != Jobs.Succeeded) throw new IllegalStateException(
+      if (status.isTerminal) s"job $id finished as $status"
+      else s"job $id did not reach a terminal state within ${timeoutMillis}ms (last status: $status)")
     jobResults(id, outputColumn = outputColumn, unpackJson = unpackJson)
   }
 

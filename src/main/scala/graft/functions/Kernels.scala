@@ -22,7 +22,10 @@ object Kernels {
   /** Lower-cased whitespace tokens (empty tokens dropped). Matches the
     * normalize-then-split semantics of TextAnalysis.normalize. */
   def tokenize(text: UTF8String): Array[String] = {
-    val s = text.toString.toLowerCase
+    // Locale.ROOT: Spark's lower() is locale-independent; a default-locale
+    // toLowerCase would break the tokenize==normalize equivalence the
+    // canonical dedup paths rely on (e.g. Turkish dotless-i JVMs)
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val raw = ws.split(s)
     // leading whitespace yields one leading empty token — drop it
     var n = 0
@@ -234,6 +237,15 @@ object Kernels {
   def postingPairs(items: ArrayData): ArrayData = {
     val n = items.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
+    // n*(n-1)/2 pairs materialize in ONE projection: overflow-guard with a
+    // clear error instead of a negative allocation or a silent task OOM.
+    // A posting/duplicate group this large means exact dedup should have
+    // collapsed it upstream (Dedup.exact), or a valve (maxDf/maxBucket)
+    // should have dropped the bucket.
+    val pairCount = n.toLong * (n - 1) / 2
+    if (pairCount > 100000000L) throw new IllegalArgumentException(
+      s"posting list of $n entries would emit $pairCount pairs in one kernel call; " +
+        "collapse exact duplicates first (Dedup.exact) or cap the bucket (maxDf/maxBucket)")
     val ids = new Array[Long](n)
     val szs = new Array[Int](n)
     var i = 0
@@ -243,7 +255,7 @@ object Kernels {
       szs(i) = row.getInt(1)
       i += 1
     }
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](pairCount.toInt)
     var w = 0
     var a = 0
     while (a < n) {

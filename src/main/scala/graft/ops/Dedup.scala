@@ -37,6 +37,10 @@ object Dedup {
   private def canonicalGroups(
       df: DataFrame, idCol: String, keyCol: Column, payload: Column): DataFrame =
     df.select(col(idCol).cast("long").as("id"), payload.as("__payload"), keyCol.as("__ck"))
+      // a null canonical key (null text -> null fingerprint) must NOT form
+      // a group: the naive paths emit no pairs for null inputs, and
+      // grouping nulls would mark unrelated null-text docs as duplicates
+      .where(col("__ck").isNotNull)
       .groupBy("__ck")
       .agg(min(col("id")).as("rep_id"),
         sort_array(collect_list(col("id"))).as("members"),

@@ -138,6 +138,19 @@ object Similarity {
     Dedup.requireLongId(corpus, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
+    // overwrite semantics across sessions: with the default in-memory
+    // catalog a previous JVM's table metadata is gone but its warehouse
+    // location persists, and saveAsTable refuses the orphan dir — drop
+    // both so rebuild is idempotent
+    Seq(tableName, s"${tableName}_centroids").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(warehouse, t))
+    }
     val centroids = trainQuantizer(corpus, idCol, vecCol, nlist, sampleSize, seed)
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", gf.nearestCell(col("c_vec"), centroids))

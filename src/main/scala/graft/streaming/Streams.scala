@@ -17,42 +17,56 @@ object Streams {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** File-source stream over one parquet table in an sf dir: batch-read
+    * schema (file streams require one), glob-filtered to the single file,
+    * with the TIMESTAMP(NANOS)-as-long legacy handling applied when the
+    * table carries a long `ts` (shared so every streaming entry point
+    * treats timestamps identically). */
+  private def streamTable(spark: SparkSession, sfDir: String, file: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/$file").schema
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", file)
+      .parquet(sfDir)
+    if (batchSchema.fieldNames.contains("ts") &&
+        batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Run a streaming frame to a uniquely-named memory sink under
+    * AvailableNow and return the materialized table. */
+  private def runToMemory(df: DataFrame, prefix: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"${prefix}_${counter.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Tumbling 1-hour window aggregation over the events stream: event count
     * and value sum per (window, event_type). Returns the materialized
     * result after the AvailableNow run completes. */
   def windowAggAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    // file stream source needs an explicit schema: take the batch-read one
-    // (ts arrives as long nanos under spark.sql.legacy.parquet.nanosAsLong).
-    // The source path must be a directory — point it at the sf dir and
-    // select just the events file via pathGlobFilter.
-    val batchSchema = spark.read.parquet(path).schema
-    val raw = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val events = {
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
-    }
-    val agg = events
+    val agg = windowAgg(streamTable(spark, sfDir, "events.parquet"))
+    runToMemory(agg, "graft_stream_agg", "complete")
+  }
+
+  /** The shared windowed aggregation: 1-hour tumbling windows per
+    * event_type with a 1-hour watermark. */
+  private def windowAgg(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
-    val name = s"graft_stream_agg_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
 
   /** Append-mode tumbling window aggregation — the PRODUCTION streaming
     * path: the watermark actually finalizes and EVICTS each window once
@@ -73,15 +87,8 @@ object Streams {
   def windowAggAppendAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-append").toString
     val agg = stagedAppendAgg(spark, sfDir, stageDir)
-    val name = s"graft_stream_agg_append_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).where(col("event_type") =!= "__sentinel")
+    runToMemory(agg, "graft_stream_agg_append", "append")
+      .where(col("event_type") =!= "__sentinel")
   }
 
   /** Append-mode windowed agg to a PARQUET sink with checkpointing — the
@@ -153,13 +160,7 @@ object Streams {
     val events =
       if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else stream
-    events
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+    windowAgg(events)
   }
 
   /** Per-content-key dedup state for streaming exact dedup. */
@@ -176,12 +177,7 @@ object Streams {
     * batch dedup answer. */
   def dedupExactAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val path = s"$sfDir/documents.parquet"
-    val batchSchema = spark.read.parquet(path).schema
-    val raw = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    val raw = streamTable(spark, sfDir, "documents.parquet")
     val keyed = raw.select(
       graft.ops.TextAnalysis.fingerprint(col("text")).as("content_key"),
       col("doc_id").cast("long").as("doc_id"))
@@ -199,16 +195,7 @@ object Streams {
           state.update(st)
           Iterator(DedupDecision(key, st.keeperId, st.nCopies))
       }
-
-    val name = s"graft_stream_dedup_${counter.incrementAndGet()}"
-    val q = decisions.toDF().writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(decisions.toDF(), "graft_stream_dedup", "append")
   }
 
   /** Per-user session state for streaming sessionization. */
@@ -225,17 +212,7 @@ object Streams {
     */
   def sessionizeAvailableNow(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    val path = s"$sfDir/events.parquet"
-    val batchSchema = spark.read.parquet(path).schema
-    val raw = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    val events = {
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
-    }
+    val events = streamTable(spark, sfDir, "events.parquet")
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
 
     val updates = events
@@ -263,15 +240,6 @@ object Streams {
           state.update(st)
           Iterator(SessionUpdate(userId, st.nSessions, st.nEvents))
       }
-
-    val name = s"graft_stream_sessions_${counter.incrementAndGet()}"
-    val q = updates.toDF().writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(updates.toDF(), "graft_stream_sessions", "append")
   }
 }
