@@ -83,6 +83,15 @@ class DedupSpec extends SparkSpec {
     assert(canonical.nonEmpty) // the planted duplicates guarantee pairs
   }
 
+  test("null texts never pair: canonical paths match the naive paths' empty output") {
+    val docs = Seq((1L, "some real document text here"), (2L, null), (3L, null), (4L, null))
+      .toDF("doc_id", "text")
+    // naive simhash emits nothing for nulls; canonical must not invent a null group
+    assert(Dedup.simhashPairs(docs, "text", "doc_id").count() === 0L)
+    assert(Dedup.simhashPairsCanonical(docs, "text", "doc_id").count() === 0L)
+    assert(Dedup.minhashLshPairsVerified(docs, "text", "doc_id").count() === 0L)
+  }
+
   test("connectedComponents: multi-hop chains collapse to the min id (multiple iterations)") {
     // chain 1-2-3-4-5 (needs propagation over 4 hops), plus clique {10,11,12}
     // and isolated pair {20,21}
