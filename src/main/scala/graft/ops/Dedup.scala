@@ -395,6 +395,23 @@ object Dedup {
     docs.join(nonKeepers, Seq(idCol), "left_anti")
   }
 
+  /** One-call near-dup pipeline — the composition every training corpus
+    * runs, in the order that scales: MinHash-LSH candidates verified by
+    * exact Jaccard (exact duplicates are canonicalized inside), connected
+    * components over the pair graph, then drop every non-keeper. Returns
+    * the deduplicated corpus with original columns intact. */
+  def nearDupPipeline(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairsVerified(df, textCol, idCol, n, numHashes, bands, threshold)
+    dropNearDuplicates(df, pairs, idCol)
+  }
+
   /** Embedding-cosine near-dup pairs: all (a, b) with cosine >= minCos.
     *
     * Exact all-pairs formulation for oracle checking; at scale, swap the

@@ -83,6 +83,23 @@ class DedupSpec extends SparkSpec {
     assert(canonical.nonEmpty) // the planted duplicates guarantee pairs
   }
 
+  test("nearDupPipeline: replicated corpus collapses to one keeper per content cluster") {
+    val docs = graft.io.Tables.table(spark, sfDir, "documents")
+    // 3 exact replicas of every doc — the pipeline must keep exactly the
+    // min-id copy of each near-dup cluster
+    val replicated = (0 until 3).map(r =>
+      docs.withColumn("doc_id", col("doc_id") + lit(r * 1000000L))).reduce(_ unionByName _)
+    val deduped = Dedup.nearDupPipeline(replicated, "text", "doc_id")
+    val direct = Dedup.dropNearDuplicates(replicated,
+      Dedup.minhashLshPairsVerified(replicated, "text", "doc_id"), "doc_id")
+    assert(deduped.count() === direct.count())
+    // every surviving doc is an original (min-id replica), and at most one
+    // per content survives
+    val ids = deduped.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.forall(_ < 1000000L))
+    assert(deduped.count() <= docs.count())
+  }
+
   test("null texts never pair: canonical paths match the naive paths' empty output") {
     val docs = Seq((1L, "some real document text here"), (2L, null), (3L, null), (4L, null))
       .toDF("doc_id", "text")
