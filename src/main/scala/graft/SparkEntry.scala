@@ -239,6 +239,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Decontamination demo: every 10th doc plays the held-out eval set; the
+    * rest is the training corpus, cleaned of near-matches against it. */
+  private def dedupDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    Dedup.decontaminate(corpus, evalSet, "text", "doc_id")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)
       .orderBy("a_id", "b_id")
@@ -435,6 +446,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
+    "dedup_decontaminate" -> (dedupDecontaminate _),
     "infer_render" -> (inferRender _),
     "infer_echo" -> (inferEcho _),
     "infer_structured" -> (inferStructured _),
@@ -744,6 +756,31 @@ object SparkEntry {
         |    PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS seq_id
         |FROM documents ORDER BY source, doc_id""".stripMargin,
+    // decontamination = corpus docs with no exact-Jaccard>=0.5 match to
+    // any eval-slice doc (banding recall is 1 here, so exact SQL applies)
+    "dedup_decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shl
+        |  FROM norm),
+        |ex AS (SELECT id, len(shl) AS sz, unnest(shl) AS shingle FROM sh),
+        |prs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, any_value(a.sz) AS a_size, any_value(b.sz) AS b_size, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |jac AS (
+        |  SELECT a_id, b_id FROM prs
+        |  WHERE CAST(shared AS DOUBLE) / (a_size + b_size - shared) >= 0.5)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id % 10 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM jac j
+        |    WHERE (j.a_id = d.doc_id AND j.b_id % 10 = 0)
+        |       OR (j.b_id = d.doc_id AND j.a_id % 10 = 0))
+        |ORDER BY d.doc_id""".stripMargin,
     // clusters = transitive closure over the same capped-Jaccard pair
     // graph, as a recursive CTE; comp = min reachable id (the keeper).
     "dedup_clusters" ->

@@ -395,6 +395,44 @@ object Dedup {
     docs.join(nonKeepers, Seq(idCol), "left_anti")
   }
 
+  /** Decontamination: drop every corpus document that exactly or nearly
+    * matches a document in a held-out evaluation set — the step that keeps
+    * benchmark answers out of training data. Runs the same canonicalized
+    * MinHash-LSH + exact-Jaccard machinery over the tagged union of the
+    * two sets (ids are parity-remapped into disjoint spaces), then
+    * anti-joins the contaminated corpus ids. Eval-set size is typically
+    * tiny next to the corpus, so the candidate space is bounded by the
+    * eval docs' buckets. */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    requireLongId(corpus, idCol)
+    requireLongId(evalSet, idCol)
+    // disjoint id spaces: corpus -> 2*id, eval -> 2*id+1 (sign preserved)
+    val taggedCorpus = corpus.select(
+      (col(idCol).cast("long") * 2).as("__uid"), col(textCol).as("__text"))
+    val taggedEval = evalSet.select(
+      (col(idCol).cast("long") * 2 + 1).as("__uid"), col(textCol).as("__text"))
+    val pairs = minhashLshPairsVerified(
+      taggedCorpus.unionByName(taggedEval), "__text", "__uid",
+      n, numHashes, bands, threshold)
+    // a contaminated corpus id appears in any pair whose other side is eval
+    val contaminated = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("x"),
+        (col("a_id") + col("b_id")).as("s"))
+      // one even + one odd id -> odd sum -> a corpus-eval pair
+      .where(pmod(col("s"), lit(2)) === 1 && pmod(col("x"), lit(2)) === 0)
+      .select((col("x") / 2).cast("long").as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** One-call near-dup pipeline — the composition every training corpus
     * runs, in the order that scales: MinHash-LSH candidates verified by
     * exact Jaccard (exact duplicates are canonicalized inside), connected

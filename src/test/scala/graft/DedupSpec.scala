@@ -100,6 +100,21 @@ class DedupSpec extends SparkSpec {
     assert(deduped.count() <= docs.count())
   }
 
+  test("decontaminate drops exact and near eval matches, keeps everything else") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely different document about streaming joins"),
+      (3L, "completely unrelated text concerning window functions")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog today"),        // exact match of 1
+      (8L, "an entirely different document about streaming joins now")  // near match of 2
+    ).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(corpus, evalSet, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(3L))
+  }
+
   test("null texts never pair: canonical paths match the naive paths' empty output") {
     val docs = Seq((1L, "some real document text here"), (2L, null), (3L, null), (4L, null))
       .toDF("doc_id", "text")
