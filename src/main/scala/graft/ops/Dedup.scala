@@ -397,12 +397,19 @@ object Dedup {
 
   /** Decontamination: drop every corpus document that exactly or nearly
     * matches a document in a held-out evaluation set — the step that keeps
-    * benchmark answers out of training data. Runs the same canonicalized
-    * MinHash-LSH + exact-Jaccard machinery over the tagged union of the
-    * two sets (ids are parity-remapped into disjoint spaces), then
-    * anti-joins the contaminated corpus ids. Eval-set size is typically
-    * tiny next to the corpus, so the candidate space is bounded by the
-    * eval docs' buckets. */
+    * benchmark answers out of training data.
+    *
+    * ASYMMETRIC by design: an eval set is thousands of docs next to a
+    * 100 TB corpus, so the eval side's banded buckets and shingle sets are
+    * BROADCAST and the corpus side never shuffles — candidate generation
+    * is a map-side hash join of the corpus's band stream against the
+    * in-memory eval bucket table, and only corpus-eval candidates are ever
+    * materialized (a symmetric self-join over the union would spend almost
+    * all its work discovering corpus-corpus duplicates this operator does
+    * not ask about). The corpus is still canonicalized first (near-dup
+    * work runs once per distinct content; a contaminated content flags
+    * every copy through membership expansion), same banding recall and
+    * exact-Jaccard verification as [[minhashLshPairsVerified]]. */
   def decontaminate(
       corpus: DataFrame,
       evalSet: DataFrame,
@@ -414,21 +421,47 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     requireLongId(corpus, idCol)
     requireLongId(evalSet, idCol)
-    // disjoint id spaces: corpus -> 2*id, eval -> 2*id+1 (sign preserved)
-    val taggedCorpus = corpus.select(
-      (col(idCol).cast("long") * 2).as("__uid"), col(textCol).as("__text"))
-    val taggedEval = evalSet.select(
-      (col(idCol).cast("long") * 2 + 1).as("__uid"), col(textCol).as("__text"))
-    val pairs = minhashLshPairsVerified(
-      taggedCorpus.unionByName(taggedEval), "__text", "__uid",
-      n, numHashes, bands, threshold)
-    // a contaminated corpus id appears in any pair whose other side is eval
-    val contaminated = pairs
-      .select(explode(array(col("a_id"), col("b_id"))).as("x"),
-        (col("a_id") + col("b_id")).as("s"))
-      // one even + one odd id -> odd sum -> a corpus-eval pair
-      .where(pmod(col("s"), lit(2)) === 1 && pmod(col("x"), lit(2)) === 0)
-      .select((col("x") / 2).cast("long").as(idCol))
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rowsPerBand = numHashes / bands
+
+    def bandedOf(reps: DataFrame): DataFrame = reps
+      .select(col("id"), gf.minhashSig(col("__text"), n, numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(bi =>
+          hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*))
+          .as(Seq("band", "bucket")))
+
+    val groups = canonicalGroups(corpus, idCol,
+      TextAnalysis.fingerprint(col(textCol)), col(textCol))
+    val corpusReps = groups.select(col("rep_id").as("id"), col("__payload").as("__text"))
+    val evalDocs = evalSet
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+      .where(col("__text").isNotNull)
+
+    // map-side band join: corpus bands stream past the broadcast eval buckets
+    val candidates = bandedOf(corpusReps)
+      .join(broadcast(bandedOf(evalDocs).select(
+        col("band"), col("bucket"), col("id").as("eval_id"))), Seq("band", "bucket"))
+      .select(col("id").as("rep_id"), col("eval_id"))
+      .dropDuplicates("rep_id", "eval_id")
+
+    // exact-Jaccard verify, candidates only; eval shingle sets broadcast,
+    // the corpus-side shingle join is AQE-broadcastable when contamination
+    // is sparse (the common case) and a plain key join otherwise
+    val corpusSh = corpusReps.select(
+      col("id").as("rep_id"), shingles(col("__text"), n).as("a_shl"))
+    val evalSh = evalDocs.select(
+      col("id").as("eval_id"), shingles(col("__text"), n).as("b_shl"))
+    val contaminatedReps = candidates
+      .join(corpusSh, "rep_id")
+      .join(broadcast(evalSh), "eval_id")
+      .withColumn("shared", size(array_intersect(col("a_shl"), col("b_shl"))))
+      .where(col("shared") / (size(col("a_shl")) + size(col("b_shl")) - col("shared")) >= threshold)
+      .select(col("rep_id")).distinct()
+
+    val contaminated = groups
+      .join(contaminatedReps, Seq("rep_id"))
+      .select(explode(col("members")).as(idCol))
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
