@@ -85,11 +85,15 @@ object Streams {
     * exactly the batch answer — the append-mode contract.
     */
   def windowAggAppendAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-append").toString
+    // staging is deterministic per sfDir — reuse it across calls in this JVM
+    val stageDir = stageCache.computeIfAbsent(sfDir, _ =>
+      java.nio.file.Files.createTempDirectory("graft-stream-append").toString)
     val agg = stagedAppendAgg(spark, sfDir, stageDir)
     runToMemory(agg, "graft_stream_agg_append", "append")
       .where(col("event_type") =!= "__sentinel")
   }
+
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Append-mode windowed agg to a PARQUET sink with checkpointing — the
     * production deployment shape: the file sink plus the checkpoint gives
@@ -148,7 +152,16 @@ object Streams {
         dest.setLastModified(mtime)
       }
       val t0 = System.currentTimeMillis() - 60000
-      stageOne(raw, "events-0.parquet", t0)
+      // the real-events batch is the source file verbatim — copy it rather
+      // than rewriting 100% of the table through a coalesce(1) Spark job
+      // (falls back to the Spark write when the source is a multi-file dir)
+      val src0 = new java.io.File(path)
+      if (src0.isFile) {
+        val dest0 = new java.io.File(stage, "events-0.parquet")
+        java.nio.file.Files.copy(src0.toPath, dest0.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest0.setLastModified(t0)
+      } else stageOne(raw, "events-0.parquet", t0)
       stageOne(sentinel(10), "events-1.parquet", t0 + 20000)
       stageOne(sentinel(20), "events-2.parquet", t0 + 40000)
     }
