@@ -161,6 +161,66 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
+  /** Derived multi-line corpus: the flat synthetic text regrouped into
+    * 2-word lines (the synthetic docs carry no newlines, so the line-based
+    * operators get real line structure this way; short lines from a small
+    * vocabulary also recur across documents, which is exactly the
+    * boilerplate shape those operators exist for). The DuckDB oracles
+    * reconstruct the identical text. */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      array_join(transform(
+        sequence(lit(0), greatest(floor((size(w) - 1) / 2).cast("int"), lit(0))),
+        i => array_join(slice(w, i * 2 + 1, lit(2)), " ")), "\n").as("text"))
+  }
+
+  /** Gopher-style repetition filters over the derived multi-line corpus. */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    linedDocs(s, dir)
+      .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_lines").as("n_lines"),
+        col("r.dup_line_frac").as("dup_line_frac"),
+        col("r.dup_line_char_frac").as("dup_line_char_frac"),
+        col("r.top_bigram_frac").as("top_bigram_frac"))
+      .orderBy("doc_id")
+
+  /** C4-style global line dedup: 2-word lines occurring in >= 10 distinct
+    * docs are boilerplate and get dropped from every document. */
+  private def dedupLines(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropBoilerplateLines(linedDocs(s, dir), "text", "doc_id", minDocs = 10)
+      .orderBy("doc_id")
+
+  /** PII redaction: deterministic synthetic contact info (derived from the
+    * doc id, mirrored in the oracle) appended to each doc, then scrubbed. */
+  private def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +15551"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0."), pmod(col("doc_id"), lit(100)).cast("string")).as("text"))
+    withPii
+      .select(col("doc_id"),
+        TextAnalysis.piiCounts(col("text")).as("p"),
+        md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_key"))
+      .select(col("doc_id"),
+        col("p.n_email").cast("long").as("n_email"),
+        col("p.n_ip").cast("long").as("n_ip"),
+        col("p.n_phone").cast("long").as("n_phone"),
+        col("scrubbed_key"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-size overlapping word chunks (32-word windows, stride 24). */
+  private def corpusChunk(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunk(t(s, dir, "documents"), "doc_id", "text", chunkWords = 32, strideWords = 24)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Rollup stats per (lang, source) + subtotals + grand total. */
   private def corpusStats(s: SparkSession, dir: String): DataFrame =
     Corpus.stats(t(s, dir, "documents"))
@@ -438,10 +498,14 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_repetition" -> (textRepetition _),
+    "text_pii_scrub" -> (textPiiScrub _),
+    "dedup_lines" -> (dedupLines _),
     "corpus_stats" -> (corpusStats _),
     "corpus_sample" -> (corpusSample _),
     "corpus_pack" -> (corpusPack _),
     "corpus_cap" -> (corpusCap _),
+    "corpus_chunk" -> (corpusChunk _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
@@ -558,6 +622,110 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS BIGINT) AS n_bpe_tokens,
         |  CAST(length(text) AS BIGINT) AS len_chars
         |FROM documents""".stripMargin,
+    // the lined CTE reconstructs linedDocs' 2-word-line text identically;
+    // repetition stats then recomputed from first principles over it
+    "text_repetition" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |      generate_series(0, greatest(CAST(floor((len(w)-1)/2.0) AS BIGINT), 0)),
+        |      i -> array_to_string(list_slice(w, i*2+1, i*2+2), ' ')), chr(10)) AS text
+        |  FROM w0),
+        |ln AS (
+        |  SELECT doc_id, regexp_replace(l, '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g') AS line
+        |  FROM lined, unnest(string_split(text, chr(10))) AS u(l)),
+        |lc AS (
+        |  SELECT doc_id, line, count(*) AS cnt, len(line) AS lln
+        |  FROM ln WHERE line <> '' GROUP BY doc_id, line),
+        |ls AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |    CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac,
+        |    CAST(sum((cnt-1)*lln) AS DOUBLE) / CAST(sum(cnt*lln) AS DOUBLE) AS dup_line_char_frac
+        |  FROM lc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+        |  FROM w0, unnest(generate_series(1, len(w)-1)) AS g(i)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |bs AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+        |  FROM bc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ls.n_lines, 0) AS n_lines,
+        |  coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+        |  coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+        |  coalesce(bs.top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM documents d
+        |LEFT JOIN ls ON d.doc_id = ls.doc_id
+        |LEFT JOIN bs ON d.doc_id = bs.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // same lined construction; boilerplate = normalized line in >= 10
+    // distinct docs; reassembly preserves original line order
+    "dedup_lines" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |      generate_series(0, greatest(CAST(floor((len(w)-1)/2.0) AS BIGINT), 0)),
+        |      i -> array_to_string(list_slice(w, i*2+1, i*2+2), ' ')), chr(10)) AS text
+        |  FROM w0),
+        |lx AS (
+        |  SELECT doc_id, ls, i AS idx, ls[i] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+        |       unnest(generate_series(1, len(ls))) AS g(i)),
+        |fp AS (
+        |  SELECT doc_id, idx, line,
+        |    md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS f,
+        |    trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS nrm
+        |  FROM lx),
+        |hot AS (
+        |  SELECT f FROM fp WHERE nrm <> ''
+        |  GROUP BY f HAVING count(DISTINCT doc_id) >= 10),
+        |kept AS (SELECT doc_id, idx, line FROM fp WHERE f NOT IN (SELECT f FROM hot)),
+        |re AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY idx) AS cleaned
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines FROM lined)
+        |SELECT t.doc_id, t.n_lines,
+        |  coalesce(CAST(re.n_kept AS BIGINT), 0) AS n_kept,
+        |  t.n_lines - coalesce(CAST(re.n_kept AS BIGINT), 0) AS n_dropped,
+        |  md5(coalesce(re.cleaned, '')) AS cleaned_key
+        |FROM tot t LEFT JOIN re ON t.doc_id = re.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // identical synthetic contact-info injection, counts on the raw text,
+    // then the same email -> IP -> phone replacement chain
+    "text_pii_scrub" ->
+      """WITH withpii AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com or +15551' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '\+\d{7,15}')) AS BIGINT) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}', '<PHONE>', 'g')) AS scrubbed_key
+        |FROM withpii ORDER BY doc_id""".stripMargin,
+    // 32-word windows, stride 24; list_slice clamps at the end like slice
+    "corpus_chunk" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    list_slice(w, i*24+1, least(i*24+32, len(w))) AS c
+        |  FROM w0, unnest(generate_series(0, CAST(floor((len(w)-1)/24.0) AS BIGINT))) AS g(i)
+        |  WHERE len(w) > 0)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(c) AS BIGINT) AS n_words,
+        |  md5(array_to_string(c, ' ')) AS chunk_key
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, CAST(
         |  greatest(0, least(100,

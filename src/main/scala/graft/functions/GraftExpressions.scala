@@ -138,6 +138,20 @@ case class BucketPairsCosExpr(child: Expression, minCos: Double) extends UnaryEx
     copy(child = newChild)
 }
 
+/** Gopher-style repetition statistics of a document in one pass:
+  * array<double> [n_lines, dup_line_frac, dup_line_char_frac,
+  * top_bigram_frac]. */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.repetitionStats(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.repetitionStats($c)")
+  override def prettyName: String = "repetition_stats"
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid cell id over a small broadcast-by-plan centroid table
   * (the IVF coarse quantizer). The centroid array rides the serialized
   * expression — nlist x dim doubles, tiny — and codegen references it via
@@ -203,6 +217,10 @@ object gf {
   /** Random-hyperplane LSH bucket id for an array<float> column. */
   def hyperplaneBucket(v: Column, bits: Int, seed: Long): Column =
     u(v)(HyperplaneBucketExpr(_, bits, seed))
+
+  /** Repetition stats [n_lines, dup_line_frac, dup_line_char_frac,
+    * top_bigram_frac] of a text column. */
+  def repetitionStats(text: Column): Column = u(text)(RepetitionStatsExpr(_))
 
   /** Candidate pairs from a shingle posting list array<struct<id, sz>>. */
   def postingPairs(items: Column): Column = u(items)(PostingPairsExpr(_))

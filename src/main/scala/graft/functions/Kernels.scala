@@ -395,4 +395,88 @@ object Kernels {
     }
     bucket
   }
+
+  // line trimming for repetitionStats: explicit char class (space, tab,
+  // CR, FF) rather than String.trim, so the DuckDB oracle can mirror it
+  // with regexp_replace('^[ \t\r\f]+|[ \t\r\f]+$')
+  private def isLineWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\f'
+
+  /** Gopher-style repetition statistics in one pass over the document:
+    * `[n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac]` as
+    * array<double>.
+    *
+    *  - lines = '\n'-separated, trimmed, empties dropped;
+    *    dup_line_frac     = (instances - distinct) / instances
+    *    dup_line_char_frac = chars in beyond-first instances / all line chars
+    *  - words = whitespace runs (case-sensitive, empties dropped);
+    *    top_bigram_frac   = occurrences of the most frequent adjacent word
+    *                        pair / total adjacent pairs
+    *
+    * All four are ratios of exact integers, so the IEEE divisions are
+    * bit-identical on any engine computing the same counts (no rounding
+    * needed for oracle comparison). High values on any of them are the
+    * classic boilerplate/spam signals used for corpus filtering. */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val s = text.toString
+    // --- lines, one scan ---
+    val lineCounts = new java.util.HashMap[String, Integer]()
+    var nLines = 0L
+    var start = 0
+    val L = s.length
+    var i = 0
+    while (i <= L) {
+      if (i == L || s.charAt(i) == '\n') {
+        var a = start
+        var b = i
+        while (a < b && isLineWs(s.charAt(a))) a += 1
+        while (b > a && isLineWs(s.charAt(b - 1))) b -= 1
+        if (b > a) {
+          nLines += 1
+          lineCounts.merge(s.substring(a, b), Integer.valueOf(1), (x, y) => Integer.valueOf(x.intValue + y.intValue))
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var distinctLines = 0L
+    var totalLineChars = 0L
+    var dupLineChars = 0L
+    val lit = lineCounts.entrySet().iterator()
+    while (lit.hasNext) {
+      val e = lit.next()
+      val cnt = e.getValue.intValue()
+      val len = e.getKey.length
+      distinctLines += 1
+      totalLineChars += cnt.toLong * len
+      dupLineChars += (cnt - 1).toLong * len
+    }
+    val dupLineFrac =
+      if (nLines == 0) 0.0 else (nLines - distinctLines).toDouble / nLines
+    val dupLineCharFrac =
+      if (totalLineChars == 0) 0.0 else dupLineChars.toDouble / totalLineChars
+    // --- adjacent word-pair counts, one scan (case-sensitive words) ---
+    val raw = ws.split(s)
+    var wn = 0
+    i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) wn += 1; i += 1 }
+    var topBigramFrac = 0.0
+    if (wn >= 2) {
+      val words = new Array[String](wn)
+      var j = 0
+      i = 0
+      while (i < raw.length) { if (!raw(i).isEmpty) { words(j) = raw(i); j += 1 }; i += 1 }
+      val bigramCounts = new java.util.HashMap[String, Integer]()
+      var maxCnt = 0
+      i = 0
+      while (i < wn - 1) {
+        val merged = bigramCounts.merge(words(i) + " " + words(i + 1), Integer.valueOf(1), (x, y) => Integer.valueOf(x.intValue + y.intValue))
+        if (merged.intValue > maxCnt) maxCnt = merged.intValue
+        i += 1
+      }
+      topBigramFrac = maxCnt.toDouble / (wn - 1)
+    }
+    new GenericArrayData(Array[Any](
+      nLines.toDouble, dupLineFrac, dupLineCharFrac, topBigramFrac))
+  }
 }

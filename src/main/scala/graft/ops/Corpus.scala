@@ -60,6 +60,38 @@ object Corpus {
     * [[capPerStratum]] (and the prefix behind [[sampleBucket]]). */
   def sampleHash(id: Column): Column = md5(id.cast("string"))
 
+  /** Split each document into fixed-size overlapping word chunks — the
+    * context-window preparation step for embedding or training pipelines.
+    * Chunk i covers words [i*stride, i*stride + chunkWords); the last
+    * chunk may be shorter; a document with n words yields
+    * ceil(n / stride) chunks. Pure per-row explode — a narrow map with no
+    * shuffle, embarrassingly parallel at any scale. */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkWords: Int,
+      strideWords: Int): DataFrame = {
+    require(chunkWords > 0 && strideWords > 0 && strideWords <= chunkWords,
+      "need chunkWords >= strideWords > 0")
+    docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .withColumn("__w", filter(col("__w"), x => x =!= ""))
+      .where(size(col("__w")) > 0)
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(0),
+          floor((size(col("__w")) - 1) / strideWords).cast("int"))).as(Seq("chunk_idx", "__i")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__w"), col("chunk_idx") * strideWords + 1, lit(chunkWords)).as("__c"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        size(col("__c")).cast("long").as("n_words"),
+        md5(array_join(col("__c"), " ")).as("chunk_key"))
+  }
+
   /** Pack documents into training sequences by cumulative token budget:
     * within each stratum (ordered by id), a doc joins sequence
     * floor(tokens_before / maxTokensPerSeq). One window per stratum —

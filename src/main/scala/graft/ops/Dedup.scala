@@ -466,6 +466,53 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** C4-style global line deduplication (boilerplate removal): a line whose
+    * normalized form occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, license footers) and is removed
+    * from every document. Returns one row per input document:
+    * (id, n_lines, n_kept, n_dropped, cleaned) with line order preserved.
+    *
+    * Scale shape: lines are exploded once, frequency is a groupBy on the
+    * line's md5 fingerprint (map-side combine; the shuffle carries 16-byte
+    * keys, not line text), and the hot set — bounded by the amount of
+    * distinct boilerplate, tiny next to the corpus — broadcasts back as an
+    * anti-join, so document reassembly shuffles each line exactly once on
+    * the document id. */
+  def dropBoilerplateLines(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Int): DataFrame = {
+    val lines = docs.select(
+      col(idCol).cast("long").as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
+    val keyed = lines.withColumn("__fp", TextAnalysis.fingerprint(col("line")))
+    val hot = keyed
+      .where(TextAnalysis.normalize(col("line")) =!= "")
+      .groupBy("__fp")
+      .agg(countDistinct(col("id")).as("__df"))
+      .where(col("__df") >= minDocs)
+      .select("__fp")
+    val kept = keyed.join(broadcast(hot), Seq("__fp"), "left_anti")
+    val reassembled = kept
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line")), "\n").as("cleaned"))
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(reassembled, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_key"))
+  }
+
   /** One-call near-dup pipeline — the composition every training corpus
     * runs, in the order that scales: MinHash-LSH candidates verified by
     * exact Jaccard (exact duplicates are canonicalized inside), connected

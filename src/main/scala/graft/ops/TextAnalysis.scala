@@ -58,6 +58,45 @@ object TextAnalysis {
     "fr" -> Seq(" le ", " et ", " les "),
     "zh" -> Seq(" zh ", " zhong ", " wen "))
 
+  /** Gopher-style repetition signals as a named struct: line-level
+    * duplication and top-bigram dominance — the classic boilerplate/spam
+    * filters a crawl corpus runs before training. One custom-expression
+    * pass per document ([[graft.functions.gf.repetitionStats]]); all four
+    * values are ratios of exact integer counts, so they compare
+    * bit-identically across engines with no rounding. */
+  def repetitionStats(text: Column): Column = {
+    val a = graft.functions.gf.repetitionStats(text)
+    struct(
+      element_at(a, 1).cast("long").as("n_lines"),
+      element_at(a, 2).as("dup_line_frac"),
+      element_at(a, 3).as("dup_line_char_frac"),
+      element_at(a, 4).as("top_bigram_frac"))
+  }
+
+  // PII patterns: RE2-compatible (no lookarounds/backrefs) so the same
+  // pattern runs identically under Java regex (Spark) and RE2 (DuckDB,
+  // Go-based engines). Order of application: email, then IP, then phone —
+  // the replacement tokens contain no digits, so later patterns can never
+  // match inside an earlier replacement.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+\\d{7,15}"
+
+  /** Redact emails, IPv4 addresses, and international phone numbers.
+    * Pure columnar regexp_replace chain — a narrow codegen map. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Match counts for each PII class on the raw text (pre-redaction). */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailPattern)).as("n_email"),
+    regexp_count(text, lit(ipv4Pattern)).as("n_ip"),
+    regexp_count(text, lit(phonePattern)).as("n_phone"))
+
   /** Predict language by total marker-word occurrences; ties broken by
     * language code order as listed (first wins), unknown when zero hits. */
   def langId(text: Column): Column = {

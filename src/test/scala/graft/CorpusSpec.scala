@@ -59,4 +59,20 @@ class CorpusSpec extends SparkSpec {
     val firsts = packed.groupBy("source").agg(min("seq_id").as("m")).collect()
     assert(firsts.forall(_.getLong(1) === 0L))
   }
+
+  test("chunk: 32/24 windows cover every word; last chunk short") {
+    val doc = (1L, (1 to 10).map(i => s"w$i").mkString(" "))
+    val out = Corpus.chunk(Seq(doc).toDF("doc_id", "text"), "doc_id", "text",
+        chunkWords = 4, strideWords = 3)
+      .orderBy("chunk_idx").collect()
+    // 10 words, stride 3 -> ceil(10/3) = 4 chunks; sizes 4,4,4,1
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(4L, 4L, 4L, 1L))
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(3) === md5("w1 w2 w3 w4"))
+    assert(out(3).getString(3) === md5("w10"))
+    // empty doc yields no chunks
+    assert(Corpus.chunk(Seq((2L, "  ")).toDF("doc_id", "text"), "doc_id", "text", 4, 3).count() === 0L)
+  }
 }

@@ -138,4 +138,35 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L).forall(comps(_) === 20L))
     assert(comps.size === 10)
   }
+
+  test("dropBoilerplateLines: global hot lines removed, order preserved") {
+    val docs = Seq(
+      (1L, "keep one\ncookie banner\nkeep two"),
+      (2L, "cookie banner\nunique line"),
+      (3L, "cookie banner\nanother one"),
+      (4L, "cookie banner")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(docs, "text", "doc_id", minDocs = 3)
+      .orderBy("doc_id")
+      .collect()
+    // "cookie banner" is in 4 >= 3 distinct docs -> dropped everywhere
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq === Seq(
+      (1L, 3L, 2L, 1L), (2L, 2L, 1L, 1L), (3L, 2L, 1L, 1L), (4L, 1L, 0L, 1L)))
+    // reassembly keeps original order; fully-cleaned doc hashes ""
+    val keys = out.map(_.getString(4)).toSeq
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(keys(0) === md5("keep one\nkeep two"))
+    assert(keys(3) === md5(""))
+  }
+
+  test("dropBoilerplateLines: near-threshold lines survive; dup lines in ONE doc count once") {
+    // "maybe hot" appears twice in doc 1 but only in 2 distinct docs -> kept
+    val docs = Seq(
+      (1L, "maybe hot\nmaybe hot"),
+      (2L, "maybe hot"),
+      (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.dropBoilerplateLines(docs, "text", "doc_id", minDocs = 3)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(3) == 0L)) // nothing dropped
+  }
 }

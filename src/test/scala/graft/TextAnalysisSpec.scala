@@ -23,6 +23,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean > punct)
   }
 
+  test("repetitionStats: hand-computed line and bigram fractions") {
+    val df = Seq("a b\na b\nc d").toDF("t")
+    val r = df.select(TextAnalysis.repetitionStats(col("t")).as("r"))
+      .select("r.n_lines", "r.dup_line_frac", "r.dup_line_char_frac", "r.top_bigram_frac")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 === 3L)
+    assert(r._2 === 1.0 / 3) // one of three line instances is a repeat
+    assert(r._3 === 3.0 / 9) // 3 duplicated chars of 9 line chars
+    // bigrams of [a b a b c d]: "a b" x2 of 5 adjacent pairs
+    assert(r._4 === 2.0 / 5)
+  }
+
+  test("repetitionStats: degenerate inputs yield zeros") {
+    val df = Seq("", "single", "  \n  \n").toDF("t")
+    val rows = df.select(TextAnalysis.repetitionStats(col("t")).as("r"))
+      .select("r.n_lines", "r.dup_line_frac", "r.top_bigram_frac")
+      .as[(Long, Double, Double)].collect()
+    assert(rows(0) === ((0L, 0.0, 0.0)))
+    assert(rows(1) === ((1L, 0.0, 0.0))) // one line, one word: no pairs
+    assert(rows(2) === ((0L, 0.0, 0.0))) // whitespace-only lines dropped
+  }
+
+  test("scrubPii: redacts emails, IPs, phones; counts match") {
+    val df = Seq("mail jo.e+x@ex.co or +123456789 from 1.2.3.4 twice j@a.io").toDF("t")
+    val scrubbed = df.select(TextAnalysis.scrubPii(col("t"))).as[String].head()
+    assert(scrubbed === "mail <EMAIL> or <PHONE> from <IP> twice <EMAIL>")
+    val c = df.select(TextAnalysis.piiCounts(col("t")).as("p"))
+      .select("p.n_email", "p.n_ip", "p.n_phone").as[(Int, Int, Int)].head()
+    assert(c === ((2, 1, 1)))
+  }
+
   test("langId: marker-word argmax with unknown fallback") {
     val df = Seq(
       "the cat sat on a mat of wool",
