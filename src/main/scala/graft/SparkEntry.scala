@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.llm.{EchoModel, Elo, HashEmbedder, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
-import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Dedup, LangModel, Multimodal, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — the operator catalog from SURVEY.md §2.
   *
@@ -215,6 +215,13 @@ object SparkEntry {
         col("scrubbed_key"))
       .orderBy("doc_id")
   }
+
+  /** Corpus-trained char-bigram LM score — the CCNet-style perplexity
+    * quality signal (train pass: bounded 16k-row agg; score pass: narrow
+    * codegen map over the plan-embedded table). */
+  private def textPerplexity(s: SparkSession, dir: String): DataFrame =
+    LangModel.perplexityScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
 
   /** Fixed-size overlapping word chunks (32-word windows, stride 24). */
   private def corpusChunk(s: SparkSession, dir: String): DataFrame =
@@ -500,6 +507,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "text_perplexity" -> (textPerplexity _),
     "dedup_lines" -> (dedupLines _),
     "corpus_stats" -> (corpusStats _),
     "corpus_sample" -> (corpusSample _),
@@ -712,6 +720,30 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g')) AS scrubbed_key
         |FROM withpii ORDER BY doc_id""".stripMargin,
+    // bigram counts recomputed globally in SQL; per-doc score = left-fold
+    // of count*ln(smoothed P) over ASCENDING codes (list ORDER BY code +
+    // list_reduce), mirroring the kernel's accumulation order exactly;
+    // ln()'s last ulp absorbed by round(..., 6)
+    "text_perplexity" ->
+      """WITH codes AS (
+        |  SELECT doc_id, list_transform(range(1, len(text)+1), i -> least(unicode(text[i]), 127)) AS cs
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, cs[i]*128 + cs[i+1] AS code
+        |  FROM codes, unnest(generate_series(1, len(cs)-1)) AS g(i)),
+        |cnt AS (SELECT code, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY code),
+        |rowtot AS (SELECT code // 128 AS a, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+        |docbg AS (SELECT doc_id, code, CAST(count(*) AS BIGINT) AS dc FROM bg GROUP BY doc_id, code),
+        |terms AS (
+        |  SELECT d.doc_id, d.code, d.dc,
+        |    d.dc * ln((CAST(cnt.c AS DOUBLE) + 1) / (CAST(rowtot.tot AS DOUBLE) + 128)) AS term
+        |  FROM docbg d JOIN cnt USING (code) JOIN rowtot ON d.code // 128 = rowtot.a),
+        |score AS (
+        |  SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list(term ORDER BY code), (x, y) -> x + y) AS s
+        |  FROM terms GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(s / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob
+        |FROM score ORDER BY doc_id""".stripMargin,
     // 32-word windows, stride 24; list_slice clamps at the end like slice
     "corpus_chunk" ->
       """WITH w0 AS (

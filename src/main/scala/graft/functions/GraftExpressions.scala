@@ -152,6 +152,35 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document char-bigram counts, packed (code << 32 | count), ascending
+  * code order. */
+case class CharBigramCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.charBigramCounts(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charBigramCounts($c)")
+  override def prettyName: String = "char_bigram_counts"
+  override protected def withNewChildInternal(newChild: Expression): CharBigramCountsExpr =
+    copy(child = newChild)
+}
+
+/** [n_bigrams, sum count*lnP] under a plan-embedded trained log-prob table
+  * (16k doubles — tiny, rides the serialized expression like the IVF
+  * centroids). */
+case class BigramLogScoreExpr(child: Expression, lnP: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.bigramLogScore(input.asInstanceOf[UTF8String], lnP)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lnP", lnP, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bigramLogScore($c, $ref)")
+  }
+  override def prettyName: String = "bigram_log_score"
+  override protected def withNewChildInternal(newChild: Expression): BigramLogScoreExpr =
+    copy(child = newChild)
+}
+
 /** Nearest-centroid cell id over a small broadcast-by-plan centroid table
   * (the IVF coarse quantizer). The centroid array rides the serialized
   * expression — nlist x dim doubles, tiny — and codegen references it via
@@ -221,6 +250,13 @@ object gf {
   /** Repetition stats [n_lines, dup_line_frac, dup_line_char_frac,
     * top_bigram_frac] of a text column. */
   def repetitionStats(text: Column): Column = u(text)(RepetitionStatsExpr(_))
+
+  /** Packed per-document char-bigram counts. */
+  def charBigramCounts(text: Column): Column = u(text)(CharBigramCountsExpr(_))
+
+  /** [n_bigrams, sum count*lnP] under a trained bigram log-prob table. */
+  def bigramLogScore(text: Column, lnP: Array[Double]): Column =
+    u(text)(BigramLogScoreExpr(_, lnP))
 
   /** Candidate pairs from a shingle posting list array<struct<id, sz>>. */
   def postingPairs(items: Column): Column = u(items)(PostingPairsExpr(_))

@@ -77,7 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }) }),
     (FunctionIdentifier("posting_pairs"),
       info("posting_pairs", "posting_pairs(items) - candidate pairs from a shingle posting list"),
-      (args: Seq[Expression]) => PostingPairsExpr(arity("posting_pairs", 1)(args)(0))))
+      (args: Seq[Expression]) => PostingPairsExpr(arity("posting_pairs", 1)(args)(0))),
+    (FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", "repetition_stats(text) - [n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac]"),
+      (args: Seq[Expression]) => RepetitionStatsExpr(arity("repetition_stats", 1)(args)(0))),
+    (FunctionIdentifier("char_bigram_counts"),
+      info("char_bigram_counts", "char_bigram_counts(text) - packed (code << 32 | count) char-bigram counts"),
+      (args: Seq[Expression]) => CharBigramCountsExpr(arity("char_bigram_counts", 1)(args)(0))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (id, inf, builder) => ext.injectFunction((id, inf, builder)) }

@@ -479,4 +479,59 @@ object Kernels {
     new GenericArrayData(Array[Any](
       nLines.toDouble, dupLineFrac, dupLineCharFrac, topBigramFrac))
   }
+
+  // char-bigram code space: ASCII-folded chars (min(char, 127)), so the
+  // model is a fixed 128x128 table. The synthetic corpus is ASCII; for
+  // non-ASCII corpora the fold bucket 127 absorbs everything else (and any
+  // oracle must fold identically).
+  final val BigramVocab = 128
+
+  /** Per-document char-bigram counts in ASCENDING code order, one pass:
+    * each element packs (code << 32) | count with code = a*128 + b. The
+    * fixed iteration order is what makes every downstream float
+    * accumulation engine-reproducible. */
+  def charBigramCodes(text: UTF8String): java.util.TreeMap[Integer, Integer] = {
+    val s = text.toString
+    val m = new java.util.TreeMap[Integer, Integer]()
+    var i = 0
+    while (i < s.length - 1) {
+      val a = math.min(s.charAt(i).toInt, BigramVocab - 1)
+      val b = math.min(s.charAt(i + 1).toInt, BigramVocab - 1)
+      m.merge(Integer.valueOf(a * BigramVocab + b), Integer.valueOf(1),
+        (x, y) => Integer.valueOf(x.intValue + y.intValue))
+      i += 1
+    }
+    m
+  }
+
+  /** Packed (code << 32 | count) array of [[charBigramCodes]]. */
+  def charBigramCounts(text: UTF8String): ArrayData = {
+    val m = charBigramCodes(text)
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = (e.getKey.longValue << 32) | e.getValue.longValue
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [n_bigrams, sum of count*lnP(code)] under a trained log-prob table,
+    * accumulated over ascending bigram codes — the order an ORDER BY code
+    * left-fold reproduces exactly on any engine. */
+  def bigramLogScore(text: UTF8String, lnP: Array[Double]): ArrayData = {
+    val m = charBigramCodes(text)
+    var n = 0L
+    var sum = 0.0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cnt = e.getValue.intValue
+      n += cnt
+      sum += cnt * lnP(e.getKey.intValue)
+    }
+    new GenericArrayData(Array[Any](n.toDouble, sum))
+  }
 }

@@ -52,4 +52,15 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT word_shingles(text, id) FROM ext_docs2").collect())
     assert(e.getMessage.contains("word_shingles"))
   }
+
+  test("SQL surface: repetition_stats and char_bigram_counts") {
+    import spark.implicits._
+    Seq(("a b\na b", 1L)).toDF("text", "id").createOrReplaceTempView("ext_docs3")
+    val r = spark.sql(
+      "SELECT repetition_stats(text) AS r, char_bigram_counts(text) AS c FROM ext_docs3").head()
+    val stats = r.getSeq[Double](0)
+    assert(stats(0) === 2.0) // two lines
+    assert(stats(1) === 0.5) // one dup of two
+    assert(r.getSeq[Long](1).nonEmpty)
+  }
 }
