@@ -7,8 +7,18 @@ package graft
   *
   * A failing query is recorded as {"err": "..."} under its name (and
   * counted in "errors") instead of a bogus elapsed time — a broken plan
-  * must never masquerade as a fast one. */
+  * must never masquerade as a fast one.
+  *
+  * Queries are materialized through the noop datasource writer, NOT
+  * count(): under count() Catalyst prunes every unreferenced projection,
+  * so a narrow-map query (e.g. per-doc text analysis) would time the bare
+  * parquet scan instead of the operator it claims to measure. */
 object Bench {
+
+  /** Force full-row materialization of every output column. */
+  private[graft] def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
@@ -27,13 +37,13 @@ object Bench {
     // each measured number reflects the plan, not that query family's
     // first-run codegen compilation (measured up to 5s of the first run)
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+      try { exec(fn(spark, warmDir)) } catch { case _: Throwable => () }
     }
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          exec(fn(spark, sfDir))
           name -> Right((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>

@@ -167,14 +167,10 @@ object SparkEntry {
     * vocabulary also recur across documents, which is exactly the
     * boilerplate shape those operators exist for). The DuckDB oracles
     * reconstruct the identical text. */
-  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
-    val w = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
-      array_join(transform(
-        sequence(lit(0), greatest(floor((size(w) - 1) / 2).cast("int"), lit(0))),
-        i => array_join(slice(w, i * 2 + 1, lit(2)), " ")), "\n").as("text"))
-  }
+      graft.functions.gf.regroupLines(col("text"), 2).as("text"))
 
   /** Gopher-style repetition filters over the derived multi-line corpus. */
   private def textRepetition(s: SparkSession, dir: String): DataFrame =

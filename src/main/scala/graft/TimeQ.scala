@@ -5,7 +5,9 @@ object TimeQ {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      // noop write, not count(): count() lets Catalyst prune the computed
+      // columns, timing the scan instead of the operator
+      Bench.exec(SparkEntry.queries(name)(spark, dir))
       println(f"[timeq] $name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()

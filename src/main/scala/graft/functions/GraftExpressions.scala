@@ -152,6 +152,48 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Regroup whitespace-separated words into k-word '\n'-separated lines. */
+case class RegroupLinesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.regroupLines(input.asInstanceOf[UTF8String], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.regroupLines($c, $k)")
+  override def prettyName: String = "regroup_lines"
+  override protected def withNewChildInternal(newChild: Expression): RegroupLinesExpr =
+    copy(child = newChild)
+}
+
+/** FNV-1a 64 fingerprints of each normalized nonempty line. */
+case class LineFpsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.lineFps(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lineFps($c)")
+  override def prettyName: String = "line_fps"
+  override protected def withNewChildInternal(newChild: Expression): LineFpsExpr =
+    copy(child = newChild)
+}
+
+/** One-pass boilerplate-line removal against a plan-embedded sorted hot
+  * set: (n_lines, n_kept, cleaned). */
+case class CleanLinesExpr(child: Expression, hotSorted: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Kernels.cleanLines(input.asInstanceOf[UTF8String], hotSorted)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hotSorted", hotSorted, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.cleanLines($c, $ref)")
+  }
+  override def prettyName: String = "clean_lines"
+  override protected def withNewChildInternal(newChild: Expression): CleanLinesExpr =
+    copy(child = newChild)
+}
+
 /** Per-document char-bigram counts, packed (code << 32 | count), ascending
   * code order. */
 case class CharBigramCountsExpr(child: Expression) extends UnaryExpression {
@@ -250,6 +292,16 @@ object gf {
   /** Repetition stats [n_lines, dup_line_frac, dup_line_char_frac,
     * top_bigram_frac] of a text column. */
   def repetitionStats(text: Column): Column = u(text)(RepetitionStatsExpr(_))
+
+  /** Regroup words into k-word lines (deterministic line derivation). */
+  def regroupLines(text: Column, k: Int): Column = u(text)(RegroupLinesExpr(_, k))
+
+  /** FNV-1a 64 fingerprints of normalized nonempty lines. */
+  def lineFps(text: Column): Column = u(text)(LineFpsExpr(_))
+
+  /** One-pass hot-line removal: struct(n_lines, n_kept, cleaned). */
+  def cleanLines(text: Column, hotSorted: Array[Long]): Column =
+    u(text)(CleanLinesExpr(_, hotSorted))
 
   /** Packed per-document char-bigram counts. */
   def charBigramCounts(text: Column): Column = u(text)(CharBigramCountsExpr(_))

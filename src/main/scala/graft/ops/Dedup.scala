@@ -482,35 +482,39 @@ object Dedup {
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      minDocs: Int): DataFrame = {
-    val lines = docs.select(
-      col(idCol).cast("long").as("id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("idx", "line")))
-    val keyed = lines.withColumn("__fp", TextAnalysis.fingerprint(col("line")))
-    val hot = keyed
-      .where(TextAnalysis.normalize(col("line")) =!= "")
-      .groupBy("__fp")
-      .agg(countDistinct(col("id")).as("__df"))
-      .where(col("__df") >= minDocs)
-      .select("__fp")
-    val kept = keyed.join(broadcast(hot), Seq("__fp"), "left_anti")
-    val reassembled = kept
-      .groupBy("id")
-      .agg(
-        count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("idx"), col("line")))),
-          x => x.getField("line")), "\n").as("cleaned"))
-    docs
+      minDocs: Int,
+      maxBoilerplate: Int = 5000000): DataFrame = {
+    // pass 1 — line-frequency: per-doc line fingerprints from a one-pass
+    // kernel (the shuffle carries (8-byte fp, id), never line text),
+    // groupBy fp with two-phase distinct-doc counting
+    val hotRows = docs
       .select(col(idCol).cast("long").as("id"),
-        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
-      .join(reassembled, Seq("id"), "left")
+        explode(gf.lineFps(col(textCol))).as("fp"))
+      .groupBy("fp")
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select("fp")
+      .collect()
+    require(hotRows.length <= maxBoilerplate,
+      s"boilerplate set has ${hotRows.length} distinct lines (> $maxBoilerplate); " +
+        "raise minDocs or maxBoilerplate")
+    val hotSorted = hotRows.map(_.getLong(0)).sorted
+    // pass 2 — narrow map: one kernel call per document removes hot lines
+    // in place; no explode, no reassembly shuffle. The hot set (bounded by
+    // the amount of distinct boilerplate) rides the plan like the IVF
+    // centroids. Line identity = normalized-text equality, realized as the
+    // 64-bit FNV fingerprint of the normalized line (collisions are
+    // vanishing at any corpus size a 64-bit space serves; a collision
+    // would drop a non-boilerplate line, never corrupt one).
+    docs.select(
+      col(idCol),
+      gf.cleanLines(col(textCol), hotSorted).as("c"))
       .select(
-        col("id").as(idCol),
-        col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_key"))
+        col(idCol),
+        col("c.n_lines").as("n_lines"),
+        col("c.n_kept").as("n_kept"),
+        (col("c.n_lines") - col("c.n_kept")).as("n_dropped"),
+        md5(col("c.cleaned")).as("cleaned_key"))
   }
 
   /** One-call near-dup pipeline — the composition every training corpus
