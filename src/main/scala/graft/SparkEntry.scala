@@ -219,6 +219,15 @@ object SparkEntry {
     LangModel.perplexityScore(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Mixture rebalancing to en:de:es:fr = 5:2:2:1 (zh dropped): the
+    * largest downsample-only corpus hitting those proportions exactly
+    * (all-integer cap arithmetic, md5-hash-order survival). */
+  private def corpusMix(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixToTarget(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 5L, "de" -> 2L, "es" -> 2L, "fr" -> 1L))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** Fixed-size overlapping word chunks (32-word windows, stride 24). */
   private def corpusChunk(s: SparkSession, dir: String): DataFrame =
     Corpus.chunk(t(s, dir, "documents"), "doc_id", "text", chunkWords = 32, strideWords = 24)
@@ -510,6 +519,7 @@ object SparkEntry {
     "corpus_pack" -> (corpusPack _),
     "corpus_cap" -> (corpusCap _),
     "corpus_chunk" -> (corpusChunk _),
+    "corpus_mix" -> (corpusMix _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
@@ -1011,6 +1021,22 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
         |  FROM documents)
         |SELECT doc_id, lang FROM rk WHERE r <= 75 ORDER BY doc_id""".stripMargin,
+    // caps derived with the same all-integer arithmetic the engine uses:
+    // N* = min(count_s * W // w_s), cap_s = N* * w_s // W
+    "corpus_mix" ->
+      """WITH wts AS (SELECT * FROM (VALUES ('en', 5), ('de', 2), ('es', 2), ('fr', 1)) AS t(lang, w)),
+        |cnt AS (
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IN (SELECT lang FROM wts) GROUP BY lang),
+        |nstar AS (SELECT min(n * 10 // w) AS v FROM cnt JOIN wts USING (lang)),
+        |caps AS (SELECT lang, (SELECT v FROM nstar) * w // 10 AS cap FROM wts),
+        |rk AS (
+        |  SELECT d.doc_id, d.lang,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS r
+        |  FROM documents d)
+        |SELECT rk.doc_id, rk.lang FROM rk JOIN caps ON rk.lang = caps.lang
+        |WHERE rk.r <= caps.cap ORDER BY rk.doc_id""".stripMargin,
     // dedup applied = corpus minus non-keeper cluster members, same
     // recursive-CTE closure as dedup_clusters.
     "dedup_apply" ->

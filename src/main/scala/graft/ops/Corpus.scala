@@ -60,6 +60,47 @@ object Corpus {
     * [[capPerStratum]] (and the prefix behind [[sampleBucket]]). */
   def sampleHash(id: Column): Column = md5(id.cast("string"))
 
+  /** Rebalance the corpus to target stratum proportions by deterministic
+    * downsampling — the data-mixing step before training. `weights` maps
+    * stratum value -> integer weight (proportion = weight / total weight);
+    * strata absent from the map are dropped. The output is the LARGEST
+    * corpus achievable by downsampling alone in which every stratum holds
+    * exactly floor(N * w_s / W) rows: N = min over strata of
+    * floor(count_s * W / w_s), all integer arithmetic, so any engine
+    * derives identical caps. Row survival is md5-hash order within the
+    * stratum (engine-reproducible, unbiased by physical order).
+    *
+    * Scale: one count aggregation (rows = #strata, collected), then one
+    * window per stratum — the same shuffle-on-stratum shape as
+    * [[capPerStratum]]; heavily-hot strata can be pre-salted. */
+  def mixToTarget(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val totalW = weights.values.sum
+    val counts = df
+      .groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.get(0).toString -> r.getLong(1))
+      .toMap
+    val present = weights.filter { case (s, _) => counts.contains(s) }
+    require(present.nonEmpty, "no stratum in `weights` exists in the data")
+    val n = present.map { case (s, w) => counts(s) * totalW / w }.min
+    val caps = present.map { case (s, w) => s -> n * w / totalW }
+    val capExpr = caps.foldLeft(lit(-1L)) { case (acc, (s, cap)) =>
+      when(col(stratumCol) === s, lit(cap)).otherwise(acc)
+    }
+    val w = Window.partitionBy(stratumCol).orderBy(sampleHash(col(idCol)), col(idCol))
+    df.withColumn("__cap", capExpr)
+      .where(col("__cap") >= 0L)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= col("__cap"))
+      .drop("__rk", "__cap")
+  }
+
   /** Split each document into fixed-size overlapping word chunks — the
     * context-window preparation step for embedding or training pipelines.
     * Chunk i covers words [i*stride, i*stride + chunkWords); the last

@@ -75,4 +75,19 @@ class CorpusSpec extends SparkSpec {
     // empty doc yields no chunks
     assert(Corpus.chunk(Seq((2L, "  ")).toDF("doc_id", "text"), "doc_id", "text", 4, 3).count() === 0L)
   }
+
+  test("mixToTarget: exact integer caps, binding stratum, absent strata dropped") {
+    val docs = ((1L to 100L).map(i => (i, "a")) ++ (101L to 130L).map(i => (i, "b")) ++
+      (131L to 140L).map(i => (i, "c"))).toDF("id", "s")
+    // weights a:3 b:1 (c unlisted -> dropped); W=4
+    // N* = min(100*4/3, 30*4/1) = min(133, 120) = 120; caps: a 90, b 30
+    val out = Corpus.mixToTarget(docs, "s", "id", Map("a" -> 3L, "b" -> 1L))
+    val by = out.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by === Map("a" -> 90L, "b" -> 30L))
+    // deterministic across partition layouts
+    val ids1 = out.orderBy("id").select("id").collect().map(_.getLong(0)).toSeq
+    val ids2 = Corpus.mixToTarget(docs.repartition(7), "s", "id", Map("a" -> 3L, "b" -> 1L))
+      .orderBy("id").select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 === ids2)
+  }
 }
