@@ -219,6 +219,16 @@ object SparkEntry {
     LangModel.perplexityScore(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Composite quality filter: keep/drop + first-failing-rule reason over
+    * length, language, repetition, and quality rules. */
+  private def corpusFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.filterDecision(col("text"),
+          graft.functions.gf.regroupLines(col("text"), 2)).as("d"))
+      .select(col("doc_id"), col("d.keep").as("keep"), col("d.reason").as("reason"))
+      .orderBy("doc_id")
+
   /** Mixture rebalancing to en:de:es:fr = 5:2:2:1 (zh dropped): the
     * largest downsample-only corpus hitting those proportions exactly
     * (all-integer cap arithmetic, md5-hash-order survival). */
@@ -520,6 +530,7 @@ object SparkEntry {
     "corpus_cap" -> (corpusCap _),
     "corpus_chunk" -> (corpusChunk _),
     "corpus_mix" -> (corpusMix _),
+    "corpus_filter" -> (corpusFilter _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
@@ -1021,6 +1032,75 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
         |  FROM documents)
         |SELECT doc_id, lang FROM rk WHERE r <= 75 ORDER BY doc_id""".stripMargin,
+    // every rule recomputed from first principles; reason = first failing
+    // rule in the engine's fixed order
+    "corpus_filter" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |      generate_series(0, greatest(CAST(floor((len(w)-1)/2.0) AS BIGINT), 0)),
+        |      i -> array_to_string(list_slice(w, i*2+1, i*2+2), ' ')), chr(10)) AS text
+        |  FROM w0),
+        |ln AS (
+        |  SELECT doc_id, regexp_replace(l, '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g') AS line
+        |  FROM lined, unnest(string_split(text, chr(10))) AS u(l)),
+        |lc AS (
+        |  SELECT doc_id, line, count(*) AS cnt FROM ln WHERE line <> '' GROUP BY doc_id, line),
+        |ls AS (
+        |  SELECT doc_id,
+        |    CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac
+        |  FROM lc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+        |  FROM w0, unnest(generate_series(1, len(w)-1)) AS g(i)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |bs AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+        |  FROM bc GROUP BY doc_id),
+        |tok AS (SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n FROM documents),
+        |q AS (SELECT doc_id, CAST(
+        |  greatest(0, least(100,
+        |    least(len(regexp_split_to_array(text, '\s+')), 50)
+        |    + floor(len(list_distinct(regexp_split_to_array(text, '\s+'))) * 40.0
+        |            / greatest(len(regexp_split_to_array(text, '\s+')), 1))
+        |    - least(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')), 10)
+        |    + 10)) AS INTEGER) AS quality
+        |  FROM documents),
+        |p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pt FROM documents),
+        |sc AS (SELECT doc_id,
+        |  (length(pt)-length(replace(pt,' the ','')))/5 + (length(pt)-length(replace(pt,' a ','')))/3 + (length(pt)-length(replace(pt,' of ','')))/4 AS s_en,
+        |  (length(pt)-length(replace(pt,' der ','')))/5 + (length(pt)-length(replace(pt,' und ','')))/5 + (length(pt)-length(replace(pt,' die ','')))/5 AS s_de,
+        |  (length(pt)-length(replace(pt,' el ','')))/4 + (length(pt)-length(replace(pt,' la ','')))/4 + (length(pt)-length(replace(pt,' que ','')))/5 AS s_es,
+        |  (length(pt)-length(replace(pt,' le ','')))/4 + (length(pt)-length(replace(pt,' et ','')))/4 + (length(pt)-length(replace(pt,' les ','')))/5 AS s_fr,
+        |  (length(pt)-length(replace(pt,' zh ','')))/4 + (length(pt)-length(replace(pt,' zhong ','')))/7 + (length(pt)-length(replace(pt,' wen ','')))/5 AS s_zh
+        |  FROM p),
+        |lang AS (
+        |  SELECT doc_id, CASE
+        |    WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'en'
+        |    WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'de'
+        |    WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'es'
+        |    WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'fr'
+        |    WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'zh'
+        |    ELSE 'unknown' END AS pred_lang
+        |  FROM sc),
+        |dec AS (
+        |  SELECT d.doc_id, CASE
+        |    WHEN tok.n < 12 THEN 'too_short'
+        |    WHEN tok.n > 100000 THEN 'too_long'
+        |    WHEN lang.pred_lang = 'unknown' THEN 'lang_unknown'
+        |    WHEN coalesce(ls.dup_line_frac, 0) > 0.08 THEN 'dup_lines'
+        |    WHEN coalesce(bs.top_bigram_frac, 0) > 0.09 THEN 'repetitive_bigrams'
+        |    WHEN q.quality < 50 THEN 'low_quality'
+        |    ELSE 'keep' END AS reason
+        |  FROM documents d
+        |  JOIN tok ON d.doc_id = tok.doc_id
+        |  JOIN q ON d.doc_id = q.doc_id
+        |  JOIN lang ON d.doc_id = lang.doc_id
+        |  LEFT JOIN ls ON d.doc_id = ls.doc_id
+        |  LEFT JOIN bs ON d.doc_id = bs.doc_id)
+        |SELECT doc_id, reason = 'keep' AS keep, reason FROM dec ORDER BY doc_id""".stripMargin,
     // caps derived with the same all-integer arithmetic the engine uses:
     // N* = min(count_s * W // w_s), cap_s = N* * w_s // W
     "corpus_mix" ->

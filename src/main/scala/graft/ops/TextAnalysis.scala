@@ -73,6 +73,30 @@ object TextAnalysis {
       element_at(a, 4).as("top_bigram_frac"))
   }
 
+  /** Composite C4/Gopher-style keep/drop decision with a reason code —
+    * the single filter pass a training pipeline runs after stats are
+    * known. Lexical rules (length, language, quality) evaluate on
+    * `rawText`; structural rules (line duplication, bigram dominance) on
+    * `linedText` (pass the same column twice when documents already carry
+    * line structure). Rules fire in fixed order; reason is the FIRST
+    * failing rule, or 'keep'. All thresholds compare exact integer counts
+    * or exact ratios, so decisions replicate on any engine. */
+  def filterDecision(rawText: Column, linedText: Column): Column = {
+    val nTok = tokenCount(rawText)
+    val lang = langId(rawText)
+    val q = qualityScore(rawText)
+    val rep = repetitionStats(linedText)
+    val reason =
+      when(nTok < 12, "too_short")
+        .when(nTok > 100000, "too_long")
+        .when(lang === "unknown", "lang_unknown")
+        .when(rep.getField("dup_line_frac") > 0.08, "dup_lines")
+        .when(rep.getField("top_bigram_frac") > 0.09, "repetitive_bigrams")
+        .when(q < 50, "low_quality")
+        .otherwise("keep")
+    struct((reason === "keep").as("keep"), reason.as("reason"))
+  }
+
   // PII patterns: RE2-compatible (no lookarounds/backrefs) so the same
   // pattern runs identically under Java regex (Spark) and RE2 (DuckDB,
   // Go-based engines). Order of application: email, then IP, then phone —

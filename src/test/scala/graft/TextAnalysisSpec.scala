@@ -63,4 +63,18 @@ class TextAnalysisSpec extends SparkSpec {
     val out = df.select(TextAnalysis.langId(col("t"))).as[String].collect()
     assert(out.toSeq === Seq("en", "de", "es", "unknown"))
   }
+
+  test("filterDecision: first failing rule wins; clean text keeps") {
+    val rows = Seq(
+      ("short", "short"),                                  // too_short
+      ("the quick brown fox of the meadow jumps over a lazy dog of note today", 
+       "the quick\nbrown fox\nof the\nmeadow jumps\nover a\nlazy dog\nof note\ntoday"),  // keep
+      ("xq zz " * 10 + "xq zz", "xq zz\n" * 10 + "xq zz") // unknown lang fires before dup_lines
+    ).toDF("raw", "lined")
+    val out = rows.select(TextAnalysis.filterDecision(col("raw"), col("lined")).as("d"))
+      .select("d.keep", "d.reason").as[(Boolean, String)].collect()
+    assert(out(0) === ((false, "too_short")))
+    assert(out(1) === ((true, "keep")))
+    assert(out(2) === ((false, "lang_unknown")))
+  }
 }
