@@ -375,6 +375,16 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ + exact re-rank. Rows-only like ann_ivf: the approximate phase is
+    * honestly recall-trading; SimilaritySpec checks recall vs brute force
+    * and partition-layout determinism. */
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, rerank = 50)
+      .orderBy("query_id", "rank")
+  }
+
   private def knnLabel(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.knnLabel(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label", k = 10)
@@ -553,6 +563,7 @@ object SparkEntry {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
     "knn_label" -> (knnLabel _),
     "knn_label_lsh" -> (knnLabelLsh _),
     "multimodal_meta" -> (multimodalMeta _),

@@ -194,6 +194,49 @@ case class CleanLinesExpr(child: Expression, hotSorted: Array[Long]) extends Una
     copy(child = newChild)
 }
 
+/** Product-quantization code indices of a vector against plan-embedded
+  * codebooks. */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Double], m: Int, ksub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.pqEncode(input.asInstanceOf[ArrayData], codebooks, m, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.pqEncode($c, $ref, $m, $ksub)")
+  }
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Per-query ADC distance table over plan-embedded codebooks. */
+case class PqTableExpr(child: Expression, codebooks: Array[Double], m: Int, ksub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.pqTable(input.asInstanceOf[ArrayData], codebooks, m, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.pqTable($c, $ref, $m, $ksub)")
+  }
+  override def prettyName: String = "pq_table"
+  override protected def withNewChildInternal(newChild: Expression): PqTableExpr =
+    copy(child = newChild)
+}
+
+/** ADC distance lookup: m table reads per candidate. */
+case class PqAdcExpr(left: Expression, right: Expression, ksub: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.pqAdc($a, $b, $ksub)")
+  override def prettyName: String = "pq_adc"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(left = l, right = r)
+}
+
 /** Per-document char-bigram counts, packed (code << 32 | count), ascending
   * code order. */
 case class CharBigramCountsExpr(child: Expression) extends UnaryExpression {
@@ -292,6 +335,18 @@ object gf {
   /** Repetition stats [n_lines, dup_line_frac, dup_line_char_frac,
     * top_bigram_frac] of a text column. */
   def repetitionStats(text: Column): Column = u(text)(RepetitionStatsExpr(_))
+
+  /** PQ code indices of a vector. */
+  def pqEncode(v: Column, codebooks: Array[Double], m: Int, ksub: Int): Column =
+    u(v)(PqEncodeExpr(_, codebooks, m, ksub))
+
+  /** Per-query ADC distance table. */
+  def pqTable(v: Column, codebooks: Array[Double], m: Int, ksub: Int): Column =
+    u(v)(PqTableExpr(_, codebooks, m, ksub))
+
+  /** ADC distance of (table, codes). */
+  def pqAdc(table: Column, codes: Column, ksub: Int): Column =
+    GraftBridge.column(PqAdcExpr(GraftBridge.expression(table), GraftBridge.expression(codes), ksub))
 
   /** Regroup words into k-word lines (deterministic line derivation). */
   def regroupLines(text: Column, k: Int): Column = u(text)(RegroupLinesExpr(_, k))

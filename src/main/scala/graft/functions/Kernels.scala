@@ -575,6 +575,76 @@ object Kernels {
       Array[Any](lines.length.toLong, nKept, UTF8String.fromString(sb.toString)))
   }
 
+  /** Product-quantization encode: the vector's m sub-spaces each map to
+    * the nearest of ksub codewords (codebooks flattened [m][ksub][dsub]).
+    * Returns m code indices (array<int>) — dim*4 bytes of floats compress
+    * to m small ints, the memory/bandwidth ratio PQ exists for. */
+  def pqEncode(v: ArrayData, codebooks: Array[Double], m: Int, ksub: Int): ArrayData = {
+    val dim = v.numElements()
+    val dsub = dim / m
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0
+        var i = 0
+        val base = (j * ksub + c) * dsub
+        while (i < dsub) {
+          val x = v.getFloat(j * dsub + i).toDouble - codebooks(base + i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC distance table: squared distance from each query
+    * sub-vector to each codeword, flattened [m][ksub]. Computed once per
+    * query; every candidate afterwards costs m array lookups. */
+  def pqTable(q: ArrayData, codebooks: Array[Double], m: Int, ksub: Int): ArrayData = {
+    val dim = q.numElements()
+    val dsub = dim / m
+    val out = new Array[Any](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0
+        var i = 0
+        val base = (j * ksub + c) * dsub
+        while (i < dsub) {
+          val x = q.getFloat(j * dsub + i).toDouble - codebooks(base + i)
+          d += x * x
+          i += 1
+        }
+        out(j * ksub + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC distance: sum of the table entries the code words select. */
+  def pqAdc(table: ArrayData, codes: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    var d = 0.0
+    var j = 0
+    while (j < m) {
+      d += table.getDouble(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    d
+  }
+
   /** Packed (code << 32 | count) array of [[charBigramCodes]]. */
   def charBigramCounts(text: UTF8String): ArrayData = {
     val m = charBigramCodes(text)

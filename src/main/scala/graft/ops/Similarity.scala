@@ -243,6 +243,111 @@ object Similarity {
     centroids
   }
 
+  /** Product-quantization ANN with exact re-rank — the compressed-index
+    * scale path: vectors are encoded as m sub-space code indices (dim*4
+    * float bytes -> m small ints, a ~32x memory/bandwidth compression at
+    * the 64-dim/m=8 default), each query precomputes one ADC distance
+    * table, candidate scoring is m table lookups instead of a dim-wide
+    * dot product, and the approximate top-`rerank` per query is re-ranked
+    * by exact cosine so the output ordering is exact over the candidate
+    * set.
+    *
+    * Codebooks train per sub-space on the same deterministic hash-sample
+    * as the IVF quantizer and ride the plan via addReferenceObj. The scan
+    * is still one pass over the corpus per query batch (compose with
+    * IVF cells to prune further); what PQ buys is that the pass reads
+    * compressed codes, the economics that matter when the index must live
+    * in memory at 100 TB. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 50,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): DataFrame = {
+    Dedup.requireLongId(corpus, idCol)
+    Dedup.requireLongId(queries, idCol)
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, sampleSize, seed)
+    val codes = corpus.select(
+      col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      gf.pqEncode(col(vecCol), codebooks, m, ksub).as("codes"))
+    val qt = queries.select(
+      col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("q_vec"),
+      gf.pqTable(col(vecCol), codebooks, m, ksub).as("tbl"))
+    // approximate phase: negate the ADC distance so the shared top-k
+    // aggregate (score DESC) keeps the closest candidates
+    val approx = codes.drop("c_vec").crossJoin(broadcast(qt.drop("q_vec")))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-gf.pqAdc(col("tbl"), col("codes"), ksub)).as("cos_sim"))
+    val candidates = rankTopK(approx, rerank).drop("rank")
+    // exact re-rank of the bounded candidate set
+    val exact = candidates
+      .join(codes.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .join(broadcast(qt.select(col("query_id"), col("q_vec"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+    rankTopK(exact, k)
+  }
+
+  /** Per-sub-space k-means codebooks on the deterministic hash-sample,
+    * flattened [m][ksub][dsub]. */
+  private def trainPqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      sampleSize: Int,
+      seed: Long): Array[Double] = {
+    val sample = corpus
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h"))
+      .limit(sampleSize)
+      .select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim must divide into $m sub-spaces")
+    val dsub = dim / m
+    val out = new Array[Double](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val rnd = new scala.util.Random(seed + j)
+      var centroids = rnd.shuffle(sub.toVector).take(ksub).map(_.clone).toArray
+      var iter = 0
+      while (iter < 10) {
+        val sums = Array.fill(centroids.length)(new Array[Double](dsub))
+        val counts = new Array[Long](centroids.length)
+        sub.foreach { v =>
+          val c = nearestCentroid(v, centroids)
+          var i = 0
+          while (i < dsub) { sums(c)(i) += v(i); i += 1 }
+          counts(c) += 1
+        }
+        centroids = centroids.indices.map { c =>
+          if (counts(c) == 0) centroids(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+        iter += 1
+      }
+      var c = 0
+      while (c < centroids.length) {
+        System.arraycopy(centroids(c), 0, out, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue

@@ -102,4 +102,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(lsh === exact)
   }
+
+  test("pqTopK: recall vs brute force on sf0.001 embeddings; bounded output") {
+    val queries = emb.where(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5, m = 8, ksub = 16, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    assert(recall >= 0.5, s"PQ recall $recall vs brute force")
+    assert(pq.groupBy(_._1).values.map(_.size).max <= 5)
+  }
+
+  test("pqTopK is deterministic across partition layouts") {
+    val queries = emb.where(col("vec_id") < 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(c, queries, "vec_id", "embedding", 5, rerank = 50)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(run(emb.repartition(3)) === run(emb.repartition(17)))
+  }
 }
