@@ -222,11 +222,12 @@ object SparkEntry {
   /** Composite quality filter: keep/drop + first-failing-rule reason over
     * length, language, repetition, and quality rules. */
   private def corpusFilter(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        TextAnalysis.filterDecision(col("text"),
-          graft.functions.gf.regroupLines(col("text"), 2)).as("d"))
-      .select(col("doc_id"), col("d.keep").as("keep"), col("d.reason").as("reason"))
+    TextAnalysis.filterCorpus(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            graft.functions.gf.regroupLines(col("text"), 2).as("lined")),
+        "text", "lined")
+      .select(col("doc_id"), col("keep"), col("reason"))
       .orderBy("doc_id")
 
   /** Mixture rebalancing to en:de:es:fr = 5:2:2:1 (zh dropped): the

@@ -86,15 +86,40 @@ object TextAnalysis {
     val lang = langId(rawText)
     val q = qualityScore(rawText)
     val rep = repetitionStats(linedText)
-    val reason =
-      when(nTok < 12, "too_short")
-        .when(nTok > 100000, "too_long")
-        .when(lang === "unknown", "lang_unknown")
-        .when(rep.getField("dup_line_frac") > 0.08, "dup_lines")
-        .when(rep.getField("top_bigram_frac") > 0.09, "repetitive_bigrams")
-        .when(q < 50, "low_quality")
-        .otherwise("keep")
-    struct((reason === "keep").as("keep"), reason.as("reason"))
+    struct(
+      (decideReason(nTok, lang, q, rep) === "keep").as("keep"),
+      decideReason(nTok, lang, q, rep).as("reason"))
+  }
+
+  private def decideReason(nTok: Column, lang: Column, q: Column, rep: Column): Column =
+    when(nTok < 12, "too_short")
+      .when(nTok > 100000, "too_long")
+      .when(lang === "unknown", "lang_unknown")
+      .when(rep.getField("dup_line_frac") > 0.08, "dup_lines")
+      .when(rep.getField("top_bigram_frac") > 0.09, "repetitive_bigrams")
+      .when(q < 50, "low_quality")
+      .otherwise("keep")
+
+  /** [[filterDecision]] over a whole frame, stats evaluated ONCE per row:
+    * a Column-only formulation re-evaluates each stat subexpression at
+    * every reference in the when-chain (the repetition kernel ran 4x per
+    * row, the 15 language-marker regex passes 2x — measured ~6x slower),
+    * so the stats materialize in their own projection and the decision
+    * reads plain columns. Appends `keep` and `reason`. */
+  def filterCorpus(df: DataFrame, rawCol: String, linedCol: String): DataFrame = {
+    // CollapseProject will not re-inline these into the decision's
+    // multiple references: an alias referenced more than once only
+    // collapses when its expression is cheap, and the stat kernels are not
+    val stats = df.select(col("*"),
+      tokenCount(col(rawCol)).as("__ntok"),
+      langId(col(rawCol)).as("__lang"),
+      qualityScore(col(rawCol)).as("__q"),
+      repetitionStats(col(linedCol)).as("__rep"))
+    stats
+      .withColumn("reason",
+        decideReason(col("__ntok"), col("__lang"), col("__q"), col("__rep")))
+      .withColumn("keep", col("reason") === "keep")
+      .drop("__ntok", "__lang", "__q", "__rep")
   }
 
   // PII patterns: RE2-compatible (no lookarounds/backrefs) so the same
