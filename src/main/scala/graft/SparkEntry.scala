@@ -151,11 +151,13 @@ object SparkEntry {
 
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"), TextAnalysis.qualityLangStats(col("text")).as("__st"))
+      .select(col("doc_id"), TextAnalysis.qualityScoreFrom(col("__st")).as("quality"))
 
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .select(col("doc_id"), TextAnalysis.qualityLangStats(col("text")).as("__st"))
+      .select(col("doc_id"), TextAnalysis.langIdFrom(col("__st")).as("pred_lang"))
 
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

@@ -152,6 +152,19 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass quality + language-ID stats:
+  * [n_tokens, n_uniq, n_punct, lang scores...] as array<long>. */
+case class QualityLangStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.qualityLangStats(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.qualityLangStats($c)")
+  override def prettyName: String = "quality_lang_stats"
+  override protected def withNewChildInternal(newChild: Expression): QualityLangStatsExpr =
+    copy(child = newChild)
+}
+
 /** Regroup whitespace-separated words into k-word '\n'-separated lines. */
 case class RegroupLinesExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -347,6 +360,9 @@ object gf {
   /** ADC distance of (table, codes). */
   def pqAdc(table: Column, codes: Column, ksub: Int): Column =
     GraftBridge.column(PqAdcExpr(GraftBridge.expression(table), GraftBridge.expression(codes), ksub))
+
+  /** One-pass quality + language-ID stats of a text column. */
+  def qualityLangStats(text: Column): Column = u(text)(QualityLangStatsExpr(_))
 
   /** Regroup words into k-word lines (deterministic line derivation). */
   def regroupLines(text: Column, k: Int): Column = u(text)(RegroupLinesExpr(_, k))

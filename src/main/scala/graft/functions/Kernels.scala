@@ -575,6 +575,62 @@ object Kernels {
       Array[Any](lines.length.toLong, nKept, UTF8String.fromString(sb.toString)))
   }
 
+  /** Marker words per language for the language-ID heuristic — the single
+    * source of truth shared with TextAnalysis.langMarkers. */
+  val langMarkers: Array[(String, Array[String])] = Array(
+    "en" -> Array(" the ", " a ", " of "),
+    "de" -> Array(" der ", " und ", " die "),
+    "es" -> Array(" el ", " la ", " que "),
+    "fr" -> Array(" le ", " et ", " les "),
+    "zh" -> Array(" zh ", " zhong ", " wen "))
+
+  // Java \p{Punct}: !-/ :-@ [-` {-~
+  private def isAsciiPunct(c: Char): Boolean =
+    (c >= 33 && c <= 47) || (c >= 58 && c <= 64) || (c >= 91 && c <= 96) || (c >= 123 && c <= 126)
+
+  /** Non-overlapping left-to-right occurrence count — the same value
+    * replace-length arithmetic computes on any engine. */
+  private def countOccurrences(haystack: String, needle: String): Long = {
+    var n = 0L
+    var i = haystack.indexOf(needle)
+    while (i >= 0) { n += 1; i = haystack.indexOf(needle, i + needle.length) }
+    n
+  }
+
+  /** The quality + language-ID inputs in ONE pass over the document:
+    * [n_tokens, n_uniq_tokens, n_punct, score_lang_0, ..., score_lang_4]
+    * as array<long>. Token semantics match Spark's split(text, "\\s+")
+    * (limit -1: leading/trailing empties kept); punctuation is Java
+    * \p{Punct}; marker scores are non-overlapping occurrence counts over
+    * the space-padded lower-cased text — all exactly the integers the
+    * regex/replace-arithmetic formulations produce, without the ~18 regex
+    * passes they cost. */
+  def qualityLangStats(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val toks = ws.split(s, -1)
+    val uniq = new java.util.HashSet[String](toks.length * 2)
+    var i = 0
+    while (i < toks.length) { uniq.add(toks(i)); i += 1 }
+    var nPunct = 0L
+    i = 0
+    while (i < s.length) { if (isAsciiPunct(s.charAt(i))) nPunct += 1; i += 1 }
+    val padded = " " + s.toLowerCase(java.util.Locale.ROOT) + " "
+    val out = new Array[Any](3 + langMarkers.length)
+    out(0) = toks.length.toLong
+    out(1) = uniq.size.toLong
+    out(2) = nPunct
+    var li = 0
+    while (li < langMarkers.length) {
+      val markers = langMarkers(li)._2
+      var sc = 0L
+      var mi = 0
+      while (mi < markers.length) { sc += countOccurrences(padded, markers(mi)); mi += 1 }
+      out(3 + li) = sc
+      li += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Product-quantization encode: the vector's m sub-spaces each map to
     * the nearest of ksub codewords (codebooks flattened [m][ksub][dsub]).
     * Returns m code indices (array<int>) — dim*4 bytes of floats compress

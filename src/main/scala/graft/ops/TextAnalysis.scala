@@ -32,31 +32,36 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the normalized content. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** One-pass quality + language-ID inputs (array<long>): project this
+    * once per row and derive with [[qualityScoreFrom]]/[[langIdFrom]] —
+    * the regex formulations these kernels replace cost ~18 passes over
+    * each document. */
+  def qualityLangStats(text: Column): Column = graft.functions.gf.qualityLangStats(text)
+
   /** Heuristic quality score in [0,100]: rewards moderate length, word
     * diversity, and low punctuation density. Integer-valued for exact
     * cross-engine comparison. */
-  def qualityScore(text: Column): Column = {
-    val toks = split(text, "\\s+")
-    val nTok = size(toks)
-    val nUniq = size(array_distinct(toks))
-    val nPunct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
-    val lenScore = least(nTok, lit(50)) // up to 50 points for length
+  def qualityScore(text: Column): Column = qualityScoreFrom(qualityLangStats(text))
+
+  /** [[qualityScore]] from an already-projected [[qualityLangStats]]. */
+  def qualityScoreFrom(st: Column): Column = {
+    val nTok = element_at(st, 1)
+    val nUniq = element_at(st, 2)
+    val nPunct = element_at(st, 3)
+    val lenScore = least(nTok, lit(50L)) // up to 50 points for length
     // floor() so the value is integral before the int cast: Spark casts
     // double→int by truncation while other engines round — floor is portable
-    val divScore = floor(nUniq * lit(40) / greatest(nTok, lit(1))) // up to 40
-    val punctPenalty = least(nPunct, lit(10)) // up to -10
-    greatest(lit(0), least(lit(100), lenScore + divScore - punctPenalty + lit(10)))
+    val divScore = floor(nUniq * lit(40) / greatest(nTok, lit(1L))) // up to 40
+    val punctPenalty = least(nPunct, lit(10L)) // up to -10
+    greatest(lit(0L), least(lit(100L), lenScore + divScore - punctPenalty + lit(10L)))
       .cast("int")
   }
 
   /** Marker words per language for the n-gram/stopword language-ID
-    * heuristic. Deterministic argmax with lexicographic tie-break. */
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq(" the ", " a ", " of "),
-    "de" -> Seq(" der ", " und ", " die "),
-    "es" -> Seq(" el ", " la ", " que "),
-    "fr" -> Seq(" le ", " et ", " les "),
-    "zh" -> Seq(" zh ", " zhong ", " wen "))
+    * heuristic (single source: [[graft.functions.Kernels.langMarkers]]).
+    * Deterministic argmax with tie-break by list order. */
+  val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.Kernels.langMarkers.toSeq.map { case (l, ws) => l -> ws.toSeq }
 
   /** Gopher-style repetition signals as a named struct: line-level
     * duplication and top-bigram dominance — the classic boilerplate/spam
@@ -111,15 +116,14 @@ object TextAnalysis {
     // multiple references: an alias referenced more than once only
     // collapses when its expression is cheap, and the stat kernels are not
     val stats = df.select(col("*"),
-      tokenCount(col(rawCol)).as("__ntok"),
-      langId(col(rawCol)).as("__lang"),
-      qualityScore(col(rawCol)).as("__q"),
+      qualityLangStats(col(rawCol)).as("__qls"),
       repetitionStats(col(linedCol)).as("__rep"))
     stats
       .withColumn("reason",
-        decideReason(col("__ntok"), col("__lang"), col("__q"), col("__rep")))
+        decideReason(element_at(col("__qls"), 1), langIdFrom(col("__qls")),
+          qualityScoreFrom(col("__qls")), col("__rep")))
       .withColumn("keep", col("reason") === "keep")
-      .drop("__ntok", "__lang", "__q", "__rep")
+      .drop("__qls", "__rep")
   }
 
   // PII patterns: RE2-compatible (no lookarounds/backrefs) so the same
@@ -148,10 +152,12 @@ object TextAnalysis {
 
   /** Predict language by total marker-word occurrences; ties broken by
     * language code order as listed (first wins), unknown when zero hits. */
-  def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    val scores = langMarkers.map { case (lang, words) =>
-      lang -> words.map(w => occurrences(padded, w)).reduce(_ + _)
+  def langId(text: Column): Column = langIdFrom(qualityLangStats(text))
+
+  /** [[langId]] from an already-projected [[qualityLangStats]] column. */
+  def langIdFrom(st: Column): Column = {
+    val scores = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(st, lit(i + 4))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("unknown"): Column) { case ((lang, s), acc) =>
