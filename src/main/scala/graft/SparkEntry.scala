@@ -196,12 +196,14 @@ object SparkEntry {
   private def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
     val withPii = t(s, dir, "documents").select(
       col("doc_id"),
+      // % (sign-preserving remainder), not pmod: DuckDB's % matches it for
+      // negative ids, pmod would diverge
       concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com or +15551"),
-        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
-        lit(".0."), pmod(col("doc_id"), lit(100)).cast("string")).as("text"))
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string")).as("text"))
     withPii
       .select(col("doc_id"),
         TextAnalysis.piiCounts(col("text")).as("p"),
@@ -783,7 +785,8 @@ object SparkEntry {
         |ch AS (
         |  SELECT doc_id, i AS chunk_idx,
         |    list_slice(w, i*24+1, least(i*24+32, len(w))) AS c
-        |  FROM w0, unnest(generate_series(0, CAST(floor((len(w)-1)/24.0) AS BIGINT))) AS g(i)
+        |  FROM w0, unnest(generate_series(0,
+        |    greatest(CAST(floor((len(w) - 32 + 23)/24.0) AS BIGINT), 0))) AS g(i)
         |  WHERE len(w) > 0)
         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
         |  CAST(len(c) AS BIGINT) AS n_words,

@@ -446,7 +446,9 @@ object Kernels {
     while (lit.hasNext) {
       val e = lit.next()
       val cnt = e.getValue.intValue()
-      val len = e.getKey.length
+      // codepoints, not UTF-16 units — matches engines that len() by
+      // character (DuckDB) for supplementary-plane text
+      val len = e.getKey.codePointCount(0, e.getKey.length)
       distinctLines += 1
       totalLineChars += cnt.toLong * len
       dupLineChars += (cnt - 1).toLong * len
@@ -480,10 +482,11 @@ object Kernels {
       nLines.toDouble, dupLineFrac, dupLineCharFrac, topBigramFrac))
   }
 
-  // char-bigram code space: ASCII-folded chars (min(char, 127)), so the
-  // model is a fixed 128x128 table. The synthetic corpus is ASCII; for
-  // non-ASCII corpora the fold bucket 127 absorbs everything else (and any
-  // oracle must fold identically).
+  // char-bigram code space: ASCII-folded CODEPOINTS (min(cp, 127)), so the
+  // model is a fixed 128x128 table with bucket 127 absorbing everything
+  // non-ASCII. Iterating codepoints (not UTF-16 units) keeps bigram counts
+  // identical to engines that index by character (DuckDB text[i]) even for
+  // supplementary-plane text.
   final val BigramVocab = 128
 
   /** Per-document char-bigram counts in ASCENDING code order, one pass:
@@ -494,12 +497,16 @@ object Kernels {
     val s = text.toString
     val m = new java.util.TreeMap[Integer, Integer]()
     var i = 0
-    while (i < s.length - 1) {
-      val a = math.min(s.charAt(i).toInt, BigramVocab - 1)
-      val b = math.min(s.charAt(i + 1).toInt, BigramVocab - 1)
-      m.merge(Integer.valueOf(a * BigramVocab + b), Integer.valueOf(1),
-        (x, y) => Integer.valueOf(x.intValue + y.intValue))
-      i += 1
+    var prev = -1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val cur = math.min(cp, BigramVocab - 1)
+      if (prev >= 0) {
+        m.merge(Integer.valueOf(prev * BigramVocab + cur), Integer.valueOf(1),
+          (x, y) => Integer.valueOf(x.intValue + y.intValue))
+      }
+      prev = cur
+      i += Character.charCount(cp)
     }
     m
   }

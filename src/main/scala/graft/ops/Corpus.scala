@@ -86,10 +86,12 @@ object Corpus {
       .collect()
       .map(r => r.get(0).toString -> r.getLong(1))
       .toMap
-    val present = weights.filter { case (s, _) => counts.contains(s) }
-    require(present.nonEmpty, "no stratum in `weights` exists in the data")
-    val n = present.map { case (s, w) => counts(s) * totalW / w }.min
-    val caps = present.map { case (s, w) => s -> n * w / totalW }
+    val absent = weights.keySet.filterNot(counts.contains)
+    require(absent.isEmpty,
+      s"weighted strata absent from the data: ${absent.toSeq.sorted.mkString(", ")} — " +
+        "the target mixture is unfillable by downsampling; drop them from `weights`")
+    val n = weights.map { case (s, w) => counts(s) * totalW / w }.min
+    val caps = weights.map { case (s, w) => s -> n * w / totalW }
     val capExpr = caps.foldLeft(lit(-1L)) { case (acc, (s, cap)) =>
       when(col(stratumCol) === s, lit(cap)).otherwise(acc)
     }
@@ -103,9 +105,12 @@ object Corpus {
 
   /** Split each document into fixed-size overlapping word chunks — the
     * context-window preparation step for embedding or training pipelines.
-    * Chunk i covers words [i*stride, i*stride + chunkWords); the last
-    * chunk may be shorter; a document with n words yields
-    * ceil(n / stride) chunks. Pure per-row explode — a narrow map with no
+    * Chunk i covers words [i*stride, i*stride + chunkWords); chunking
+    * stops at the first window that reaches the document's end (n <=
+    * chunkWords gives one chunk; otherwise 1 + ceil((n - chunkWords) /
+    * stride) chunks), so no chunk is a pure suffix of its predecessor —
+    * a tail window that adds zero new words would be trained/embedded
+    * twice for nothing. Pure per-row explode — a narrow map with no
     * shuffle, embarrassingly parallel at any scale. */
   def chunk(
       docs: DataFrame,
@@ -121,7 +126,9 @@ object Corpus {
       .where(size(col("__w")) > 0)
       .select(col(idCol), col("__w"),
         posexplode(sequence(lit(0),
-          floor((size(col("__w")) - 1) / strideWords).cast("int"))).as(Seq("chunk_idx", "__i")))
+          greatest(
+            floor((size(col("__w")) - chunkWords + strideWords - 1) / strideWords),
+            lit(0)).cast("int"))).as(Seq("chunk_idx", "__i")))
       .select(
         col(idCol),
         col("chunk_idx").cast("long").as("chunk_idx"),

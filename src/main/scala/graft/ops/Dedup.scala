@@ -223,21 +223,29 @@ object Dedup {
   /** Banding candidates + exact-Jaccard verify over (id, __text) rows with
     * distinct contents — the representative-level core of
     * [[minhashLshPairsVerified]]. */
+  /** (id, band, bucket) banding rows over (id, __text) — the ONE banding
+    * scheme every minhash path shares (layout or salt changes here
+    * propagate to the self-join dedup AND the corpus-vs-eval
+    * decontamination identically). */
+  private def bandedSignature(
+      reps: DataFrame, n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rowsPerBand = numHashes / bands
+    reps
+      .select(col("id"), gf.minhashSig(col("__text"), n, numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(bi =>
+          hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*))
+          .as(Seq("band", "bucket")))
+  }
+
   private def minhashVerifiedRepPairs(
       reps: DataFrame,
       n: Int,
       numHashes: Int,
       bands: Int,
       threshold: Double): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val rowsPerBand = numHashes / bands
-    val sig = reps.select(
-      col("id"),
-      gf.minhashSig(col("__text"), n, numHashes).as("sig"))
-    val banded = sig.select(
-      col("id"),
-      posexplode(array((0 until bands).map(bi =>
-        hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*)).as(Seq("band", "bucket")))
+    val banded = bandedSignature(reps, n, numHashes, bands)
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("a_id"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("b_id")), Seq("band", "bucket"))
       .where(col("a_id") < col("b_id"))
@@ -421,15 +429,6 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     requireLongId(corpus, idCol)
     requireLongId(evalSet, idCol)
-    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val rowsPerBand = numHashes / bands
-
-    def bandedOf(reps: DataFrame): DataFrame = reps
-      .select(col("id"), gf.minhashSig(col("__text"), n, numHashes).as("sig"))
-      .select(col("id"),
-        posexplode(array((0 until bands).map(bi =>
-          hash(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand), lit(bi))): _*))
-          .as(Seq("band", "bucket")))
 
     val groups = canonicalGroups(corpus, idCol,
       TextAnalysis.fingerprint(col(textCol)), col(textCol))
@@ -439,21 +438,25 @@ object Dedup {
       .where(col("__text").isNotNull)
 
     // map-side band join: corpus bands stream past the broadcast eval buckets
-    val candidates = bandedOf(corpusReps)
-      .join(broadcast(bandedOf(evalDocs).select(
+    val candidates = bandedSignature(corpusReps, n, numHashes, bands)
+      .join(broadcast(bandedSignature(evalDocs, n, numHashes, bands).select(
         col("band"), col("bucket"), col("id").as("eval_id"))), Seq("band", "bucket"))
       .select(col("id").as("rep_id"), col("eval_id"))
       .dropDuplicates("rep_id", "eval_id")
 
-    // exact-Jaccard verify, candidates only; eval shingle sets broadcast,
-    // the corpus-side shingle join is AQE-broadcastable when contamination
-    // is sparse (the common case) and a plain key join otherwise
-    val corpusSh = corpusReps.select(
-      col("id").as("rep_id"), shingles(col("__text"), n).as("a_shl"))
+    // exact-Jaccard verify, candidates only: join the candidate rep ids
+    // back to payloads FIRST and shingle after, so the second
+    // tokenization pass is bounded by |candidates| — not a second full
+    // sweep of the corpus. Eval shingle sets broadcast; the corpus-side
+    // join is AQE-broadcastable when contamination is sparse (the common
+    // case) and a plain key join otherwise.
+    val candRepSh = candidates.select("rep_id").distinct()
+      .join(groups.select(col("rep_id"), col("__payload")), "rep_id")
+      .select(col("rep_id"), shingles(col("__payload"), n).as("a_shl"))
     val evalSh = evalDocs.select(
       col("id").as("eval_id"), shingles(col("__text"), n).as("b_shl"))
     val contaminatedReps = candidates
-      .join(corpusSh, "rep_id")
+      .join(candRepSh, "rep_id")
       .join(broadcast(evalSh), "eval_id")
       .withColumn("shared", size(array_intersect(col("a_shl"), col("b_shl"))))
       .where(col("shared") / (size(col("a_shl")) + size(col("b_shl")) - col("shared")) >= threshold)

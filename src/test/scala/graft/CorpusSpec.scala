@@ -65,13 +65,16 @@ class CorpusSpec extends SparkSpec {
     val out = Corpus.chunk(Seq(doc).toDF("doc_id", "text"), "doc_id", "text",
         chunkWords = 4, strideWords = 3)
       .orderBy("chunk_idx").collect()
-    // 10 words, stride 3 -> ceil(10/3) = 4 chunks; sizes 4,4,4,1
-    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L, 3L))
-    assert(out.map(_.getLong(2)).toSeq === Seq(4L, 4L, 4L, 1L))
+    // 10 words, window 4, stride 3 -> 1 + ceil((10-4)/3) = 3 chunks; the
+    // window starting at 9 would be a pure suffix of chunk 2 and is not cut
+    assert(out.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(4L, 4L, 4L))
     val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(out(0).getString(3) === md5("w1 w2 w3 w4"))
-    assert(out(3).getString(3) === md5("w10"))
+    assert(out(2).getString(3) === md5("w7 w8 w9 w10"))
+    // exactly-chunk-sized and shorter docs yield one chunk
+    assert(Corpus.chunk(Seq((3L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 4, 3).count() === 1L)
     // empty doc yields no chunks
     assert(Corpus.chunk(Seq((2L, "  ")).toDF("doc_id", "text"), "doc_id", "text", 4, 3).count() === 0L)
   }
