@@ -189,6 +189,9 @@ object SparkEntry {
     * docs are boilerplate and get dropped from every document. */
   private def dedupLines(s: SparkSession, dir: String): DataFrame =
     Dedup.dropBoilerplateLines(linedDocs(s, dir), "text", "doc_id", minDocs = 10)
+      // the library operator returns the cleaned TEXT (a cleaned corpus is
+      // the product); the catalog hashes it for the driver's value compare
+      .withColumn("cleaned_key", md5(col("cleaned"))).drop("cleaned")
       .orderBy("doc_id")
 
   /** PII redaction: deterministic synthetic contact info (derived from the
@@ -246,6 +249,8 @@ object SparkEntry {
   /** Fixed-size overlapping word chunks (32-word windows, stride 24). */
   private def corpusChunk(s: SparkSession, dir: String): DataFrame =
     Corpus.chunk(t(s, dir, "documents"), "doc_id", "text", chunkWords = 32, strideWords = 24)
+      // ops layer returns chunk TEXT; hash it here for the value compare
+      .withColumn("chunk_key", md5(col("chunk_text"))).drop("chunk_text")
       .orderBy("doc_id", "chunk_idx")
 
   /** Rollup stats per (lang, source) + subtotals + grand total. */
@@ -473,13 +478,18 @@ object SparkEntry {
     * pair counting run distributed; the 5x5 Bradley–Terry solve is driver
     * side (reference: sutro/templates/evals.py:182). */
   private def eloRatings(s: SparkSession, dir: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val entries = TextAnalysis.langMarkers.map { case (lang, words) =>
+    // ballots from the one-pass qualityLangStats kernel: elements 4+ are
+    // the per-language marker totals — the same non-overlapping occurrence
+    // counts over the padded lower-cased text that the 15-regexp_replace
+    // formulation computed, in ONE pass per document. Projection barrier so
+    // the kernel evaluates once, not once per ballot entry.
+    val entries = TextAnalysis.langMarkers.zipWithIndex.map { case ((lang, _), i) =>
       struct(
-        (lit(0) - words.map(w => TextAnalysis.occurrences(padded, w)).reduce(_ + _)).as("negscore"),
+        (lit(0) - element_at(col("__st"), lit(i + 4))).as("negscore"),
         lit(lang).as("lang"))
     }
     val ballots = t(s, dir, "documents")
+      .select(TextAnalysis.qualityLangStats(col("text")).as("__st"))
       .select(transform(array_sort(array(entries: _*)), e => e.getField("lang")).as("ballot"))
     Elo.ratings(ballots, "ballot")
       .select(col("label"), round(col("elo"), 2).as("elo"),

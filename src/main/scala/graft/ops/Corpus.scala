@@ -81,7 +81,10 @@ object Corpus {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
     val totalW = weights.values.sum
+    // null strata can never be weighted (the cap expression drops them),
+    // so exclude them up front — r.get(0).toString would NPE on the driver
     val counts = df
+      .where(col(stratumCol).isNotNull)
       .groupBy(stratumCol).agg(count(lit(1)).as("n"))
       .collect()
       .map(r => r.get(0).toString -> r.getLong(1))
@@ -137,7 +140,7 @@ object Corpus {
         col(idCol),
         col("chunk_idx"),
         size(col("__c")).cast("long").as("n_words"),
-        md5(array_join(col("__c"), " ")).as("chunk_key"))
+        array_join(col("__c"), " ").as("chunk_text"))
   }
 
   /** Pack documents into training sequences by cumulative token budget:

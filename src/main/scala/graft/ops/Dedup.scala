@@ -490,6 +490,9 @@ object Dedup {
     // pass 1 — line-frequency: per-doc line fingerprints from a one-pass
     // kernel (the shuffle carries (8-byte fp, id), never line text),
     // groupBy fp with two-phase distinct-doc counting
+    // limit BEFORE collect: an oversized hot set must fail without first
+    // materializing millions of rows on the driver (the guard would
+    // otherwise fire only after the OOM risk it exists to prevent)
     val hotRows = docs
       .select(col(idCol).cast("long").as("id"),
         explode(gf.lineFps(col(textCol))).as("fp"))
@@ -497,9 +500,10 @@ object Dedup {
       .agg(countDistinct(col("id")).as("df"))
       .where(col("df") >= minDocs)
       .select("fp")
+      .limit(maxBoilerplate + 1)
       .collect()
     require(hotRows.length <= maxBoilerplate,
-      s"boilerplate set has ${hotRows.length} distinct lines (> $maxBoilerplate); " +
+      s"boilerplate set exceeds $maxBoilerplate distinct lines; " +
         "raise minDocs or maxBoilerplate")
     val hotSorted = hotRows.map(_.getLong(0)).sorted
     // pass 2 — narrow map: one kernel call per document removes hot lines
@@ -517,7 +521,7 @@ object Dedup {
         col("c.n_lines").as("n_lines"),
         col("c.n_kept").as("n_kept"),
         (col("c.n_lines") - col("c.n_kept")).as("n_dropped"),
-        md5(col("c.cleaned")).as("cleaned_key"))
+        col("c.cleaned").as("cleaned"))
   }
 
   /** One-call near-dup pipeline — the composition every training corpus

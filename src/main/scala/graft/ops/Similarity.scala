@@ -223,7 +223,9 @@ object Similarity {
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
     val rnd = new scala.util.Random(seed)
-    var centroids = rnd.shuffle(sample.toVector).take(nlist).map(_.clone).toArray
+    // seed from DISTINCT sample vectors: duplicate seeds collapse two cells
+    // into one attractor and strand the other as an empty phantom cell
+    var centroids = seedCentroids(sample, nlist, rnd)
     var iter = 0
     while (iter < 10) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
@@ -313,6 +315,9 @@ object Similarity {
       .select(col(vecCol))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
+    require(sample.length >= ksub,
+      s"PQ needs a training sample of at least ksub=$ksub vectors, got ${sample.length} — " +
+        "shrink ksub or grow the corpus/sampleSize")
     val dim = sample.head.length
     require(dim % m == 0, s"vector dim $dim must divide into $m sub-spaces")
     val dsub = dim / m
@@ -321,7 +326,9 @@ object Similarity {
     while (j < m) {
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
       val rnd = new scala.util.Random(seed + j)
-      var centroids = rnd.shuffle(sub.toVector).take(ksub).map(_.clone).toArray
+      // distinct seeds: duplicate sample sub-vectors would seed identical
+      // codewords, leaving dead slots that only hurt quantization error
+      var centroids = seedCentroids(sub, ksub, rnd)
       var iter = 0
       while (iter < 10) {
         val sums = Array.fill(centroids.length)(new Array[Double](dsub))
@@ -346,6 +353,18 @@ object Similarity {
       j += 1
     }
     out
+  }
+
+  /** k seed centroids from DISTINCT vectors (shuffled deterministically);
+    * when fewer than k distinct vectors exist, the distinct set is cycled —
+    * duplicate seeds then tie on distance and lose to the lower index, so
+    * no untrained all-zero codeword can ever attract assignments. */
+  private def seedCentroids(
+      vecs: Array[Array[Double]],
+      k: Int,
+      rnd: scala.util.Random): Array[Array[Double]] = {
+    val distinct = rnd.shuffle(vecs.distinctBy(_.toSeq).toVector).take(k)
+    Array.tabulate(k)(i => distinct(i % distinct.length).clone)
   }
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
