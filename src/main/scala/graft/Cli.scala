@@ -105,7 +105,7 @@ object Cli {
       val features = graft.ops.Multimodal.extractFeatures(wp)
       val resized = graft.ops.Multimodal.resizeMeta(features, 128, 128)
       println(s"payloads: ${wp.count()}")
-      resized.select("doc_id", "mime", "n_bytes", "decoded_width", "decoded_height",
+      resized.select("doc_id", "format", "n_bytes", "width", "height",
         "resized_width", "resized_height").show(5)
       val frames = graft.ops.Multimodal.sampleFrames(wp, nFrames)
       println(s"frames sampled: ${frames.count()} ($nFrames per payload)")

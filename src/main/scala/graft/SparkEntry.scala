@@ -1289,27 +1289,38 @@ object SparkEntry {
         |  round(max(CASE WHEN bucket = 0 THEN cv END), 6) AS e0,
         |  round(sum(cv), 5) AS e_sum
         |FROM fin GROUP BY doc_id""".stripMargin,
-    // multimodal stub-decode is deterministic over the utf-8 payload bytes
-    // (all-ASCII corpus: byte == code point), so every MediaFeatures field
-    // is SQL-expressible: byte sum -> width/height, distinct bytes ->
-    // entropy proxy, first 4 bytes hex -> magic.
+    // multimodal: the Spark side synthesizes a REAL container (PNG / JPEG /
+    // WAV / GIF by doc_id % 4) around the utf-8 text bytes and then decodes
+    // its header with a real byte parser. The oracle recomputes what the
+    // parser must read back: every synthesized header field derives from
+    // the body byte sum (all-ASCII corpus: byte == code point) and the
+    // container overheads are fixed per format (PNG 57 = signature 8 +
+    // IHDR 25 + IDAT framing 12 + IEND 12; JPEG 41 = SOI 2 + APP0 18 +
+    // SOF0 19 + EOI 2; WAV 44; GIF 14 = header 13 + trailer 1) — so a
+    // decode bug anywhere (endianness, offsets, chunk walk) hash-fails.
     "multimodal_meta" ->
       """WITH chars AS (
         |  SELECT doc_id, unicode(text[i]) AS code
         |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)),
-        |stats AS (
-        |  SELECT doc_id, sum(code) AS bsum, count(DISTINCT code) AS distinct_bytes
-        |  FROM chars GROUP BY 1)
-        |SELECT d.doc_id,
-        |  CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes,
-        |  CASE CAST(d.doc_id % 4 AS INTEGER)
-        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-        |    WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-        |  list_aggregate(list_transform(range(1, least(length(d.text), 4)+1),
-        |    i -> printf('%02x', unicode(d.text[i]))), 'string_agg', '') AS magic,
-        |  CAST(64 + (s.bsum % 512) AS INTEGER) AS decoded_width,
-        |  CAST(64 + ((s.bsum // 7) % 512) AS INTEGER) AS decoded_height,
-        |  CAST(s.distinct_bytes AS BIGINT) AS entropy_m
-        |FROM documents d JOIN stats s ON d.doc_id = s.doc_id""".stripMargin
+        |f AS (
+        |  SELECT d.doc_id, CAST(d.doc_id % 4 AS INTEGER) AS kind,
+        |    octet_length(encode(d.text)) AS blen, coalesce(s.bsum, 0) AS bsum
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, sum(code) AS bsum FROM chars GROUP BY 1) s
+        |    ON d.doc_id = s.doc_id)
+        |SELECT doc_id,
+        |  CAST(blen + CASE kind WHEN 0 THEN 57 WHEN 1 THEN 41 WHEN 2 THEN 44 ELSE 14 END AS INTEGER) AS n_bytes,
+        |  CASE kind WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'audio/wav' ELSE 'image/gif' END AS mime,
+        |  CASE kind WHEN 0 THEN '89504e47' WHEN 1 THEN 'ffd8ffe0'
+        |    WHEN 2 THEN '52494646' ELSE '47494638' END AS magic,
+        |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'wav' ELSE 'gif' END AS format,
+        |  CAST(CASE WHEN kind = 2 THEN 0 ELSE 64 + bsum % 512 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN kind = 2 THEN 0 ELSE 64 + (bsum // 7) % 512 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN kind = 2 THEN 8000 + (bsum % 5) * 8000 ELSE 0 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN kind = 2 THEN 1 + bsum % 2 ELSE 0 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN kind = 2 THEN 16 ELSE 8 END AS INTEGER) AS bit_depth
+        |FROM f""".stripMargin
   )
 }

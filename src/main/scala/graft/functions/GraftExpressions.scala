@@ -312,6 +312,39 @@ case class ProbeCellsExpr(child: Expression, centroids: Array[Array[Double]], np
     copy(child = newChild)
 }
 
+/** Structurally valid media container (PNG/JPEG/WAV/GIF by docId % 4)
+  * around a binary body — header fields derived from the body byte sum
+  * (oracle-replicable arithmetic), real public byte layouts. */
+case class MediaContainerExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(docId: Any, body: Any): Any =
+    Kernels.mediaContainer(docId.asInstanceOf[Long], body.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.mediaContainer($a, $b)")
+  override def prettyName: String = "media_container"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MediaContainerExpr =
+    copy(left = l, right = r)
+}
+
+/** Real media header decode (PNG IHDR / JPEG SOF / WAV fmt / GIF LSD):
+  * struct(format, width, height, sample_rate, channels, bit_depth). */
+case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bit_depth", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Kernels.mediaHeader(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.mediaHeader($c)")
+  override def prettyName: String = "media_header"
+  override protected def withNewChildInternal(newChild: Expression): MediaHeaderExpr =
+    copy(child = newChild)
+}
+
 /** Column-typed API over the custom expressions. */
 object gf {
   private def u(c: Column)(f: Expression => Expression): Column =
@@ -395,4 +428,12 @@ object gf {
   /** nprobe nearest centroid indices (IVF probe list). */
   def probeCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     u(v)(ProbeCellsExpr(_, centroids, nprobe))
+
+  /** Valid media container bytes (format by docId % 4) around a body. */
+  def mediaContainer(docId: Column, body: Column): Column =
+    GraftBridge.column(MediaContainerExpr(GraftBridge.expression(docId), GraftBridge.expression(body)))
+
+  /** Decode a media header: struct(format, width, height, sample_rate,
+    * channels, bit_depth); unparseable bytes -> ("unknown", 0...). */
+  def mediaHeader(bytes: Column): Column = u(bytes)(MediaHeaderExpr(_))
 }

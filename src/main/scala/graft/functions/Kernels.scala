@@ -738,4 +738,185 @@ object Kernels {
     }
     new GenericArrayData(Array[Any](n.toDouble, sum))
   }
+
+  // ------------------------------------------------------------ media headers
+
+  private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+
+  /** A CRC-correct PNG chunk: length + type + data + CRC32(type ++ data). */
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
+    out.write(be32(data.length))
+    val t = typ.getBytes("US-ASCII")
+    out.write(t)
+    out.write(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(t)
+    crc.update(data)
+    out.write(be32(crc.getValue.toInt))
+  }
+
+  /** Synthesize a structurally valid media container around `body`, with
+    * every header field derived from the body's byte sum — the arithmetic
+    * any ANSI SQL engine replicates for oracle checking (for ASCII bodies,
+    * byte == code point):
+    *
+    *   kind = docId % 4: 0 PNG, 1 JPEG, 2 WAV, 3 GIF
+    *   width = 64 + bsum % 512, height = 64 + (bsum/7) % 512   (images)
+    *   sampleRate = 8000 + (bsum % 5) * 8000, channels = 1 + bsum % 2 (WAV)
+    *
+    * Real byte layouts (public file-format specs): PNG signature +
+    * CRC-correct IHDR/IDAT/IEND chunks (big-endian); JPEG SOI + JFIF APP0 +
+    * SOF0 (big-endian); RIFF/WAVE fmt + data chunks (little-endian);
+    * GIF89a logical screen descriptor (little-endian) + trailer. Image
+    * payload bytes are carried verbatim (IDAT content is not zlib — header
+    * parsing never inflates), so [[mediaHeader]] or any stock header parser
+    * reads the fields back. */
+  def mediaContainer(docId: Long, body: Array[Byte]): Array[Byte] = {
+    var bsum = 0L
+    var i = 0
+    while (i < body.length) { bsum += (body(i) & 0xff); i += 1 }
+    val w = (64 + bsum % 512).toInt
+    val h = (64 + (bsum / 7) % 512).toInt
+    val sr = (8000 + (bsum % 5) * 8000).toInt
+    val ch = (1 + bsum % 2).toInt
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    (((docId % 4) + 4) % 4).toInt match {
+      case 0 => // PNG
+        out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+        val ihdr = new java.io.ByteArrayOutputStream(13)
+        ihdr.write(be32(w)); ihdr.write(be32(h))
+        ihdr.write(8)  // bit depth
+        ihdr.write(6)  // color type RGBA
+        ihdr.write(0); ihdr.write(0); ihdr.write(0) // compression/filter/interlace
+        pngChunk(out, "IHDR", ihdr.toByteArray)
+        pngChunk(out, "IDAT", body)
+        pngChunk(out, "IEND", Array.emptyByteArray)
+      case 1 => // JPEG: SOI + APP0(JFIF) + SOF0(3 components) + body + EOI
+        out.write(Array(0xff, 0xd8).map(_.toByte))
+        out.write(Array(0xff, 0xe0).map(_.toByte))
+        out.write(be16(16))
+        out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+        out.write(1); out.write(1) // version 1.1
+        out.write(0)               // density units
+        out.write(be16(1)); out.write(be16(1)) // x/y density
+        out.write(0); out.write(0) // thumbnail
+        out.write(Array(0xff, 0xc0).map(_.toByte))
+        out.write(be16(17)) // 8 + 3*3
+        out.write(8)        // precision
+        out.write(be16(h)); out.write(be16(w))
+        out.write(3)        // components
+        var c = 1
+        while (c <= 3) { out.write(c); out.write(0x11); out.write(0); c += 1 }
+        out.write(body, 0, body.length)
+        out.write(Array(0xff, 0xd9).map(_.toByte))
+      case 2 => // WAV: RIFF/WAVE + fmt (PCM 16-bit) + data
+        out.write("RIFF".getBytes("US-ASCII"))
+        out.write(le32(36 + body.length))
+        out.write("WAVE".getBytes("US-ASCII"))
+        out.write("fmt ".getBytes("US-ASCII"))
+        out.write(le32(16))
+        out.write(le16(1))  // PCM
+        out.write(le16(ch))
+        out.write(le32(sr))
+        out.write(le32(sr * ch * 2)) // byte rate
+        out.write(le16(ch * 2))      // block align
+        out.write(le16(16))          // bits per sample
+        out.write("data".getBytes("US-ASCII"))
+        out.write(le32(body.length))
+        out.write(body, 0, body.length)
+      case _ => // GIF89a, no global color table, color resolution 8
+        out.write("GIF89a".getBytes("US-ASCII"))
+        out.write(le16(w)); out.write(le16(h))
+        out.write(0x70) // packed: GCT off, color resolution bits = 7 -> 8
+        out.write(0)    // background color
+        out.write(0)    // aspect ratio
+        out.write(body, 0, body.length)
+        out.write(0x3b) // trailer
+    }
+    out.toByteArray
+  }
+
+  private def rBE16(b: Array[Byte], i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def rBE32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def rLE16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def rLE32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def hasPrefix(b: Array[Byte], p: Array[Int]): Boolean = {
+    if (b.length < p.length) return false
+    var i = 0
+    while (i < p.length) { if ((b(i) & 0xff) != p(i)) return false; i += 1 }
+    true
+  }
+
+  private def mediaRow(format: String, w: Int, h: Int, sr: Int, ch: Int, depth: Int) =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(format), w, h, sr, ch, depth))
+
+  /** REAL media header decode — no codec libraries, just the public byte
+    * layouts: PNG chunk walk to IHDR (big-endian dims + bit depth), JPEG
+    * segment walk to the first SOF marker (skipping APPn/COM/DQT by their
+    * declared lengths), RIFF chunk walk to `fmt ` (little-endian PCM
+    * fields, even-byte chunk padding per spec), GIF87a/89a logical screen
+    * descriptor. Returns (format, width, height, sample_rate, channels,
+    * bit_depth); fields that don't apply are 0; unparseable bytes decode as
+    * ("unknown", 0...) rather than throwing — at corpus scale a corrupt
+    * file must be a classifiable row, not a job abort. */
+  def mediaHeader(b: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    // PNG: 8-byte signature, then chunks of (len, type, data, crc)
+    if (hasPrefix(b, Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))) {
+      var i = 8
+      while (i + 8 <= b.length) {
+        val len = rBE32(b, i)
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        if (typ == "IHDR" && len >= 13 && i + 8 + 13 <= b.length)
+          return mediaRow("png", rBE32(b, i + 8), rBE32(b, i + 12), 0, 0, b(i + 16) & 0xff)
+        if (len < 0) return mediaRow("unknown", 0, 0, 0, 0, 0)
+        i += 12 + len
+      }
+      return mediaRow("unknown", 0, 0, 0, 0, 0)
+    }
+    // JPEG: SOI, then FF-marker segments; dims live in the first SOF
+    if (hasPrefix(b, Array(0xff, 0xd8))) {
+      var i = 2
+      while (i + 4 <= b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc // not DHT/JPG/DAC
+        if (isSof) {
+          if (i + 9 > b.length) return mediaRow("unknown", 0, 0, 0, 0, 0)
+          return mediaRow("jpeg", rBE16(b, i + 7), rBE16(b, i + 5), 0, 0, b(i + 4) & 0xff)
+        }
+        if (marker == 0xd8 || marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+        else if (marker == 0xd9) return mediaRow("unknown", 0, 0, 0, 0, 0) // EOI before SOF
+        else i += 2 + rBE16(b, i + 2)
+      }
+      return mediaRow("unknown", 0, 0, 0, 0, 0)
+    }
+    // RIFF/WAVE: chunk walk to "fmt " (chunks pad to even length per spec)
+    if (hasPrefix(b, Array(0x52, 0x49, 0x46, 0x46)) && b.length >= 12 &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE") {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = new String(b, i, 4, "US-ASCII")
+        val sz = rLE32(b, i + 4)
+        if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length)
+          return mediaRow("wav", 0, 0, rLE32(b, i + 12), rLE16(b, i + 10), rLE16(b, i + 22))
+        if (sz < 0) return mediaRow("unknown", 0, 0, 0, 0, 0)
+        i += 8 + sz + (sz & 1)
+      }
+      return mediaRow("unknown", 0, 0, 0, 0, 0)
+    }
+    // GIF87a / GIF89a logical screen descriptor
+    if ((hasPrefix(b, Array(0x47, 0x49, 0x46, 0x38, 0x37, 0x61)) ||
+         hasPrefix(b, Array(0x47, 0x49, 0x46, 0x38, 0x39, 0x61))) && b.length >= 13)
+      return mediaRow("gif", rLE16(b, 6), rLE16(b, 8), 0, 0, (((b(10) & 0xff) >> 4) & 7) + 1)
+    mediaRow("unknown", 0, 0, 0, 0, 0)
+  }
 }

@@ -2,57 +2,84 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import graft.functions.gf
 
-/** Multimodal plumbing: opaque binary payload columns with typed metadata.
+/** Multimodal plumbing: opaque binary payload columns with typed metadata
+  * and REAL header decoding.
   *
-  * In this container there are no image/audio decode libraries, so the
-  * decode step is a clearly-marked deterministic STUB — but everything
-  * Spark-side is real and tested: the binary column representation, the
-  * metadata schema, the per-partition batched transform shape (the same
-  * shape a vectorized decode UDF has: iterate batches, amortize model /
-  * codec setup per partition, emit rows), and the partitioning behavior.
+  * No codec libraries exist in this build, but none are needed for the
+  * metadata tier: PNG/JPEG/GIF/WAV header layouts are public byte formats,
+  * so [[extractFeatures]] decodes dimensions / sample rate / bit depth from
+  * the payload bytes with a codegen expression ([[graft.functions.gf
+  * .mediaHeader]]) — a narrow whole-stage-codegen map, no UDF, no shuffle.
+  * Pixel/sample DECODE (the step that does need libjpeg/ffmpeg) is shaped
+  * by [[sampleFrames]]: per-partition batched mapPartitions, the Scala
+  * analog of a vectorized mapInPandas decode where per-partition codec
+  * setup amortizes across rows.
   */
 object Multimodal {
 
-  /** Typed per-payload features. `decoded_*` fields come from the stub. */
+  /** Typed per-payload features from the real header decode. Fields that
+    * don't apply to a format are 0 (images: sample_rate/channels; audio:
+    * width/height); unparseable payloads decode as format "unknown". */
   case class MediaFeatures(
       doc_id: Long,
       n_bytes: Int,
       mime: String,
       magic: String,
-      decoded_width: Int,
-      decoded_height: Int,
-      entropy_m: Long)
+      format: String,
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      channels: Int,
+      bit_depth: Int)
 
-  /** Attach an opaque binary payload + metadata struct to each doc.
-    * Payload is the utf-8 text bytes (stand-in for real media bytes). */
+  /** Attach a binary media payload + metadata struct to each doc: the
+    * utf-8 text bytes (stand-in for real media content) wrapped in a
+    * structurally valid container — PNG, JPEG, WAV, or GIF by doc_id % 4 —
+    * whose header fields derive from the body's byte sum (see
+    * [[graft.functions.Kernels.mediaContainer]]). Real pipelines read real
+    * files here; everything downstream is format-faithful either way. */
   def withBinaryPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = gf.mediaContainer(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
     val mime = element_at(
-      array(lit("image/png"), lit("image/jpeg"), lit("audio/wav"), lit("video/mp4")),
+      array(lit("image/png"), lit("image/jpeg"), lit("audio/wav"), lit("image/gif")),
       (pmod(col(idCol), lit(4)) + 1).cast("int"))
     df.select(
       col(idCol),
-      encode(col(textCol), "UTF-8").as("payload"),
+      payload.as("payload"),
       struct(
-        length(encode(col(textCol), "UTF-8")).as("n_bytes"),
+        length(payload).as("n_bytes"),
         mime.as("mime")).as("media_meta"))
   }
 
-  /** STUB decode: deterministic pseudo-decode of a payload. A real decoder
-    * (libjpeg / ffmpeg / PIL via a vectorized UDF) replaces exactly this
-    * function; the batching around it stays unchanged. */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
-    // "width/height" derived from byte stats; entropy proxy = distinct bytes
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
-    val distinct = payload.distinct.length.toLong
-    val w = 64 + (sum % 512).toInt
-    val h = 64 + ((sum / 7) % 512).toInt
-    (w, h, distinct)
+  /** Real header decode over binary payloads — pure columnar: one codegen
+    * expression per row parses the container bytes (PNG chunk walk to
+    * IHDR, JPEG segment walk to SOF, RIFF chunk walk to `fmt `, GIF
+    * logical screen descriptor) into typed fields. Narrow map; partitioning
+    * and pushdown are untouched. */
+  def extractFeatures(withPayload: DataFrame): Dataset[MediaFeatures] = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.mime").as("mime"),
+        lower(hex(substring(col("payload"), 1, 4))).as("magic"),
+        gf.mediaHeader(col("payload")).as("hd"))
+      .select(
+        col("doc_id"), col("n_bytes"), col("mime"), col("magic"),
+        col("hd.format").as("format"),
+        col("hd.width").as("width"),
+        col("hd.height").as("height"),
+        col("hd.sample_rate").as("sample_rate"),
+        col("hd.channels").as("channels"),
+        col("hd.bit_depth").as("bit_depth"))
+      .as[MediaFeatures]
   }
 
-  /** One sampled "frame" of a (stub-decoded) video payload. */
+  /** One sampled "frame" of a binary payload. */
   case class FrameFeatures(
       doc_id: Long,
       frame_idx: Int,
@@ -60,15 +87,17 @@ object Multimodal {
       frame_checksum: Long)
 
   /** Frame sampling over binary payloads: emit `nFrames` evenly-spaced
-    * frames per payload (STUB decode: a frame is a byte slice + checksum;
-    * a real sampler seeks keyframes via the codec). The Spark shape is the
-    * real part: per-partition batching, one row in -> nFrames rows out,
-    * no driver involvement. */
+    * frames per payload (a frame here is a byte slice + checksum; a real
+    * sampler seeks keyframes via the codec). The Spark shape is the real
+    * part and is exactly what a codec-backed version keeps: per-partition
+    * batching so codec setup amortizes, one row in -> nFrames rows out, no
+    * driver involvement. */
   def sampleFrames(withPayload: DataFrame, nFrames: Int): Dataset[FrameFeatures] = {
     val spark = withPayload.sparkSession
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // per-partition codec context setup would go here (once, amortized)
         rows.flatMap { case (id, payload) =>
           val step = math.max(payload.length / math.max(nFrames, 1), 1)
           (0 until nFrames).iterator.map { f =>
@@ -83,41 +112,18 @@ object Multimodal {
       }
   }
 
-  /** STUB resize: recompute "decoded" dimensions for a target box keeping
-    * aspect; real implementation swaps in a codec call, the columnar shape
-    * (narrow map, no shuffle) stays. */
+  /** Resize metadata for a target box keeping aspect ratio (images only;
+    * zero-dimension rows pass through unscaled). A codec-backed resize
+    * swaps in the pixel work; the columnar shape (narrow map, no shuffle)
+    * stays. */
   def resizeMeta(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): DataFrame = {
     val df = features.toDF()
-    val scale = least(
-      lit(maxW).cast("double") / col("decoded_width"),
-      lit(maxH).cast("double") / col("decoded_height"),
-      lit(1.0))
-    df.withColumn("resized_width", floor(col("decoded_width") * scale).cast("int"))
-      .withColumn("resized_height", floor(col("decoded_height") * scale).cast("int"))
-  }
-
-  /** Batched per-partition feature extraction over binary payloads.
-    *
-    * mapPartitions so per-partition setup (a real codec context) happens
-    * once per partition, not per row — the Scala analog of mapInPandas
-    * batch processing.
-    */
-  def extractFeatures(withPayload: DataFrame): Dataset[MediaFeatures] = {
-    val spark = withPayload.sparkSession
-    import spark.implicits._
-    withPayload
-      .select(
-        col("doc_id"), col("payload"),
-        col("media_meta.n_bytes").as("n_bytes"),
-        col("media_meta.mime").as("mime"))
-      .as[(Long, Array[Byte], Int, String)]
-      .mapPartitions { rows =>
-        // per-partition "codec" setup would go here (once, amortized)
-        rows.map { case (id, payload, nBytes, mime) =>
-          val magic = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
-          val (w, h, ent) = decodeStub(payload)
-          MediaFeatures(id, nBytes, mime, magic, w, h, ent)
-        }
-      }
+    val scale = when(col("width") > 0 && col("height") > 0,
+      least(
+        lit(maxW).cast("double") / col("width"),
+        lit(maxH).cast("double") / col("height"),
+        lit(1.0))).otherwise(lit(1.0))
+    df.withColumn("resized_width", floor(col("width") * scale).cast("int"))
+      .withColumn("resized_height", floor(col("height") * scale).cast("int"))
   }
 }
