@@ -395,6 +395,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF x PQ composed (IVFADC). Rows-only like ann_ivf/ann_pq: cell
+    * pruning + residual-code scoring are honestly recall-trading;
+    * SimilaritySpec checks recall vs brute force, partition-layout
+    * determinism, and persistent-index/direct equality. */
+  private def annIvfpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50)
+      .orderBy("query_id", "rank")
+  }
+
   private def knnLabel(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.knnLabel(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label", k = 10)
@@ -579,6 +590,7 @@ object SparkEntry {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfpq _),
     "knn_label" -> (knnLabel _),
     "knn_label_lsh" -> (knnLabelLsh _),
     "multimodal_meta" -> (multimodalMeta _),

@@ -312,6 +312,22 @@ case class ProbeCellsExpr(child: Expression, centroids: Array[Array[Double]], np
     copy(child = newChild)
 }
 
+/** Residual of an array<float> vector against its coarse cell's centroid
+  * (plan-embedded centroid table) — the IVFADC encode/query input. */
+case class CellResidualExpr(left: Expression, right: Expression, centroids: Array[Array[Double]])
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any, cell: Any): Any =
+    Kernels.cellResidual(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int], centroids)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.cellResidual($a, $b, $ref)")
+  }
+  override def prettyName: String = "cell_residual"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CellResidualExpr =
+    copy(left = l, right = r)
+}
+
 /** Structurally valid media container (PNG/JPEG/WAV/GIF by docId % 4)
   * around a binary body — header fields derived from the body byte sum
   * (oracle-replicable arithmetic), real public byte layouts. */
@@ -428,6 +444,11 @@ object gf {
   /** nprobe nearest centroid indices (IVF probe list). */
   def probeCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     u(v)(ProbeCellsExpr(_, centroids, nprobe))
+
+  /** Residual of a vector against its coarse cell centroid (IVFADC). */
+  def cellResidual(v: Column, cell: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(CellResidualExpr(
+      GraftBridge.expression(v), GraftBridge.expression(cell), centroids))
 
   /** Valid media container bytes (format by docId % 4) around a body. */
   def mediaContainer(docId: Column, body: Column): Column =

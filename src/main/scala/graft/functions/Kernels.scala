@@ -696,6 +696,18 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Residual of a vector against its coarse cell centroid (v - c[cell]),
+    * as array<float> — the IVFADC composition: PQ codebooks train on and
+    * encode residuals, so codeword resolution concentrates on the
+    * within-cell displacement instead of re-describing the cell itself. */
+  def cellResidual(v: ArrayData, cell: Int, centroids: Array[Array[Double]]): ArrayData = {
+    val c = centroids(cell)
+    val out = new Array[Any](c.length)
+    var i = 0
+    while (i < c.length) { out(i) = (v.getFloat(i) - c(i)).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** ADC distance: sum of the table entries the code words select. */
   def pqAdc(table: ArrayData, codes: ArrayData, ksub: Int): Double = {
     val m = codes.numElements()

@@ -138,19 +138,7 @@ object Similarity {
     Dedup.requireLongId(corpus, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
-    // overwrite semantics across sessions: with the default in-memory
-    // catalog a previous JVM's table metadata is gone but its warehouse
-    // location persists, and saveAsTable refuses the orphan dir — drop
-    // both so rebuild is idempotent
-    Seq(tableName, s"${tableName}_centroids").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(warehouse, t))
-    }
+    dropIndexTables(spark, Seq(tableName, s"${tableName}_centroids"))
     val centroids = trainQuantizer(corpus, idCol, vecCol, nlist, sampleSize, seed)
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", gf.nearestCell(col("c_vec"), centroids))
@@ -163,6 +151,21 @@ object Similarity {
       .toDF("cell", "centroid")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_centroids")
   }
+
+  /** Overwrite semantics across sessions: with the default in-memory
+    * catalog a previous JVM's table metadata is gone but its warehouse
+    * location persists, and saveAsTable refuses the orphan dir — drop
+    * both so rebuild is idempotent. */
+  private def dropIndexTables(spark: org.apache.spark.sql.SparkSession, names: Seq[String]): Unit =
+    names.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(warehouse, t))
+    }
 
   /** Query a persistent IVF index built by [[ivfBuildIndex]]: loads the
     * (tiny) centroid table, probes nprobe cells per query, and joins the
@@ -214,20 +217,38 @@ object Similarity {
       nlist: Int,
       sampleSize: Int,
       seed: Long): Array[Array[Double]] = {
-    val sample = corpus
+    val sample = hashSample(corpus, idCol, vecCol, sampleSize)
+    require(sample.nonEmpty, "empty corpus")
+    kmeans(sample, nlist, new scala.util.Random(seed))
+  }
+
+  /** The deterministic training sample: the sampleSize smallest
+    * xxhash64(id) rows via per-partition top-k + driver merge — no full
+    * shuffle, independent of partition layout. */
+  private def hashSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sampleSize: Int): Array[Array[Double]] =
+    corpus
       .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h"))
       .limit(sampleSize)
       .select(col(vecCol))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "empty corpus")
+
+  /** Driver-side Lloyd's iterations from distinct-vector seeds ([[
+    * seedCentroids]]): duplicate seeds would collapse two cells into one
+    * attractor and strand the other as an empty phantom cell. */
+  private def kmeans(
+      sample: Array[Array[Double]],
+      k: Int,
+      rnd: scala.util.Random,
+      iters: Int = 10): Array[Array[Double]] = {
     val dim = sample.head.length
-    val rnd = new scala.util.Random(seed)
-    // seed from DISTINCT sample vectors: duplicate seeds collapse two cells
-    // into one attractor and strand the other as an empty phantom cell
-    var centroids = seedCentroids(sample, nlist, rnd)
+    var centroids = seedCentroids(sample, k, rnd)
     var iter = 0
-    while (iter < 10) {
+    while (iter < iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)
       sample.foreach { v =>
@@ -298,6 +319,170 @@ object Similarity {
     rankTopK(exact, k)
   }
 
+  /** IVF x PQ composed ANN (IVFADC, Jégou et al. 2011) — the shape real
+    * 100 TB ANN deployments run: the coarse quantizer prunes the corpus to
+    * nprobe cells per query AND the scan inside each cell reads compressed
+    * PQ codes instead of raw vectors. Codebooks train on cell RESIDUALS
+    * (v - centroid[cell]) so codeword resolution describes within-cell
+    * displacement, and each (query, probed cell) pair gets its own ADC
+    * table from the query's residual in that cell. Approximate top-`rerank`
+    * per query is re-ranked by exact cosine — output ordering is exact
+    * over the candidate set.
+    *
+    * Scale shape: centroids + codebooks are tiny and ride the plan; cell
+    * assignment and encoding are narrow codegen maps; the probe join
+    * touches nprobe/nlist of the corpus per query batch and moves
+    * (long, long, double) rows; the bounded-heap top-k keeps k rows per
+    * partition map-side. */
+  def ivfpqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 50,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): DataFrame = {
+    Dedup.requireLongId(corpus, idCol)
+    Dedup.requireLongId(queries, idCol)
+    val (centroids, codebooks) = trainIvfpq(corpus, idCol, vecCol, nlist, m, ksub, sampleSize, seed)
+    val coded = encodeIvfpq(corpus, idCol, vecCol, centroids, codebooks, m, ksub)
+    queryIvfpq(coded, queries, idCol, vecCol, centroids, codebooks, k, nprobe, m, ksub, rerank)
+  }
+
+  /** Build a PERSISTENT IVFADC index: the coded corpus (cell + PQ codes +
+    * raw vector for re-rank) bucketed BY CELL, with the centroid table and
+    * PQ codebooks stored alongside — index once, query many with no
+    * corpus-side shuffle at query time. */
+  def ivfpqBuildIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tableName: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      numBuckets: Int = 16,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): Unit = {
+    Dedup.requireLongId(corpus, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    dropIndexTables(spark, Seq(tableName, s"${tableName}_centroids", s"${tableName}_pq"))
+    val (centroids, codebooks) = trainIvfpq(corpus, idCol, vecCol, nlist, m, ksub, sampleSize, seed)
+    encodeIvfpq(corpus, idCol, vecCol, centroids, codebooks, m, ksub)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .format("parquet")
+      .saveAsTable(tableName)
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_centroids")
+    Seq((m, ksub, codebooks.toSeq)).toDF("m", "ksub", "codebooks")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_pq")
+  }
+
+  /** Query a persistent IVFADC index built by [[ivfpqBuildIndex]]. */
+  def ivfpqQueryIndex(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tableName: String,
+      k: Int,
+      nprobe: Int = 4,
+      rerank: Int = 50): DataFrame = {
+    Dedup.requireLongId(queries, idCol)
+    val spark = queries.sparkSession
+    val centroids = spark.table(s"${tableName}_centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val meta = spark.table(s"${tableName}_pq").head()
+    val codebooks = meta.getSeq[Double](2).toArray
+    queryIvfpq(spark.table(tableName), queries, idCol, vecCol, centroids, codebooks,
+      k, nprobe, meta.getInt(0), meta.getInt(1), rerank)
+  }
+
+  /** Coarse centroids + residual-space PQ codebooks from one deterministic
+    * hash-sample: the sample trains the quantizer, then its residuals
+    * against their assigned cells train the sub-space codebooks. */
+  private def trainIvfpq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      sampleSize: Int,
+      seed: Long): (Array[Array[Double]], Array[Double]) = {
+    val sample = hashSample(corpus, idCol, vecCol, sampleSize)
+    require(sample.nonEmpty, "empty corpus")
+    val centroids = kmeans(sample, nlist, new scala.util.Random(seed))
+    val residuals = sample.map { v =>
+      val c = centroids(nearestCentroid(v, centroids))
+      val r = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
+      r
+    }
+    (centroids, trainPqOnVectors(residuals, m, ksub, seed))
+  }
+
+  /** (neighbor_id, c_vec, cell, codes): cell assignment + residual PQ
+    * encode, both narrow codegen maps over the corpus scan. */
+  private def encodeIvfpq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Double],
+      m: Int,
+      ksub: Int): DataFrame =
+    corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", gf.nearestCell(col("c_vec"), centroids))
+      .withColumn("codes",
+        gf.pqEncode(gf.cellResidual(col("c_vec"), col("cell"), centroids), codebooks, m, ksub))
+
+  /** Probe nprobe cells per query, ADC-score the in-cell codes against the
+    * query's per-cell residual table, re-rank the bounded candidate set by
+    * exact cosine. */
+  private def queryIvfpq(
+      coded: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Double],
+      k: Int,
+      nprobe: Int,
+      m: Int,
+      ksub: Int,
+      rerank: Int): DataFrame = {
+    val qRaw = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
+    val q = qRaw
+      .withColumn("cell", explode(gf.probeCells(col("q_vec"), centroids, nprobe)))
+      .withColumn("tbl",
+        gf.pqTable(gf.cellResidual(col("q_vec"), col("cell"), centroids), codebooks, m, ksub))
+    // negate the ADC distance so the shared top-k (score DESC) keeps the
+    // closest candidates; same-cell meetings are unique per (query, cell)
+    val approx = coded.join(broadcast(q.select("query_id", "cell", "tbl")), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-gf.pqAdc(col("tbl"), col("codes"), ksub)).as("cos_sim"))
+    val candidates = rankTopK(approx, rerank).drop("rank")
+    val exact = candidates
+      .join(coded.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .join(broadcast(qRaw), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+    rankTopK(exact, k)
+  }
+
   /** Per-sub-space k-means codebooks on the deterministic hash-sample,
     * flattened [m][ksub][dsub]. */
   private def trainPqCodebooks(
@@ -308,13 +493,18 @@ object Similarity {
       ksub: Int,
       sampleSize: Int,
       seed: Long): Array[Double] = {
-    val sample = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
-      .orderBy(col("__h"))
-      .limit(sampleSize)
-      .select(col(vecCol))
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = hashSample(corpus, idCol, vecCol, sampleSize)
     require(sample.nonEmpty, "empty corpus")
+    trainPqOnVectors(sample, m, ksub, seed)
+  }
+
+  /** Per-sub-space k-means on an in-memory training set, flattened
+    * [m][ksub][dsub] — shared by raw-vector PQ and residual-vector IVFADC. */
+  private def trainPqOnVectors(
+      sample: Array[Array[Double]],
+      m: Int,
+      ksub: Int,
+      seed: Long): Array[Double] = {
     require(sample.length >= ksub,
       s"PQ needs a training sample of at least ksub=$ksub vectors, got ${sample.length} — " +
         "shrink ksub or grow the corpus/sampleSize")
@@ -325,26 +515,9 @@ object Similarity {
     var j = 0
     while (j < m) {
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      val rnd = new scala.util.Random(seed + j)
       // distinct seeds: duplicate sample sub-vectors would seed identical
       // codewords, leaving dead slots that only hurt quantization error
-      var centroids = seedCentroids(sub, ksub, rnd)
-      var iter = 0
-      while (iter < 10) {
-        val sums = Array.fill(centroids.length)(new Array[Double](dsub))
-        val counts = new Array[Long](centroids.length)
-        sub.foreach { v =>
-          val c = nearestCentroid(v, centroids)
-          var i = 0
-          while (i < dsub) { sums(c)(i) += v(i); i += 1 }
-          counts(c) += 1
-        }
-        centroids = centroids.indices.map { c =>
-          if (counts(c) == 0) centroids(c)
-          else sums(c).map(_ / counts(c))
-        }.toArray
-        iter += 1
-      }
+      val centroids = kmeans(sub, ksub, new scala.util.Random(seed + j))
       var c = 0
       while (c < centroids.length) {
         System.arraycopy(centroids(c), 0, out, (j * ksub + c) * dsub, dsub)

@@ -122,4 +122,40 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(run(emb.repartition(3)) === run(emb.repartition(17)))
   }
+
+  test("ivfpqTopK: recall vs brute force on sf0.001 embeddings; bounded output") {
+    val queries = emb.where(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfpqTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivfpq).size.toDouble / bf.size
+    // composed pruning (cells AND codes) on uniform-random vectors — the
+    // ANN worst case; demand real signal, not perfection
+    assert(recall >= 0.4, s"IVFADC recall $recall vs brute force")
+    assert(ivfpq.groupBy(_._1).values.map(_.size).max <= 5)
+  }
+
+  test("ivfpq subsets ivf candidates sensibly and is deterministic across layouts") {
+    val queries = emb.where(col("vec_id") < 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfpqTopK(c, queries, "vec_id", "embedding", 5, rerank = 50)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(run(emb.repartition(3)) === run(emb.repartition(17)))
+  }
+
+  test("ivfpq persistent index: build once, query equals direct ivfpqTopK") {
+    val queries = emb.where(col("vec_id") < 20)
+    Similarity.ivfpqBuildIndex(emb, "vec_id", "embedding", "graft_ivfpq_idx",
+      nlist = 16, m = 8, ksub = 16)
+    val viaIndex = Similarity.ivfpqQueryIndex(queries, "vec_id", "embedding", "graft_ivfpq_idx",
+        k = 5, nprobe = 4, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Similarity.ivfpqTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex === direct)
+  }
 }
