@@ -540,6 +540,15 @@ object SparkEntry {
       .select(col("user_id"), col("n_sessions"), col("n_events"))
       .orderBy("user_id")
 
+  /** Engine-native session_window sessionization — the bounded-memory
+    * streaming path (spillable in-operator sort + state-store session
+    * merging; a skewed user cannot OOM an executor). Same gap semantics as
+    * the batch q_sessionize, so it shares that oracle's shape. */
+  private def streamSessionizeSw(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.sessionizeSessionWindowsAvailableNow(s, dir, gapMinutes = 30)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .orderBy("user_id")
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -597,6 +606,7 @@ object SparkEntry {
     "stream_window_agg" -> (streamWindowAgg _),
     "stream_window_agg_append" -> (streamWindowAggAppend _),
     "stream_sessionize" -> (streamSessionize _),
+    "stream_sessionize_sw" -> (streamSessionizeSw _),
     "stream_dedup_exact" -> (streamDedupExact _)
   )
 
@@ -963,6 +973,18 @@ object SparkEntry {
         |  min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
     "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |x AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // session_window merge semantics equal the lag formulation (an event
+    // joins its predecessor's session iff ts <= prev + gap), so the same
+    // oracle applies
+    "stream_sessionize_sw" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
         |x AS (
         |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

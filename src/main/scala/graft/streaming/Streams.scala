@@ -124,7 +124,13 @@ object Streams {
     * watermark past the previous batch's windows, so every REAL window is
     * finalized, emitted, and evicted by termination, while the sentinel
     * windows stay open and unemitted. */
-  private def stagedAppendAgg(spark: SparkSession, sfDir: String, stageDir: String): DataFrame = {
+  private def stagedAppendAgg(spark: SparkSession, sfDir: String, stageDir: String): DataFrame =
+    windowAgg(stagedEventsStream(spark, sfDir, stageDir))
+
+  /** The staged three-batch events stream (real events + two watermark-
+    * advancing sentinels), ts normalized to timestamp — shared by every
+    * append-mode eviction harness. */
+  private def stagedEventsStream(spark: SparkSession, sfDir: String, stageDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val batchSchema = spark.read.parquet(path).schema
     val tsIsLong = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
@@ -140,7 +146,10 @@ object Streams {
             lit(maxTs.asInstanceOf[Long] + offsetHours.toLong * 3600L * 1000000000L))
           else raw.limit(1).withColumn("ts",
             col("ts") + expr(s"INTERVAL $offsetHours HOURS"))
+        // doubly marked so every consumer can exclude them: event_type for
+        // the window agg, an impossible user id for the sessionizers
         bumped.withColumn("event_type", lit("__sentinel"))
+          .withColumn("user_id", lit(-1).cast(bumped.schema("user_id").dataType))
       }
       def stageOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
         val tmp = java.nio.file.Files.createTempDirectory("graft-stage-part")
@@ -170,10 +179,8 @@ object Streams {
       .schema(batchSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
-    val events =
-      if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else stream
-    windowAgg(events)
+    if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else stream
   }
 
   /** Per-content-key dedup state for streaming exact dedup. */
@@ -211,6 +218,45 @@ object Streams {
     runToMemory(decisions.toDF(), "graft_stream_dedup", "append")
   }
 
+  /** Gap-based session aggregation via Spark's NATIVE session_window — the
+    * bounded-memory streaming sessionization path. The physical plan does
+    * the per-key time ordering itself with a SPILLABLE sort before the
+    * session operator and merges sessions through the state store, so one
+    * user owning an entire batch cannot OOM an executor — the guarantee a
+    * hand-rolled secondary sort would chase, provided by the engine.
+    * (The logical-plan route — repartition + sortWithinPartitions ahead of
+    * flatMapGroupsWithState — is rejected by Spark's streaming checker:
+    * "Sorting is not supported on streaming DataFrames/Datasets".)
+    *
+    * Merge semantics equal the batch lag-based formulation: a session's
+    * end extends to last_event + gap and touching windows merge, so an
+    * event joins its predecessor's session iff ts <= prev + gap — exactly
+    * the strict `ts > prev + gap` session break q_sessionize computes.
+    * One row per closed (user, session) with its event count. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  /** [[sessionWindows]] under the staged append-mode harness: sentinel
+    * batches advance the watermark past every real session, so all real
+    * sessions close, emit, and evict by termination; the per-user rollup
+    * (n_sessions, n_events) is a batch aggregation over the emitted
+    * sessions. Equals the batch q_sessionize answer. */
+  def sessionizeSessionWindowsAvailableNow(
+      spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val stageDir = stageCache.computeIfAbsent(sfDir, _ =>
+      java.nio.file.Files.createTempDirectory("graft-stream-append").toString)
+    val sessions = sessionWindows(stagedEventsStream(spark, sfDir, stageDir), gapMinutes)
+    runToMemory(sessions, "graft_stream_sessions_sw", "append")
+      .where(col("user_id") >= 0) // sentinel rows carry user_id -1
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+  }
+
   /** Per-user session state for streaming sessionization. */
   case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
@@ -239,11 +285,13 @@ object Streams {
         case (userId, rows, state: GroupState[SessionState]) =>
           // Within a batch, order by event time then id (batch arrival order
           // is not time order). This buffers ONE user's batch slice — state
-          // across batches stays O(1) per user. A user whose single-batch
-          // volume exceeds executor memory would need a secondary sort
-          // (repartition + sortWithinPartitions on the update stream) —
-          // the standard trade-off; bound batch size via
-          // maxFilesPerTrigger/maxBytesPerTrigger in production.
+          // across batches stays O(1) per user. The buffering is inherent
+          // to flatMapGroupsWithState (Spark's streaming checker rejects a
+          // logical pre-sort, and the operator only sorts by grouping key);
+          // when a single user's batch slice can exceed executor memory,
+          // use [[sessionWindows]] — the engine's session operator sorts
+          // spillably and merges through the state store — or bound batch
+          // size via maxFilesPerTrigger/maxBytesPerTrigger.
           val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           sorted.foreach { case (_, ts, _) =>

@@ -56,6 +56,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("sessionizeSessionWindowsAvailableNow (native session_window) equals batch sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = Streams.sessionizeSessionWindowsAvailableNow(spark, sfDir, gapMinutes = 30)
+      .select(col("user_id").cast("long"), col("n_sessions"), col("n_events")).orderBy("user_id")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = graft.io.Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .select(col("user_id").cast("long"), col("n_sessions"), col("n_events"))
+      .orderBy("user_id")
+    val s = streamed.collect()
+    val b = batch.collect()
+    assert(s.length === b.length)
+    assert(s.sameElements(b))
+  }
+
+  test("session_window path: one user owning an entire shuffled batch sessionizes correctly") {
+    import spark.implicits._
+    // user 1 owns ~all of the batch, events written in SHUFFLED order with
+    // three 30-min-gap sessions (incl. an exact-boundary event that must
+    // MERGE); user 2 is a bystander. The engine's session operator does the
+    // time ordering itself (spillable sort + state-store merge), so this is
+    // the skewed-batch case that would stress a hand-buffered sort.
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val u1 = // session A: 0..100 (step 1), B: 200..260 (step 2), C: 400
+      ((0L to 100L) ++ (200L to 260L by 2) ++ Seq(400L)).map(m => (1L, ts(m)))
+    val u1boundary = Seq((1L, ts(130L))) // 100 + 30: exact gap -> merges into A
+    val u2 = Seq((2L, ts(0L)), (2L, ts(300L)))
+    val rows = scala.util.Random.shuffle(u1 ++ u1boundary ++ u2).zipWithIndex
+      .map { case ((uid, t), i) => (i.toLong, uid, "e", t, 1.0) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-events").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Streams.sessionizeSessionWindowsAvailableNow(spark, dir, gapMinutes = 30)
+      .orderBy("user_id").collect()
+    // u1: A = 0..100 plus the 130 boundary event (102+1 events), B = 31, C = 1
+    assert(out(0).toSeq === Seq(1L, 3L, 102L + 31L + 1L))
+    assert(out(1).toSeq === Seq(2L, 2L, 2L))
+  }
+
   test("sessionizeAvailableNow (flatMapGroupsWithState) equals batch sessionization") {
     import org.apache.spark.sql.expressions.Window
     val streamed = Streams.sessionizeAvailableNow(spark, sfDir, gapMinutes = 30)
