@@ -381,9 +381,72 @@ object Dedup {
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter iterations " +
-        "(graph diameter exceeds the bound) — raise maxIter or use a " +
-        "large-star/small-star formulation for long-chain graphs")
+        "(graph diameter exceeds the bound) — raise maxIter or use " +
+        "connectedComponentsStar, the large-star/small-star formulation " +
+        "that converges in O(log^2 n) rounds on long-chain graphs")
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond") — the
+    * escape hatch for adversarial long-chain graphs, where plain min-label
+    * propagation needs diameter-many rounds: star operations re-wire whole
+    * neighborhoods onto local minima each round, converging in O(log^2 n)
+    * rounds regardless of diameter.
+    *
+    * Each round is two grouped aggregations over the edge list (shuffle on
+    * node id, map-side combinable) with hi->lo directed edges as the
+    * invariant; at the fixpoint every component is a star centered on its
+    * minimum id. Output matches [[connectedComponents]]: (id, comp) for
+    * every node in `pairs`, comp = min reachable id. */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 50): DataFrame = {
+    val raw = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val nodes = raw.select(col("u").as("id"))
+      .unionByName(raw.select(col("v").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    var edges = raw
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      // large-star: every node attaches its strictly-larger neighbors to
+      // the minimum of its closed neighborhood
+      val nbrs = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = nbrs.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val largeStar = nbrs.join(lsMins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: every node folds itself and its smaller neighbors onto
+      // their minimum (hi->lo edges already ARE the smaller-neighbor lists)
+      val ssMins = largeStar.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ssMins.select(col("u"), col("m").as("v"))
+        .unionByName(largeStar.join(ssMins, "u")
+          .where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(eager = true) // truncate the iterative lineage
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      edges = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxIter rounds")
+    // fixpoint is a star per component: non-roots point at the component
+    // min, roots (the mins) have no outgoing hi->lo edge
+    nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("comp"))
   }
 
   /** Apply dedup decisions: drop every document that belongs to a near-dup

@@ -139,6 +139,26 @@ class DedupSpec extends SparkSpec {
     assert(comps.size === 10)
   }
 
+  test("connectedComponentsStar: long chain where min-label refuses; agreement on cliques") {
+    // a 60-node path: diameter 59 >> the min-label default bound of 20
+    val path = (0L until 59L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(path).collect()
+    }
+    val comps = Dedup.connectedComponentsStar(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps.size === 60)
+    assert(comps.values.toSet === Set(0L)) // one component, min id 0
+    // on the clique-shaped graphs dedup produces, both formulations agree
+    val cliques = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+      .toDF("a_id", "b_id")
+    val minLabel = Dedup.connectedComponents(cliques)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = Dedup.connectedComponentsStar(cliques)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star === minLabel)
+  }
+
   test("dropBoilerplateLines: global hot lines removed, order preserved") {
     val docs = Seq(
       (1L, "keep one\ncookie banner\nkeep two"),
