@@ -178,7 +178,17 @@ class Graft(val spark: SparkSession, datasetRoot: String = "target/graft/dataset
   // ----- jobs (reference: create/status/await/cancel/results) -----
   def submitJob(df: DataFrame, name: Option[String] = None, priority: Int = 0): String =
     Jobs.submit(df, name, priority)
+  /** Submit with streamed progress ticks (reference attach, sdk.py:853). */
+  def submitJob(df: DataFrame, name: Option[String], priority: Int,
+      onProgress: Jobs.JobProgress => Unit): String =
+    Jobs.submit(df, name, priority, onProgress)
   def jobStatus(id: String): Jobs.Status = Jobs.status(id)
+  /** Why a job failed (reference _get_failure_reason, sdk.py:1073); None
+    * for unknown, succeeded, or cancelled jobs. */
+  def jobFailureReason(id: String): Option[String] = Jobs.failureReason(id)
+  /** Stream a job's status transitions until terminal (reference attach). */
+  def attachJob(id: String, onUpdate: Jobs.Status => Unit): Jobs.Status =
+    Jobs.attach(id, onUpdate)
   def cancelJob(id: String): Jobs.Status = Jobs.cancel(id)
   def listJobs(): Seq[Jobs.Job] = Jobs.list()
   def awaitJob(id: String): Jobs.Status = Jobs.await(id)
