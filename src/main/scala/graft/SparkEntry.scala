@@ -253,6 +253,20 @@ object SparkEntry {
       .withColumn("chunk_key", md5(col("chunk_text"))).drop("chunk_text")
       .orderBy("doc_id", "chunk_idx")
 
+  /** Composed end-to-end cleaning pipeline: quality filter → exact dedup
+    * → MinHash near-dedup → decontamination, each stage on the previous
+    * stage's survivors. Every 10th doc plays the held-out eval set (same
+    * convention as dedup_decontaminate); output is (doc_id, stage) with
+    * stage = first dropping stage's reason, or 'kept'. */
+  private def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    Corpus.cleanPipeline(corpus, evalSet, "text", "doc_id",
+        graft.functions.gf.regroupLines(col("text"), 2))
+      .orderBy("doc_id")
+  }
+
   /** Rollup stats per (lang, source) + subtotals + grand total. */
   private def corpusStats(s: SparkSession, dir: String): DataFrame =
     Corpus.stats(t(s, dir, "documents"))
@@ -576,6 +590,7 @@ object SparkEntry {
     "corpus_chunk" -> (corpusChunk _),
     "corpus_mix" -> (corpusMix _),
     "corpus_filter" -> (corpusFilter _),
+    "corpus_clean" -> (corpusClean _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
@@ -1162,6 +1177,138 @@ object SparkEntry {
         |  LEFT JOIN ls ON d.doc_id = ls.doc_id
         |  LEFT JOIN bs ON d.doc_id = bs.doc_id)
         |SELECT doc_id, reason = 'keep' AS keep, reason FROM dec ORDER BY doc_id""".stripMargin,
+    // composed pipeline: the corpus_filter decision CTEs (on the corpus
+    // slice), then exact dedup, exact-Jaccard closure (recall-1 stand-in
+    // for verified LSH), and decontamination — each on the previous
+    // stage's survivors; stage = first dropping stage.
+    "corpus_clean" ->
+      """WITH RECURSIVE corp AS (
+        |  SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM corp),
+        |lined AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |      generate_series(0, greatest(CAST(floor((len(w)-1)/2.0) AS BIGINT), 0)),
+        |      i -> array_to_string(list_slice(w, i*2+1, i*2+2), ' ')), chr(10)) AS text
+        |  FROM w0),
+        |ln AS (
+        |  SELECT doc_id, regexp_replace(l, '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g') AS line
+        |  FROM lined, unnest(string_split(text, chr(10))) AS u(l)),
+        |lc AS (
+        |  SELECT doc_id, line, count(*) AS cnt FROM ln WHERE line <> '' GROUP BY doc_id, line),
+        |ls AS (
+        |  SELECT doc_id,
+        |    CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac
+        |  FROM lc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+        |  FROM w0, unnest(generate_series(1, len(w)-1)) AS g(i)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |bs AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+        |  FROM bc GROUP BY doc_id),
+        |tok AS (SELECT doc_id, len(regexp_split_to_array(text, '\s+')) AS n FROM corp),
+        |q AS (SELECT doc_id, CAST(
+        |  greatest(0, least(100,
+        |    least(len(regexp_split_to_array(text, '\s+')), 50)
+        |    + floor(len(list_distinct(regexp_split_to_array(text, '\s+'))) * 40.0
+        |            / greatest(len(regexp_split_to_array(text, '\s+')), 1))
+        |    - least(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')), 10)
+        |    + 10)) AS INTEGER) AS quality
+        |  FROM corp),
+        |p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pt FROM corp),
+        |sc AS (SELECT doc_id,
+        |  (length(pt)-length(replace(pt,' the ','')))/5 + (length(pt)-length(replace(pt,' a ','')))/3 + (length(pt)-length(replace(pt,' of ','')))/4 AS s_en,
+        |  (length(pt)-length(replace(pt,' der ','')))/5 + (length(pt)-length(replace(pt,' und ','')))/5 + (length(pt)-length(replace(pt,' die ','')))/5 AS s_de,
+        |  (length(pt)-length(replace(pt,' el ','')))/4 + (length(pt)-length(replace(pt,' la ','')))/4 + (length(pt)-length(replace(pt,' que ','')))/5 AS s_es,
+        |  (length(pt)-length(replace(pt,' le ','')))/4 + (length(pt)-length(replace(pt,' et ','')))/4 + (length(pt)-length(replace(pt,' les ','')))/5 AS s_fr,
+        |  (length(pt)-length(replace(pt,' zh ','')))/4 + (length(pt)-length(replace(pt,' zhong ','')))/7 + (length(pt)-length(replace(pt,' wen ','')))/5 AS s_zh
+        |  FROM p),
+        |lang AS (
+        |  SELECT doc_id, CASE
+        |    WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'en'
+        |    WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'de'
+        |    WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'es'
+        |    WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'fr'
+        |    WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) AND greatest(s_en,s_de,s_es,s_fr,s_zh) > 0 THEN 'zh'
+        |    ELSE 'unknown' END AS pred_lang
+        |  FROM sc),
+        |dec AS (
+        |  SELECT d.doc_id, CASE
+        |    WHEN tok.n < 12 THEN 'too_short'
+        |    WHEN tok.n > 100000 THEN 'too_long'
+        |    WHEN lang.pred_lang = 'unknown' THEN 'lang_unknown'
+        |    WHEN coalesce(ls.dup_line_frac, 0) > 0.08 THEN 'dup_lines'
+        |    WHEN coalesce(bs.top_bigram_frac, 0) > 0.09 THEN 'repetitive_bigrams'
+        |    WHEN q.quality < 50 THEN 'low_quality'
+        |    ELSE 'keep' END AS reason
+        |  FROM corp d
+        |  JOIN tok ON d.doc_id = tok.doc_id
+        |  JOIN q ON d.doc_id = q.doc_id
+        |  JOIN lang ON d.doc_id = lang.doc_id
+        |  LEFT JOIN ls ON d.doc_id = ls.doc_id
+        |  LEFT JOIN bs ON d.doc_id = bs.doc_id),
+        |surv1 AS (SELECT doc_id FROM dec WHERE reason = 'keep'),
+        |ck AS (
+        |  SELECT c.doc_id,
+        |    coalesce(md5(trim(regexp_replace(lower(c.text), '\s+', ' ', 'g'))),
+        |             'null:' || c.doc_id) AS k
+        |  FROM corp c JOIN surv1 USING (doc_id)),
+        |k2 AS (SELECT k, min(doc_id) AS keeper FROM ck GROUP BY k),
+        |exdrop AS (SELECT ck.doc_id FROM ck JOIN k2 USING (k) WHERE ck.doc_id <> k2.keeper),
+        |surv2 AS (SELECT ck.doc_id FROM ck JOIN k2 USING (k) WHERE ck.doc_id = k2.keeper),
+        |norm AS (
+        |  SELECT c.doc_id AS id, string_split(trim(regexp_replace(lower(c.text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM corp c JOIN surv2 USING (doc_id)),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shl
+        |  FROM norm),
+        |ex AS (SELECT id, len(shl) AS sz, unnest(shl) AS shingle FROM sh),
+        |prs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, any_value(a.sz) AS a_size, any_value(b.sz) AS b_size, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |jac AS (
+        |  SELECT a_id, b_id FROM prs
+        |  WHERE CAST(shared AS DOUBLE) / (a_size + b_size - shared) >= 0.5),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM jac UNION SELECT b_id, a_id FROM jac),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |compn AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u),
+        |nddrop AS (SELECT id AS doc_id FROM compn WHERE id <> comp),
+        |surv3 AS (
+        |  SELECT doc_id FROM surv2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+        |enorm AS (
+        |  SELECT d.doc_id AS id, string_split(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents d WHERE d.doc_id % 10 = 0),
+        |esh AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shl
+        |  FROM enorm),
+        |eex AS (SELECT id, len(shl) AS sz, unnest(shl) AS shingle FROM esh),
+        |cex AS (SELECT ex.* FROM ex JOIN surv3 ON ex.id = surv3.doc_id),
+        |cprs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, any_value(a.sz) AS a_size, any_value(b.sz) AS b_size, count(*) AS shared
+        |  FROM cex a JOIN eex b ON a.shingle = b.shingle
+        |  GROUP BY a.id, b.id),
+        |contam AS (
+        |  SELECT DISTINCT a_id AS doc_id FROM cprs
+        |  WHERE CAST(shared AS DOUBLE) / (a_size + b_size - shared) >= 0.5),
+        |kept AS (
+        |  SELECT doc_id FROM surv3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+        |SELECT doc_id, stage FROM (
+        |  SELECT doc_id, reason AS stage FROM dec WHERE reason <> 'keep'
+        |  UNION ALL SELECT doc_id, 'exact_dup' FROM exdrop
+        |  UNION ALL SELECT doc_id, 'near_dup' FROM nddrop
+        |  UNION ALL SELECT doc_id, 'contaminated' FROM contam
+        |  UNION ALL SELECT doc_id, 'kept' FROM kept)
+        |ORDER BY doc_id""".stripMargin,
     // caps derived with the same all-integer arithmetic the engine uses:
     // N* = min(count_s * W // w_s), cap_s = N* * w_s // W
     "corpus_mix" ->

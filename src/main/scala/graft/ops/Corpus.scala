@@ -164,4 +164,86 @@ object Corpus {
       .withColumn("seq_id", floor(col("tokens_before") / maxTokensPerSeq).cast("long"))
       .drop("tokens_before")
   }
+
+  /** End-to-end corpus cleaning — the composed crawl-to-training-data
+    * pipeline (CCNet / C4 / RefinedWeb shape): quality filter, then exact
+    * dedup, then MinHash-LSH near-dedup, then decontamination against a
+    * held-out eval set. Returns one row per input corpus document,
+    * `(idCol, stage)`, where `stage` names the FIRST stage that dropped
+    * the document (the quality filter's first-failing-rule reason,
+    * `exact_dup`, `near_dup`, `contaminated`) or `kept` for survivors.
+    *
+    * Each stage runs only on the previous stage's survivors — at 100 TB
+    * that ordering is the cost model: the cheap one-pass filter kernel
+    * sees the whole corpus, shingling/banding see only what survived it,
+    * and the candidate-verify joins see only canonical survivors (the
+    * exact-dedup stage ahead of banding is the occupancy² lesson — J=1
+    * groups never reach the LSH buckets). Stage boundaries are
+    * materialized with `localCheckpoint` (the single-JVM analog of the
+    * stage-boundary parquet a production pipeline writes) so downstream
+    * branches — survivors AND dropped rows are both consumed — do not
+    * recompute upstream kernels.
+    *
+    * Mirrors the reference's hosted clean-and-dedupe flow (multi-step
+    * dataset preparation before inference jobs) as one engine-native
+    * operator. */
+  def cleanPipeline(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      linedCol: Column,
+      n: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    // stage 1 — quality filter: one-pass kernel, reason = first failing rule
+    val filtered = TextAnalysis.filterCorpus(
+        corpus.select(col(idCol), col(textCol), linedCol.as("__lined")),
+        textCol, "__lined")
+      .select(col(idCol), col(textCol), col("keep"), col("reason"))
+      .localCheckpoint(eager = true)
+    val filterDrop = filtered.where(!col("keep"))
+      .select(col(idCol), col("reason").as("stage"))
+    val s1 = filtered.where(col("keep")).select(col(idCol), col(textCol))
+
+    // stage 2 — exact dedup on filter survivors: keeper = min id per
+    // normalized-content fingerprint. Null text cannot reach here (the
+    // filter drops it), but the sentinel keeps a null fingerprint from
+    // silently vanishing through the non-null-safe join.
+    val keyed = s1.withColumn("__ck",
+      coalesce(TextAnalysis.fingerprint(col(textCol)),
+        concat(lit("null:"), col(idCol).cast("string"))))
+    val keepers = keyed.groupBy("__ck").agg(min(col(idCol)).as("__keeper"))
+    val withKeeper = keyed.join(keepers, "__ck").localCheckpoint(eager = true)
+    val exactDrop = withKeeper.where(col(idCol) =!= col("__keeper"))
+      .select(col(idCol), lit("exact_dup").as("stage"))
+    val s2 = withKeeper.where(col(idCol) === col("__keeper"))
+      .select(col(idCol), col(textCol)).localCheckpoint(eager = true)
+
+    // stage 3 — near-dedup on the now-exact-unique survivors: LSH
+    // candidates, exact-Jaccard verify, components, keep each cluster's
+    // min id
+    val pairs = Dedup.minhashLshPairsVerified(
+      s2, textCol, idCol, n, numHashes, bands, threshold)
+    val nearDrop = Dedup.connectedComponents(pairs)
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol), lit("near_dup").as("stage"))
+      .localCheckpoint(eager = true)
+    val s3 = s2.join(nearDrop.select(idCol), Seq(idCol), "left_anti")
+      .localCheckpoint(eager = true)
+
+    // stage 4 — decontamination: drop survivors that near-match the
+    // held-out eval set (eval side broadcasts; corpus side never shuffles)
+    val cleaned = Dedup.decontaminate(
+        s3, evalSet, textCol, idCol, n, numHashes, bands, threshold)
+      .select(col(idCol)).localCheckpoint(eager = true)
+    val contaminatedDrop = s3.select(idCol)
+      .join(cleaned, Seq(idCol), "left_anti")
+      .select(col(idCol), lit("contaminated").as("stage"))
+    val kept = cleaned.select(col(idCol), lit("kept").as("stage"))
+
+    filterDrop.unionByName(exactDrop).unionByName(nearDrop)
+      .unionByName(contaminatedDrop).unionByName(kept)
+  }
 }

@@ -91,4 +91,30 @@ class CorpusSpec extends SparkSpec {
       .orderBy("id").select("id").collect().map(_.getLong(0)).toSeq
     assert(ids1 === ids2)
   }
+
+  test("cleanPipeline: each doc lands in its first dropping stage") {
+    import graft.functions.gf
+    val all = Seq(
+      1L -> "the cat sat on a mat of wool and the dog slept near a fire of warmth",
+      2L -> "the sun rose over a hill of green and the birds sang a song of joy",
+      3L -> "the old ship sailed across a sea of storms and the crew held a course of hope tonight",
+      // 4 = exact dup of 2 (case/whitespace variant)
+      4L -> "The  sun rose over a hill of green and the birds sang a song of joy",
+      // 5 = near dup of 3 (one word changed: J = 17/19)
+      5L -> "the old ship sailed across a sea of storms and the crew held a course of hope yesterday",
+      6L -> "tiny doc",
+      // 7 = near match of eval doc 10
+      7L -> "a river ran through the valley of stone and a bridge stood over the water of time today",
+      10L -> "a river ran through the valley of stone and a bridge stood over the water of time forever"
+    ).toDF("doc_id", "text")
+    val corpus = all.where(col("doc_id") % 10 =!= 0)
+    val evalSet = all.where(col("doc_id") % 10 === 0)
+    val out = Corpus.cleanPipeline(corpus, evalSet, "text", "doc_id",
+        gf.regroupLines(col("text"), 2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "kept", 2L -> "kept", 3L -> "kept",
+      4L -> "exact_dup", 5L -> "near_dup", 6L -> "too_short",
+      7L -> "contaminated"))
+  }
 }
