@@ -563,6 +563,14 @@ object SparkEntry {
       .select(col("user_id"), col("n_sessions"), col("n_events"))
       .orderBy("user_id")
 
+  /** Stream-stream watermarked inner join: purchases attributed to the
+    * same user's clicks in the preceding hour; both buffers
+    * watermark-evicted. Single-batch real data under AvailableNow, so the
+    * emitted set equals the batch join. */
+  private def streamJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.clickAttributionAvailableNow(s, dir)
+      .orderBy("click_id", "purchase_id")
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -622,6 +630,7 @@ object SparkEntry {
     "stream_window_agg_append" -> (streamWindowAggAppend _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_sessionize_sw" -> (streamSessionizeSw _),
+    "stream_join" -> (streamJoin _),
     "stream_dedup_exact" -> (streamDedupExact _)
   )
 
@@ -1008,6 +1017,17 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // stream-stream join under AvailableNow single-batch real data = the
+    // batch join (watermarks only bound state, never drop in-batch rows)
+    "stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '1' HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, count(*) AS n_events,

@@ -183,6 +183,41 @@ object Streams {
     else stream
   }
 
+  /** Stream-stream inner join with watermarks — click→purchase
+    * attribution: each purchase joins the same user's clicks from the
+    * preceding hour. Both sides carry a watermark and the join predicate
+    * is a time-range condition, so Spark derives a state watermark for
+    * EACH buffer: clicks older than purchase-watermark minus the range,
+    * and purchases older than their own watermark, are evicted — state is
+    * bounded by the join window, not the stream's lifetime (the
+    * production contract for a 100 TB/day event firehose; state is
+    * per-user-partitioned, shuffling each side once on user_id).
+    *
+    * The watermark is applied BEFORE the event_type filter so the staged
+    * far-future sentinel rows (filtered out of both join inputs) still
+    * advance event time, forcing real buffer eviction across the three
+    * AvailableNow micro-batches; all real data arrives in batch 0, so
+    * the emitted set equals the batch join exactly. */
+  def clickAttributionAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val stageDir = stageCache.computeIfAbsent(sfDir, _ =>
+      java.nio.file.Files.createTempDirectory("graft-stream-append").toString)
+    val ev = stagedEventsStream(spark, sfDir, stageDir)
+    val clicks = ev.withWatermark("ts", "1 hour")
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.withWatermark("ts", "2 hours")
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+    runToMemory(joined, "graft_stream_join", "append")
+  }
+
   /** Per-content-key dedup state for streaming exact dedup. */
   case class DedupState(keeperId: Long, nCopies: Long)
   case class DedupDecision(content_key: String, keeper_id: Long, n_copies: Long)

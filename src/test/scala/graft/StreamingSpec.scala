@@ -46,6 +46,26 @@ class StreamingSpec extends SparkSpec {
     assert(second.count() === batchCount)
   }
 
+  test("clickAttributionAvailableNow (stream-stream join) equals the batch join") {
+    val streamed = Streams.clickAttributionAvailableNow(spark, sfDir)
+      .orderBy("click_id", "purchase_id").collect()
+    val ev = graft.io.Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+      .orderBy("click_id", "purchase_id").collect()
+    assert(streamed.length === batch.length && streamed.length > 0)
+    assert(streamed.sameElements(batch))
+  }
+
   test("dedupExactAvailableNow equals batch exact dedup") {
     val streamed = Streams.dedupExactAvailableNow(spark, sfDir)
       .orderBy("content_key").collect()
