@@ -356,6 +356,15 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup at the oracle-able operating point: md5-hash-order leader
+    * seeds (iters=0, no float-mean refinement), 8 clusters, within-cluster
+    * cos>=0.4 components, min-id keepers. The trained (iters>0) path is
+    * covered by DedupSpec recall/determinism tests. */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semdedup(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, minCos = 0.4)
+      .withColumn("cluster", col("cluster").cast("long"))
+      .orderBy("vec_id")
+
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)
       .orderBy("a_id", "b_id")
@@ -617,6 +626,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
@@ -940,6 +950,35 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+    // SemDeDup from first principles: md5-order leaders, argmax-cosine
+    // assignment (ties -> lowest leader index), within-cluster pairs,
+    // recursive-CTE components, min-id keepers.
+    "dedup_semantic" ->
+      """WITH RECURSIVE ld AS (
+        |  SELECT embedding,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, ld.idx,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, ld.embedding) DESC, ld.idx ASC) AS rn
+        |  FROM embeddings e CROSS JOIN ld
+        |  WHERE e.embedding IS NOT NULL),
+        |cl AS (SELECT vec_id, embedding, idx AS cluster FROM asg WHERE rn = 1),
+        |prs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM cl a JOIN cl b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM prs UNION SELECT b_id, a_id FROM prs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |compn AS (SELECT u AS id, least(u, min(v)) AS comp FROM reach GROUP BY u)
+        |SELECT cl.vec_id, cl.cluster, (compn.comp IS NULL OR compn.comp = cl.vec_id) AS keep
+        |FROM cl LEFT JOIN compn ON cl.vec_id = compn.id
+        |ORDER BY cl.vec_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -297,6 +297,23 @@ case class NearestCellExpr(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Max-cosine centroid index over a small plan-carried centroid table —
+  * spherical cluster assignment for SemDeDup. Same shape as
+  * [[NearestCellExpr]] but argmax cosine instead of argmin L2. */
+case class NearestCosExpr(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nearestCos(input.asInstanceOf[ArrayData], centroids)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nearestCos($c, $ref)")
+  }
+  override def prettyName: String = "nearest_cos"
+  override protected def withNewChildInternal(newChild: Expression): NearestCosExpr =
+    copy(child = newChild)
+}
+
 /** The nprobe nearest centroid indices for a query vector (IVF probe list). */
 case class ProbeCellsExpr(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
     extends UnaryExpression {
@@ -440,6 +457,10 @@ object gf {
   /** Nearest-centroid cell id (IVF assignment). */
   def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
     u(v)(NearestCellExpr(_, centroids))
+
+  /** Max-cosine centroid index (SemDeDup spherical assignment). */
+  def nearestCos(v: Column, centroids: Array[Array[Double]]): Column =
+    u(v)(NearestCosExpr(_, centroids))
 
   /** nprobe nearest centroid indices (IVF probe list). */
   def probeCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =

@@ -334,6 +334,32 @@ object Kernels {
     best
   }
 
+  /** Index of the max-cosine centroid for a float vector — spherical
+    * cluster assignment (SemDeDup). Cosine accumulates sequentially in
+    * double (the cross-engine-reproducible order); ties resolve to the
+    * lowest index — deterministic across executors. */
+  def nearestCos(v: ArrayData, cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestC = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val cd = cs(c)
+      val n = v.numElements()
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble
+        val y = cd(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s > bestC) { bestC = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** The `nprobe` nearest centroid indices, ascending by distance (ties ->
     * lowest index): the IVF probe list for a query vector. */
   def probeCells(v: ArrayData, cs: Array[Array[Double]], nprobe: Int): ArrayData = {

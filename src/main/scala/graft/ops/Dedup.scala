@@ -662,4 +662,107 @@ object Dedup {
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup removal
+    * by clustering embeddings and deduplicating WITHIN clusters only —
+    * the approximation that turns the all-pairs O(n²) cosine comparison
+    * into k independent O((n/k)²) cluster-local ones. Returns one row per
+    * embedding: (id, cluster, keep) — keep=false for every member of a
+    * within-cluster cosine-≥-minCos component except its min-id keeper.
+    *
+    * Cluster seeds are the k first vectors in md5-hash id order (the
+    * engine's reproducible sampler, SQL-expressible for the oracle);
+    * `iters > 0` refines them with driver-side spherical k-means over a
+    * deterministic hash sample — the paper's setup — at the cost of
+    * SQL-oracle-ability (float means are not reproducible cross-engine).
+    * Assignment is a codegen argmax-cosine map with the (k × dim)
+    * centroid table riding the plan: no shuffle, no broadcast lifecycle.
+    * The pair stage shuffles each vector ONCE on its cluster id and runs
+    * the cluster-local scoring in a kernel that never materializes
+    * sub-threshold pairs; at 100 TB, k scales with corpus size to hold
+    * n/k (cluster occupancy) roughly constant. */
+  def semdedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      minCos: Double,
+      iters: Int = 0,
+      sampleSize: Int = 10000): DataFrame = {
+    requireLongId(emb, idCol)
+    val vecs = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .where(col("vec").isNotNull)
+    val seeds = vecs
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k)
+      .select(col("vec"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.nonEmpty, "semdedup: empty embedding corpus")
+    val centroids =
+      if (iters == 0) seeds
+      else {
+        // deterministic hash sample (same shape as the IVF quantizer's)
+        val sample = vecs
+          .select(col("vec"), xxhash64(col("id")).as("__h"))
+          .orderBy(col("__h")).limit(sampleSize)
+          .select(col("vec"))
+          .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        sphericalKmeans(sample, seeds, iters)
+      }
+
+    val assigned = vecs
+      .withColumn("cluster", gf.nearestCos(col("vec"), centroids))
+      .localCheckpoint(eager = true) // reused by the pair stage AND the output join
+    val pairs = assigned
+      .groupBy("cluster")
+      .agg(collect_list(struct(col("id"), col("vec"))).as("items"))
+      .select(explode(gf.bucketPairsCos(col("items"), minCos)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    val comp = connectedComponents(pairs)
+    assigned
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        (col("comp").isNull || col("comp") === col("id")).as("keep"))
+  }
+
+  /** Driver-side spherical k-means: assign by max cosine, update by
+    * (unnormalized) mean — empty clusters retain their centroid. */
+  private def sphericalKmeans(
+      sample: Array[Array[Double]],
+      seeds: Array[Array[Double]],
+      iters: Int): Array[Array[Double]] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dim = seeds.head.length
+    var centroids = seeds.map(_.clone)
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestC = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          val s = cos(v, centroids(c))
+          if (s > bestC) { bestC = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      iter += 1
+    }
+    centroids
+  }
 }

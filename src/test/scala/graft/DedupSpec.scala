@@ -188,4 +188,34 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(out.forall(_.getLong(3) == 0L)) // nothing dropped
   }
+
+  test("semdedup (trained): planted within-cluster near-dups dropped, keepers kept") {
+    // three orthogonal-ish groups; ids 1/2 near-identical, 3 distinct
+    def v(x: Float, y: Float, z: Float, w: Float) = Array(x, y, z, w)
+    val emb = Seq(
+      (1L, v(1f, 0.01f, 0f, 0f)), (2L, v(1f, 0.02f, 0f, 0f)), (3L, v(0.5f, 0.8f, 0f, 0.3f)),
+      (4L, v(0f, 1f, 0.01f, 0f)), (5L, v(0f, 0f, 1f, 0.01f)), (6L, v(0.01f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semdedup(emb, "vec_id", "embedding", k = 3, minCos = 0.95, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && !out(2L), "min-id keeper rule within the near-dup pair")
+    assert(out(5L) && !out(6L))
+    assert(out(3L) && out(4L), "sub-threshold cluster-mates both kept")
+  }
+
+  test("semdedup: dropped ids are sound vs exact pairs and output is layout-independent") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val out = Dedup.semdedup(emb, "vec_id", "embedding", k = 8, minCos = 0.4, iters = 2)
+    val rows = out.orderBy("vec_id").collect()
+    assert(rows.length === emb.count())
+    // soundness: every dropped id really has a >=minCos partner globally
+    val dropped = rows.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    val inExact = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.subsetOf(inExact))
+    // determinism: identical decisions under a different partition layout
+    val again = Dedup.semdedup(emb.repartition(7), "vec_id", "embedding",
+      k = 8, minCos = 0.4, iters = 2).orderBy("vec_id").collect()
+    assert(rows.sameElements(again))
+  }
 }
