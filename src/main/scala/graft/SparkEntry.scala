@@ -290,6 +290,27 @@ object SparkEntry {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Corpus-wide top-50 word trigrams by true occurrence count
+    * (TakeOrderedAndProject top-k — no global sort shuffle). */
+  private def corpusNgrams(s: SparkSession, dir: String): DataFrame =
+    Corpus.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 50)
+      .orderBy(col("cnt").desc, col("ngram").asc)
+
+  /** Exact per-language quantiles of document length (linear
+    * interpolation; the approx_percentile twin is the sketch scale path,
+    * spec-verified against this exact formulation). */
+  private def corpusQuantiles(s: SparkSession, dir: String): DataFrame =
+    Corpus.quantiles(t(s, dir, "documents"), "n_chars", "lang",
+        Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy(col("lang").asc_nulls_first)
+
+  /** Per-source exact duplication-rate profile (the HLL
+    * approx_count_distinct twin is the single-pass scale path,
+    * spec-verified within its rsd against this exact formulation). */
+  private def corpusDupeProfile(s: SparkSession, dir: String): DataFrame =
+    Corpus.dupeProfile(t(s, dir, "documents"), "text", "source")
+      .orderBy(col("source").asc_nulls_first)
+
   // ---------------------------------------------------------------- §2.3 dedup
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -580,6 +601,14 @@ object SparkEntry {
     graft.streaming.Streams.clickAttributionAvailableNow(s, dir)
       .orderBy("click_id", "purchase_id")
 
+  /** Left-outer stream-stream join: every click emitted once, null
+    * purchase columns when nothing followed within the hour — the
+    * unmatched rows come from real state-watermark eviction (sentinel
+    * batches advance the watermark past the join window). */
+  private def streamJoinOuter(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.clickAttributionOuterAvailableNow(s, dir)
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -606,6 +635,9 @@ object SparkEntry {
     "corpus_cap" -> (corpusCap _),
     "corpus_chunk" -> (corpusChunk _),
     "corpus_mix" -> (corpusMix _),
+    "corpus_ngrams" -> (corpusNgrams _),
+    "corpus_quantiles" -> (corpusQuantiles _),
+    "corpus_dupe_profile" -> (corpusDupeProfile _),
     "corpus_filter" -> (corpusFilter _),
     "corpus_clean" -> (corpusClean _),
     "dedup_exact" -> (dedupExact _),
@@ -641,6 +673,7 @@ object SparkEntry {
     "stream_sessionize" -> (streamSessionize _),
     "stream_sessionize_sw" -> (streamSessionizeSw _),
     "stream_join" -> (streamJoin _),
+    "stream_join_outer" -> (streamJoinOuter _),
     "stream_dedup_exact" -> (streamDedupExact _)
   )
 
@@ -1056,6 +1089,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // left-outer variant: unmatched clicks surface as null purchase
+    // columns once the purchase-side state watermark passes their join
+    // window — under AvailableNow single-batch real data that equals the
+    // batch left join. NULLS FIRST mirrors Spark's asc_nulls_first.
+    "stream_join_outer" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
     // stream-stream join under AvailableNow single-batch real data = the
     // batch join (watermarks only bound state, never drop in-batch rows)
     "stream_join" ->
@@ -1079,6 +1126,35 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // kernel tokenization = lower, split \s+, drop empties; ngrams carry
+    // multiplicity. (cnt DESC, ngram ASC) is a total order, so the top-50
+    // cut is identical on both engines.
+    "corpus_ngrams" ->
+      """WITH w0 AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+        |  FROM w0, unnest(generate_series(1, greatest(len(w)-2, 0))) AS s(i))
+        |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+        |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+    // quantile_cont and Spark's exact percentile share the (n-1)*p
+    // linear-interpolation definition; round(4) absorbs the last ulp
+    "corpus_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS q25,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.50), 4) AS q50,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS q75,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS q95
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
+    // dup_rate from exact integer counts; count(DISTINCT) skips null
+    // fingerprints on both engines
+    "corpus_dupe_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS DOUBLE)
+        |    / count(*), 4) AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
     "corpus_stats" ->
       """WITH s AS (
         |  SELECT lang, source,

@@ -22,6 +22,17 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class NgramsAllExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.ngramsAll(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.ngramsAll($c, $n)")
+  override def prettyName: String = "ngrams_all"
+  override protected def withNewChildInternal(newChild: Expression): NgramsAllExpr =
+    copy(child = newChild)
+}
+
 case class MinHashSigExpr(child: Expression, n: Int, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
@@ -385,6 +396,9 @@ object gf {
 
   /** Distinct word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column = u(text)(WordShinglesExpr(_, n))
+
+  /** ALL word n-grams with multiplicity (corpus-frequency counting). */
+  def ngramsAll(text: Column, n: Int): Column = u(text)(NgramsAllExpr(_, n))
 
   /** MinHash signature (k permutations over word n-gram shingles). */
   def minhashSig(text: Column, n: Int, k: Int): Column = u(text)(MinHashSigExpr(_, n, k))

@@ -67,6 +67,31 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-grams in document order, space-joined, with multiplicity
+    * (unlike [[shingles]], which distincts) — the corpus-frequency
+    * formulation: exploding this and counting gives true occurrence
+    * counts, the vocabulary/contamination-analysis primitive. */
+  def ngramsAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** FNV-1a 64-bit over a string's UTF-16 chars — fast, deterministic,
     * dependency-free 64-bit token hash. */
   def fnv1a64(s: String): Long = {

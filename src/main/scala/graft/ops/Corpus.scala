@@ -165,6 +165,104 @@ object Corpus {
       .drop("tokens_before")
   }
 
+  /** Corpus-wide top-k word n-grams by true occurrence count — the
+    * vocabulary / contamination-analysis primitive (which boilerplate
+    * phrases dominate the crawl?). N-grams come from a one-pass codegen
+    * kernel WITH multiplicity (unlike the dedup shingle kernel, which
+    * distincts per doc); counting is a hash aggregate with map-side
+    * partial combine, and the top-k is `orderBy.limit` — Spark plans
+    * that as TakeOrderedAndProject: each partition keeps only its own
+    * top k, the driver merges k rows per partition, no global sort
+    * shuffle. Ties break lexicographically so the result is total-order
+    * deterministic across engines. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n > 0 && k > 0, "need n > 0 and k > 0")
+    docs
+      .where(col(textCol).isNotNull)
+      .select(explode(graft.functions.gf.ngramsAll(col(textCol), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Exact per-stratum quantiles of a numeric column (linear
+    * interpolation — the classic length/token-count distribution profile
+    * run before choosing context windows and packing budgets). Exact
+    * percentile sorts each group's values inside the aggregate, so this
+    * is the small-cardinality-stratum formulation; [[quantilesApprox]]
+    * is the sketch-merging scale twin for groups too large to hold. */
+  def quantiles(
+      df: DataFrame,
+      valueCol: String,
+      stratumCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "quantiles must be in [0, 1]")
+    val qs = percentile(col(valueCol), array(ps.map(lit): _*))
+    df.groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), qs.as("__qs"))
+      .select(
+        col(stratumCol) +: col("n_docs") +:
+          ps.zipWithIndex.map { case (p, i) =>
+            round(element_at(col("__qs"), i + 1), 4)
+              .as(s"q${(p * 100).round}")
+          }: _*)
+  }
+
+  /** Scale twin of [[quantiles]]: t-digest-style approximate percentiles
+    * (`approx_percentile`) — mergeable sketches, bounded memory per group
+    * regardless of group size. `accuracy` is Spark's 1/relative-error
+    * knob (10000 ≈ 0.01% rank error). */
+  def quantilesApprox(
+      df: DataFrame,
+      valueCol: String,
+      stratumCol: String,
+      ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "quantiles must be in [0, 1]")
+    val qs = approx_percentile(col(valueCol), array(ps.map(lit): _*), lit(accuracy))
+    df.groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), qs.as("__qs"))
+      .select(
+        col(stratumCol) +: col("n_docs") +:
+          ps.zipWithIndex.map { case (p, i) =>
+            element_at(col("__qs"), i + 1).cast("double")
+              .as(s"q${(p * 100).round}")
+          }: _*)
+  }
+
+  /** Per-stratum duplication-rate profile: how much of each source is
+    * exact-duplicate mass (the triage step that decides which sources
+    * need the full near-dedup pass). n_distinct is an exact
+    * COUNT(DISTINCT) over the normalized content fingerprint — one
+    * shuffle on (stratum, fingerprint) with map-side partial distinct;
+    * [[dupeProfileApprox]] is the single-shuffle HLL twin for corpora
+    * where even the distinct key set is too hot. dup_rate rounds from
+    * exact integer counts, so every engine derives the identical value. */
+  def dupeProfile(docs: DataFrame, textCol: String, stratumCol: String): DataFrame =
+    docs
+      .select(col(stratumCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("__fp")).as("n_distinct"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 4))
+
+  /** Scale twin of [[dupeProfile]]: HyperLogLog++ approximate distinct
+    * (`approx_count_distinct`, default rsd 5%) — fixed-size mergeable
+    * sketch per group, one aggregation pass, no distinct-key shuffle. */
+  def dupeProfileApprox(
+      docs: DataFrame,
+      textCol: String,
+      stratumCol: String,
+      rsd: Double = 0.05): DataFrame =
+    docs
+      .select(col(stratumCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("__fp"), rsd).as("n_distinct"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_docs"), 4))
+
   /** End-to-end corpus cleaning — the composed crawl-to-training-data
     * pipeline (CCNet / C4 / RefinedWeb shape): quality filter, then exact
     * dedup, then MinHash-LSH near-dedup, then decontamination against a

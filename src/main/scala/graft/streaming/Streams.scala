@@ -193,29 +193,58 @@ object Streams {
     * production contract for a 100 TB/day event firehose; state is
     * per-user-partitioned, shuffling each side once on user_id).
     *
-    * The watermark is applied BEFORE the event_type filter so the staged
-    * far-future sentinel rows (filtered out of both join inputs) still
-    * advance event time, forcing real buffer eviction across the three
-    * AvailableNow micro-batches; all real data arrives in batch 0, so
-    * the emitted set equals the batch join exactly. */
-  def clickAttributionAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    * The staged far-future sentinel rows ride INTO both join inputs
+    * (user_id -1 — they can only match each other) so they advance event
+    * time past every real row's join window across the three AvailableNow
+    * micro-batches; their own output rows are dropped after
+    * materialization. All real data arrives in batch 0, so the emitted
+    * set equals the batch join exactly. */
+  def clickAttributionAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    clickAttribution(spark, sfDir, "inner", "graft_stream_join")
+
+  /** Left-outer variant of [[clickAttributionAvailableNow]] — every click
+    * is emitted exactly once, with null purchase columns when no purchase
+    * followed within the hour. The null rows are produced by STATE
+    * EVICTION: a buffered click can only be declared unmatched once the
+    * purchase-side state watermark passes the end of its join window, so
+    * the far-future sentinel batches are what flush them (the production
+    * semantics: unmatched results trail live results by the watermark
+    * delay, and a stalled upstream means no unmatched rows are emitted —
+    * exactly the contract a funnel/abandonment pipeline runs on). Under
+    * AvailableNow with all real data in batch 0 the emitted set equals
+    * the batch left join. */
+  def clickAttributionOuterAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    clickAttribution(spark, sfDir, "left_outer", "graft_stream_join_outer")
+
+  private def clickAttribution(
+      spark: SparkSession, sfDir: String, joinType: String, prefix: String): DataFrame = {
     val stageDir = stageCache.computeIfAbsent(sfDir, _ =>
       java.nio.file.Files.createTempDirectory("graft-stream-append").toString)
     val ev = stagedEventsStream(spark, sfDir, stageDir)
+    // The sentinel rows must flow INTO both join inputs, not just past the
+    // withWatermark call: Catalyst pushes a non-event-time filter below the
+    // EventTimeWatermark node into the scan, so a filter that drops the
+    // sentinels would stop them from ever reaching the watermark collector
+    // — event time would stall at the real data's max and the unmatched
+    // left rows (whose emission requires the watermark to pass their join
+    // window) would never flush. Sentinels carry user_id = -1, so they can
+    // only ever join each other; their output rows are dropped after
+    // materialization.
     val clicks = ev.withWatermark("ts", "1 hour")
-      .where(col("event_type") === "click")
+      .where(col("event_type").isin("click", "__sentinel"))
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
     val purchases = ev.withWatermark("ts", "2 hours")
-      .where(col("event_type") === "purchase")
+      .where(col("event_type").isin("purchase", "__sentinel"))
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
         col("ts").as("purchase_ts"))
     val joined = clicks.join(purchases,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("click_id"), col("purchase_id"), col("user_id"),
-        col("click_ts"), col("purchase_ts"))
-    runToMemory(joined, "graft_stream_join", "append")
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
+      .select(col("click_id"), col("purchase_id"),
+        col("user_id"), col("click_ts"), col("purchase_ts"))
+    runToMemory(joined, prefix, "append").where(col("user_id") >= 0)
   }
 
   /** Per-content-key dedup state for streaming exact dedup. */

@@ -117,4 +117,65 @@ class CorpusSpec extends SparkSpec {
       4L -> "exact_dup", 5L -> "near_dup", 6L -> "too_short",
       7L -> "contaminated"))
   }
+
+  test("topNgrams: true multiplicities, deterministic tie-break, layout-stable") {
+    val tiny = Seq(
+      1L -> "a b c a b c a b",   // "a b c" x2, "b c a" x2, "c a b" x2, "a b" irrelevant (n=3)
+      2L -> "a b c d",           // "a b c" +1, "b c d" +1
+      3L -> "x y"                // shorter than n -> contributes nothing
+    ).toDF("doc_id", "text")
+    val out = Corpus.topNgrams(tiny, "text", n = 3, k = 3).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a b c", 3L), ("b c a", 2L), ("c a b", 2L)))
+    // corpus run: layout-invariant and totals conserved vs a full count
+    val a = Corpus.topNgrams(docs, "text", 3, 20).collect().toSeq
+    val b = Corpus.topNgrams(docs.repartition(7), "text", 3, 20).collect().toSeq
+    assert(a === b && a.length === 20)
+  }
+
+  test("quantiles: exact per-stratum percentiles; approx twin within rank error") {
+    val exact = Corpus.quantiles(docs, "n_chars", "lang", Seq(0.25, 0.5, 0.75, 0.95))
+      .orderBy(asc_nulls_first("lang")).collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      val Seq(q25, q50, q75, q95) = (2 to 5).map(r.getDouble)
+      assert(q25 <= q50 && q50 <= q75 && q75 <= q95)
+    }
+    // the approx twin's guarantee is on RANK, not value (it returns a real
+    // order statistic, no interpolation): each approx quantile must lie
+    // between the exact quantiles at p ± 0.1
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val lo = Corpus.quantiles(docs, "n_chars", "lang", ps.map(p => math.max(0.0, p - 0.1)))
+      .orderBy(asc_nulls_first("lang")).collect()
+    val hi = Corpus.quantiles(docs, "n_chars", "lang", ps.map(p => math.min(1.0, p + 0.1)))
+      .orderBy(asc_nulls_first("lang")).collect()
+    val approx = Corpus.quantilesApprox(docs, "n_chars", "lang", ps)
+      .orderBy(asc_nulls_first("lang")).collect()
+    exact.zip(approx).zipWithIndex.foreach { case ((e, a), row) =>
+      assert(e.get(0) === a.get(0) && e.getLong(1) === a.getLong(1))
+      (2 to 5).foreach { i =>
+        val (l, h, v) = (lo(row).getDouble(i), hi(row).getDouble(i), a.getDouble(i))
+        assert(l <= v && v <= h, s"q$i for stratum ${e.get(0)}: $v outside [$l, $h]")
+      }
+    }
+  }
+
+  test("dupeProfile: exact rates from a duplicated frame; HLL twin within rsd") {
+    // 10 distinct texts in source s1, each x3; 5 distinct in s2, each x1
+    val dup = ((1 to 30).map(i => (i.toLong, s"text number ${i % 10}", "s1")) ++
+      (31 to 35).map(i => (i.toLong, s"unique $i", "s2")))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.dupeProfile(dup, "text", "source").orderBy("source").collect()
+    assert(out(0).toSeq === Seq("s1", 30L, 10L, 0.6667))
+    assert(out(1).toSeq === Seq("s2", 5L, 5L, 0.0))
+    val approx = Corpus.dupeProfileApprox(docs, "text", "source", rsd = 0.02)
+      .orderBy(asc_nulls_first("source")).collect()
+    val ex = Corpus.dupeProfile(docs, "text", "source")
+      .orderBy(asc_nulls_first("source")).collect()
+    ex.zip(approx).foreach { case (e, a) =>
+      assert(e.get(0) === a.get(0) && e.getLong(1) === a.getLong(1))
+      val (de, da) = (e.getLong(2).toDouble, a.getLong(2).toDouble)
+      assert(math.abs(de - da) <= 0.06 * de, s"distinct for ${e.get(0)}: exact $de approx $da")
+    }
+  }
 }

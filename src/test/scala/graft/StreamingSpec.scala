@@ -66,6 +66,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("clickAttributionOuterAvailableNow equals the batch left join, nulls from real eviction") {
+    val streamed = Streams.clickAttributionOuterAvailableNow(spark, sfDir)
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first).collect()
+    val ev = graft.io.Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first).collect()
+    assert(streamed.length === batch.length && streamed.length > 0)
+    // the unmatched rows — the part only state eviction can produce — must
+    // be present, including clicks from the last hours of the stream (the
+    // rows a stalled watermark would silently drop)
+    val nullRows = streamed.filter(_.isNullAt(1))
+    assert(nullRows.length === batch.count(_.isNullAt(1)) && nullRows.nonEmpty)
+    val maxClickTs = batch.map(_.getTimestamp(3)).max((a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b))
+    assert(nullRows.exists(_.getTimestamp(3).getTime > maxClickTs.getTime - 3 * 3600 * 1000L),
+      "no unmatched click from the final 3 hours was flushed — watermark stalled")
+    assert(streamed.sameElements(batch))
+  }
+
   test("dedupExactAvailableNow equals batch exact dedup") {
     val streamed = Streams.dedupExactAvailableNow(spark, sfDir)
       .orderBy("content_key").collect()
