@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.llm.{EchoModel, Elo, HashEmbedder, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
-import graft.ops.{Corpus, Dedup, LangModel, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Dedup, LangModel, Multimodal, Search, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — the operator catalog from SURVEY.md §2.
   *
@@ -377,6 +377,52 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefilter decontamination at the same operating point as
+    * dedup_decontaminate. Candidate recall is 1 by Bloom construction
+    * (no false negatives + J>=0.5 implies a shared shingle) and the
+    * verify stage is the same exact Jaccard, so the OUTPUT is identical
+    * and the twin shares the exact-Jaccard oracle verbatim. */
+  private def dedupDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    Dedup.decontaminateBloom(corpus, evalSet, "text", "doc_id")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Exact-substring duplicated spans (Lee-2022 shape): word-5-gram
+    * fingerprints recurring anywhere in the corpus (>=2 occurrences,
+    * self-repetition included) merged into maximal per-document spans. */
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(t(s, dir, "documents"), "text", "doc_id", k = 5, minOcc = 2)
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("span_words").cast("long").as("span_words"))
+      .orderBy("doc_id", "span_start")
+
+  /** Deterministic 80/10/10 train/val/test split by md5 bucket — the
+    * engine-reproducible alternative to randomSplit. */
+  private def corpusSplit(s: SparkSession, dir: String): DataFrame =
+    Corpus.assignSplits(t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "lang", "split")
+      .orderBy("doc_id")
+
+  /** BM25 top-20 for a fixed 3-term keyword query; ordering uses the
+    * rounded score (+ id tie-break) so the cut is a shared total order. */
+  private def textSearch(s: SparkSession, dir: String): DataFrame =
+    Search.bm25(t(s, dir, "documents"), "text", "doc_id",
+      Seq("spark", "join", "window"), k = 20)
+
+  /** Embedding clustering at the oracle-able iters=0 operating point
+    * (md5-hash-order leader seeds, argmax cosine, k=8); the trained
+    * iters>0 path is covered by DedupSpec. */
+  private def corpusCluster(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterEmbeddings(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+      .withColumn("cluster", col("cluster").cast("long"))
+      .orderBy("vec_id")
+
   /** SemDeDup at the oracle-able operating point: md5-hash-order leader
     * seeds (iters=0, no float-mean refinement), 8 clusters, within-cluster
     * cos>=0.4 components, min-id keepers. The trained (iters>0) path is
@@ -645,6 +691,11 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
+    "dedup_decontaminate_bloom" -> (dedupDecontaminateBloom _),
+    "dedup_substring" -> (dedupSubstring _),
+    "corpus_split" -> (corpusSplit _),
+    "corpus_cluster" -> (corpusCluster _),
+    "text_search" -> (textSearch _),
     "infer_render" -> (inferRender _),
     "infer_echo" -> (inferEcho _),
     "infer_structured" -> (inferStructured _),
@@ -1209,6 +1260,109 @@ object SparkEntry {
         |    WHERE (j.a_id = d.doc_id AND j.b_id % 10 = 0)
         |       OR (j.b_id = d.doc_id AND j.a_id % 10 = 0))
         |ORDER BY d.doc_id""".stripMargin,
+    // the Bloom prefilter has recall 1 (no false negatives + J>=0.5
+    // implies a shared shingle), so the twin's output equals the exact
+    // Jaccard definition and it shares dedup_decontaminate's oracle
+    "dedup_decontaminate_bloom" ->
+      """WITH norm AS (
+        |  SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shl
+        |  FROM norm),
+        |ex AS (SELECT id, len(shl) AS sz, unnest(shl) AS shingle FROM sh),
+        |prs AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, any_value(a.sz) AS a_size, any_value(b.sz) AS b_size, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+        |  GROUP BY a.id, b.id),
+        |jac AS (
+        |  SELECT a_id, b_id FROM prs
+        |  WHERE CAST(shared AS DOUBLE) / (a_size + b_size - shared) >= 0.5)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id % 10 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM jac j
+        |    WHERE (j.a_id = d.doc_id AND j.b_id % 10 = 0)
+        |       OR (j.b_id = d.doc_id AND j.a_id % 10 = 0))
+        |ORDER BY d.doc_id""".stripMargin,
+    // exact-substring spans from first principles: positional 5-grams
+    // (1-based i converts to the kernel's 0-based word offsets), corpus-
+    // wide occurrence count >= 2, gaps-and-islands span merge. A span
+    // closes when the next duplicated 5-gram starts more than 5 words
+    // after the previous one.
+    "dedup_substring" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS ng
+        |  FROM w0, unnest(generate_series(1, greatest(len(w)-4, 0))) AS s(i)),
+        |dup AS (SELECT ng FROM pos GROUP BY ng HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, i FROM pos JOIN dup USING (ng)),
+        |brk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 5
+        |      THEN 0 ELSE 1 END AS b
+        |  FROM hits),
+        |grp AS (
+        |  SELECT doc_id, i, sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |  FROM brk)
+        |SELECT doc_id, min(i) - 1 AS span_start, max(i) + 4 AS span_end,
+        |  max(i) + 4 - (min(i) - 1) AS span_words
+        |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+    // same md5 bucket as corpus_sample; cut points 80/90 give 80/10/10
+    "corpus_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // cluster assignment from first principles: md5-order leader seeds,
+    // argmax cosine (ties -> lowest leader index), integer window count
+    "corpus_cluster" ->
+      """WITH ld AS (
+        |  SELECT embedding,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |asg AS (
+        |  SELECT e.vec_id, ld.idx,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(e.embedding, ld.embedding) DESC, ld.idx ASC) AS rn
+        |  FROM embeddings e CROSS JOIN ld
+        |  WHERE e.embedding IS NOT NULL),
+        |cl AS (SELECT vec_id, idx AS cluster FROM asg WHERE rn = 1)
+        |SELECT vec_id, cluster, count(*) OVER (PARTITION BY cluster) AS cluster_size
+        |FROM cl ORDER BY vec_id""".stripMargin,
+    // BM25 from first principles with the same fixed term order and the
+    // same nominal constants; both engines order by the ROUNDED score
+    // (+ doc_id), a shared total order for the top-20 cut
+    "text_search" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dl,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'spark')) AS tf0,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'join')) AS tf1,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'window')) AS tf2
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM s),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |      ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM s, g)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // clusters = transitive closure over the same capped-Jaccard pair
     // graph, as a recursive CTE; comp = min reachable id (the keeper).
     "dedup_clusters" ->

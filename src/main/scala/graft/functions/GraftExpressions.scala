@@ -389,6 +389,51 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positional word-n-gram FNV-1a fingerprints (array index = word
+  * position) — the exact-substring-dedup primitive. */
+case class NgramFpsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.ngramFps(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.ngramFps($c, $n)")
+  override def prettyName: String = "ngram_fps"
+  override protected def withNewChildInternal(newChild: Expression): NgramFpsExpr =
+    copy(child = newChild)
+}
+
+/** Does ANY word-n-gram shingle of the text hit the plan-embedded Bloom
+  * filter? One pass, early-out; the filter bits ride the serialized
+  * expression like the IVF centroids. */
+case class AnyShingleHitExpr(child: Expression, n: Int, bits: Array[Long], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.anyShingleHit(input.asInstanceOf[UTF8String], n, bits, k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.anyShingleHit($c, $n, $ref, $k)")
+  }
+  override def prettyName: String = "any_shingle_hit"
+  override protected def withNewChildInternal(newChild: Expression): AnyShingleHitExpr =
+    copy(child = newChild)
+}
+
+/** BM25 per-document statistics [dl, tf_0, ..., tf_{m-1}] for a
+  * plan-embedded (lower-cased) term list. */
+case class TermFreqsExpr(child: Expression, terms: Array[String]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.termFreqs(input.asInstanceOf[UTF8String], terms)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", terms, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.termFreqs($c, $ref)")
+  }
+  override def prettyName: String = "term_freqs"
+  override protected def withNewChildInternal(newChild: Expression): TermFreqsExpr =
+    copy(child = newChild)
+}
+
 /** Column-typed API over the custom expressions. */
 object gf {
   private def u(c: Column)(f: Expression => Expression): Column =
@@ -460,6 +505,17 @@ object gf {
   /** [n_bigrams, sum count*lnP] under a trained bigram log-prob table. */
   def bigramLogScore(text: Column, lnP: Array[Double]): Column =
     u(text)(BigramLogScoreExpr(_, lnP))
+
+  /** Positional word-n-gram fingerprints (index = word position). */
+  def ngramFps(text: Column, n: Int): Column = u(text)(NgramFpsExpr(_, n))
+
+  /** Any-shingle Bloom membership of a text column. */
+  def anyShingleHit(text: Column, n: Int, bits: Array[Long], k: Int): Column =
+    u(text)(AnyShingleHitExpr(_, n, bits, k))
+
+  /** BM25 per-document statistics [dl, tf...] for a fixed term list. */
+  def termFreqs(text: Column, terms: Array[String]): Column =
+    u(text)(TermFreqsExpr(_, terms))
 
   /** Candidate pairs from a shingle posting list array<struct<id, sz>>. */
   def postingPairs(items: Column): Column = u(items)(PostingPairsExpr(_))

@@ -982,4 +982,127 @@ object Kernels {
       return mediaRow("gif", rLE16(b, 6), rLE16(b, 8), 0, 0, (((b(10) & 0xff) >> 4) & 7) + 1)
     mediaRow("unknown", 0, 0, 0, 0, 0)
   }
+
+  /** Positional word-n-gram fingerprints: element i = FNV-1a 64 of the
+    * space-joined n-gram starting at word position i (exactly the n-gram
+    * text [[ngramsAll]] builds, so a fingerprint equals another iff the
+    * n-gram text does, modulo 64-bit collision). The array index IS the
+    * word position — the exact-substring-dedup primitive: positions whose
+    * fingerprint recurs anywhere in the corpus are duplicated-span
+    * members. */
+  def ngramFps(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = fnv1a64(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Number of Bloom probes for a given bits-per-item budget (the
+    * standard k = m/n * ln 2 optimum). */
+  def bloomK(bitsPerItem: Int): Int =
+    math.max(1, math.round(bitsPerItem * math.log(2.0)).toInt)
+
+  /** Driver-side Bloom build over 64-bit fingerprints. The probe sequence
+    * (double hashing: position p = fp + p*(mix64(fp)|1), mod bit count)
+    * is shared with [[anyShingleHit]] — build and query MUST agree or the
+    * no-false-negative contract breaks. */
+  def bloomBuild(fps: Array[Long], bitsPerItem: Int): Array[Long] = {
+    val nBits0 = math.max(64L, fps.length.toLong * bitsPerItem)
+    val words = ((nBits0 + 63) / 64).toInt
+    val bits = new Array[Long](words)
+    val mBits = words.toLong * 64L
+    val k = bloomK(bitsPerItem)
+    var i = 0
+    while (i < fps.length) {
+      val fp = fps(i)
+      val h2 = mix64(fp) | 1L
+      var h = fp
+      var p = 0
+      while (p < k) {
+        val pos = java.lang.Long.remainderUnsigned(h, mBits)
+        bits((pos >>> 6).toInt) |= 1L << (pos & 63)
+        h += h2
+        p += 1
+      }
+      i += 1
+    }
+    bits
+  }
+
+  /** True iff ANY word-n-gram shingle fingerprint of the text hits the
+    * plan-embedded Bloom filter (k probes per shingle, double hashing,
+    * same fingerprints as [[ngramFps]]). No false negatives by Bloom
+    * construction: a document sharing at least one shingle with the
+    * filtered set always returns true — the decontamination-prefilter
+    * contract that makes the exact-verify composition exact. Early-outs
+    * on the first hit. */
+  def anyShingleHit(text: UTF8String, n: Int, bits: Array[Long], k: Int): Boolean = {
+    val toks = tokenize(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return false
+    val mBits = bits.length.toLong * 64L
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val fp = fnv1a64(sb.toString)
+      val h2 = mix64(fp) | 1L
+      var h = fp
+      var p = 0
+      var hit = true
+      while (p < k && hit) {
+        val pos = java.lang.Long.remainderUnsigned(h, mBits)
+        if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) hit = false
+        h += h2
+        p += 1
+      }
+      if (hit) return true
+      i += 1
+    }
+    false
+  }
+
+  /** [dl, tf(term_0), ..., tf(term_{m-1})]: document length in tokens and
+    * per-term token-equality frequencies in one tokenize pass — the BM25
+    * per-document statistics. Terms ride the plan already lower-cased;
+    * the term list is query-sized (a handful), so the inner scan beats a
+    * hash map at these sizes. */
+  def termFreqs(text: UTF8String, terms: Array[String]): ArrayData = {
+    val toks = tokenize(text)
+    val out = new Array[Any](terms.length + 1)
+    val tf = new Array[Long](terms.length)
+    var i = 0
+    while (i < toks.length) {
+      var j = 0
+      while (j < terms.length) {
+        if (toks(i) == terms(j)) tf(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    out(0) = toks.length.toLong
+    i = 0
+    while (i < terms.length) { out(i + 1) = tf(i); i += 1 }
+    new GenericArrayData(out)
+  }
 }

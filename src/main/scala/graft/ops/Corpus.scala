@@ -40,6 +40,30 @@ object Corpus {
   def sampleBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
 
+  /** Deterministic train/val/test split — the engine-reproducible
+    * alternative to randomSplit: assignment is a pure function of the id
+    * (the same md5 bucket as [[deterministicSample]]), so the same row
+    * lands in the same split on any engine, any partition layout, any
+    * retry, any rerun — the property that keeps a held-out set held out
+    * across pipeline re-materializations. `cuts` maps split name to an
+    * integer percentage of the [0, 100) bucket space, in order; they must
+    * sum to 100. Returns the input with a `split` column appended.
+    *
+    * Scale shape: a narrow map — no shuffle, no sampling pass, no count. */
+  def assignSplits(df: DataFrame, idCol: String, cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty, "split needs at least one cut")
+    require(cuts.forall(_._2 > 0), "every split needs a positive percentage")
+    require(cuts.map(_._2).sum == 100,
+      s"split percentages must sum to 100, got ${cuts.map(_._2).sum}")
+    val b = sampleBucket(col(idCol))
+    val ends = cuts.scanLeft(0) { case (acc, (_, pct)) => acc + pct }.tail
+    val named = cuts.map(_._1).zip(ends)
+    val assigned = named.init.foldRight(lit(named.last._1): Column) {
+      case ((name, end), rest) => when(b < end, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Cap each stratum at `maxRows` documents — the "downsample
     * overrepresented sources" step. Selection is by md5-hash order within
     * the stratum, so which rows survive is deterministic, engine-

@@ -587,6 +587,124 @@ object Dedup {
         col("c.cleaned").as("cleaned"))
   }
 
+  /** Exact-substring duplicated spans — the span-level dedup of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed as a word-k-gram fingerprint inverted index instead of a
+    * suffix array over the concatenated corpus (the formulation that
+    * distributes): a word position is duplicated when its k-gram
+    * fingerprint occurs at least `minOcc` times corpus-wide (any document,
+    * including its own — self-repetition is duplication too), and
+    * overlapping or adjacent duplicated k-grams merge into maximal spans.
+    * Returns one row per maximal span: (idCol, span_start, span_end,
+    * span_words) in word offsets, end exclusive.
+    *
+    * Scale shape: the corpus tokenizes into positional 8-byte fingerprints
+    * in a codegen kernel; the frequency pass is a groupBy on the
+    * fingerprint with map-side partial counts (the shuffle carries
+    * (fp, count), never n-gram text); the hit join restricts the posting
+    * explosion to recurring fingerprints; span merging is one window per
+    * document over integer positions (gaps-and-islands). Everything after
+    * the count is bounded by duplicated-span volume, not corpus volume.
+    * The positional explosion is deliberately recomputed for the two
+    * passes rather than cached — it is a narrow map off the scan, and at
+    * corpus scale recompute beats materializing len(corpus) 16-byte rows. */
+  def duplicatedSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      minOcc: Int = 2): DataFrame = {
+    requireLongId(docs, idCol)
+    require(k >= 2, s"span k-gram width must be >= 2, got $k")
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(gf.ngramFps(col(textCol), k)))
+      .toDF("id", "pos", "fp")
+    val dupFps = pos.groupBy("fp").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOcc)
+      .select("fp")
+    val hits = pos.join(dupFps, "fp").select("id", "pos")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    hits
+      // a gap opens when the next duplicated k-gram starts more than k
+      // words after the previous one (i.e. their covered spans no longer
+      // touch); null lag (first hit in a doc) opens the first island
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("grp", sum("brk").over(byDoc))
+      .groupBy(col("id"), col("grp"))
+      .agg(min("pos").as("span_start"), (max("pos") + k).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_words"))
+  }
+
+  /** Bloom-prefilter decontamination — same contract and same OUTPUT as
+    * [[decontaminate]] (drop corpus docs whose shingle Jaccard vs any eval
+    * doc reaches the threshold), different candidate generation: the eval
+    * set's distinct shingle fingerprints build a driver-side Bloom filter
+    * whose bits ride the plan (like the IVF centroids), and a corpus
+    * document becomes a candidate iff ANY of its shingles hits the filter
+    * — one early-out codegen pass over the corpus with NO explode, NO band
+    * join, no shuffle at all before the contamination-bounded exact-verify
+    * stage. Bloom false positives only waste verification; false negatives
+    * are impossible, and Jaccard >= threshold > 0 implies a shared
+    * shingle, so candidate recall is exactly 1 and the output equals the
+    * exact-Jaccard definition verbatim (this operator shares
+    * [[decontaminate]]'s oracle).
+    *
+    * The 100 TB posture: filter size is O(bitsPerItem x distinct eval
+    * shingles) bits independent of corpus size — a full eval battery of
+    * 10 M shingles at 12 bits/item is a 15 MB task constant — while the
+    * band-join variant's broadcast table grows with bands x eval docs and
+    * still shuffles corpus band keys. Compose after exact dedup for
+    * duplicate-heavy corpora (duplicates multiply verify candidates). */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bitsPerItem: Int = 12,
+      maxEvalShingles: Int = 50000000): DataFrame = {
+    requireLongId(corpus, idCol)
+    requireLongId(evalSet, idCol)
+    val evalDocs = evalSet
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+      .where(col("__text").isNotNull)
+    // distinct eval shingle fps; limit BEFORE collect so an oversized eval
+    // battery fails without materializing on the driver
+    val fpRows = evalDocs
+      .select(explode(array_distinct(gf.ngramFps(col("__text"), n))).as("fp"))
+      .distinct()
+      .limit(maxEvalShingles + 1)
+      .collect()
+    require(fpRows.length <= maxEvalShingles,
+      s"eval shingle set exceeds $maxEvalShingles distinct shingles; " +
+        "raise maxEvalShingles or split the eval battery")
+    val bits = graft.functions.Kernels.bloomBuild(fpRows.map(_.getLong(0)), bitsPerItem)
+    val kProbes = graft.functions.Kernels.bloomK(bitsPerItem)
+
+    val candidates = corpus
+      .where(col(textCol).isNotNull &&
+        gf.anyShingleHit(col(textCol), n, bits, kProbes))
+      .select(col(idCol).cast("long").as("cand_id"), col(textCol).as("__text"))
+    val candSh = candidates
+      .select(col("cand_id"), shingles(col("__text"), n).as("a_shl"))
+    val evalSh = evalDocs.select(col("id").as("eval_id"), shingles(col("__text"), n).as("b_shl"))
+    val contaminated = candSh
+      .join(broadcast(evalSh),
+        size(array_intersect(col("a_shl"), col("b_shl"))) * lit(1.0) /
+          (size(col("a_shl")) + size(col("b_shl"))
+            - size(array_intersect(col("a_shl"), col("b_shl")))) >= threshold)
+      .select(col("cand_id").as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** One-call near-dup pipeline — the composition every training corpus
     * runs, in the order that scales: MinHash-LSH candidates verified by
     * exact Jaccard (exact duplicates are canonicalized inside), connected
@@ -694,23 +812,7 @@ object Dedup {
     val vecs = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .where(col("vec").isNotNull)
-    val seeds = vecs
-      .orderBy(md5(col("id").cast("string")), col("id"))
-      .limit(k)
-      .select(col("vec"))
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(seeds.nonEmpty, "semdedup: empty embedding corpus")
-    val centroids =
-      if (iters == 0) seeds
-      else {
-        // deterministic hash sample (same shape as the IVF quantizer's)
-        val sample = vecs
-          .select(col("vec"), xxhash64(col("id")).as("__h"))
-          .orderBy(col("__h")).limit(sampleSize)
-          .select(col("vec"))
-          .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-        sphericalKmeans(sample, seeds, iters)
-      }
+    val centroids = trainClusterCentroids(vecs, k, iters, sampleSize)
 
     val assigned = vecs
       .withColumn("cluster", gf.nearestCos(col("vec"), centroids))
@@ -725,6 +827,63 @@ object Dedup {
       .join(comp, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         (col("comp").isNull || col("comp") === col("id")).as("keep"))
+  }
+
+  /** Centroids for embedding clustering over a (id, vec) frame: seeds are
+    * the k first vectors in md5-hash id order (the engine's reproducible
+    * sampler — SQL-expressible, which is what makes the iters=0 operating
+    * point oracle-able); `iters > 0` refines them with driver-side
+    * spherical k-means over a deterministic hash sample, at the cost of
+    * cross-engine float-mean reproducibility. */
+  private def trainClusterCentroids(
+      vecs: DataFrame,
+      k: Int,
+      iters: Int,
+      sampleSize: Int): Array[Array[Double]] = {
+    val seeds = vecs
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(k)
+      .select(col("vec"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.nonEmpty, "empty embedding corpus")
+    if (iters == 0) seeds
+    else {
+      // deterministic hash sample (same shape as the IVF quantizer's)
+      val sample = vecs
+        .select(col("vec"), xxhash64(col("id")).as("__h"))
+        .orderBy(col("__h")).limit(sampleSize)
+        .select(col("vec"))
+        .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      sphericalKmeans(sample, seeds, iters)
+    }
+  }
+
+  /** First-class embedding clustering — [[semdedup]]'s assignment stage as
+    * its own operator (corpus topic/domain structure, cluster-stratified
+    * sampling, and the input to cluster-scoped pipelines): spherical
+    * k-means assignment against a plan-embedded centroid table, returning
+    * (idCol, cluster, cluster_size). Assignment is a codegen argmax-cosine
+    * narrow map — the only shuffle is the k-row size aggregate, which
+    * broadcasts back onto the assignment. At 100 TB, k grows with the
+    * corpus to hold per-cluster occupancy constant; the centroid table
+    * stays a task constant (k x dim doubles). */
+  def clusterEmbeddings(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 0,
+      sampleSize: Int = 10000): DataFrame = {
+    requireLongId(emb, idCol)
+    val vecs = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .where(col("vec").isNotNull)
+    val centroids = trainClusterCentroids(vecs, k, iters, sampleSize)
+    val assigned = vecs.withColumn("cluster", gf.nearestCos(col("vec"), centroids))
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    assigned
+      .join(broadcast(sizes), Seq("cluster"))
+      .select(col("id").as(idCol), col("cluster"), col("cluster_size"))
   }
 
   /** Driver-side spherical k-means: assign by max cosine, update by

@@ -178,4 +178,31 @@ class CorpusSpec extends SparkSpec {
       assert(math.abs(de - da) <= 0.06 * de, s"distinct for ${e.get(0)}: exact $de approx $da")
     }
   }
+
+  test("split: total coverage, cut-point agreement with sampleBucket, and layout independence") {
+    val out = Corpus.assignSplits(docs, "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("split"),
+        Corpus.sampleBucket(col("doc_id")).as("b"))
+      .collect()
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      val expected =
+        if (r.getLong(2) < 80) "train" else if (r.getLong(2) < 90) "val" else "test"
+      assert(r.getString(1) === expected, s"doc ${r.getLong(0)} bucket ${r.getLong(2)}")
+    }
+    // same assignment under a different partition layout (pure id function)
+    val again = Corpus.assignSplits(docs.repartition(7), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    out.foreach(r => assert(again(r.getLong(0)) === r.getString(1)))
+  }
+
+  test("split: rejects cuts that do not sum to 100 or are non-positive") {
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplits(docs, "doc_id", Seq("train" -> 80, "test" -> 10))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplits(docs, "doc_id", Seq("train" -> 100, "test" -> 0))
+    }
+  }
 }

@@ -218,4 +218,81 @@ class DedupSpec extends SparkSpec {
       k = 8, minCos = 0.4, iters = 2).orderBy("vec_id").collect()
     assert(rows.sameElements(again))
   }
+
+  test("duplicatedSpans: shared run across two docs merges into one maximal span each") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"$shared seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "text", "doc_id", k = 5, minOcc = 2)
+      .orderBy("doc_id").collect()
+    assert(spans.length === 2)
+    // doc 1: the shared 6 words sit at positions 3..8 -> dup 5-grams at 3
+    // and 4 -> one span [3, 9)
+    assert(spans(0).getLong(0) === 1L)
+    assert((spans(0).getInt(1), spans(0).getInt(2), spans(0).getInt(3)) === ((3, 9, 6)))
+    // doc 2: shared prefix -> span [0, 6)
+    assert((spans(1).getInt(1), spans(1).getInt(2), spans(1).getInt(3)) === ((0, 6, 6)))
+  }
+
+  test("duplicatedSpans: self-repetition inside one doc counts; touching spans merge") {
+    // p..u repeated: dup 5-grams at 0,1 (first copy) and 6,7 (second);
+    // hit 1 covers [1,6), hit 6 covers [6,11) — touching, so one span
+    val df = Seq((1L, "p q r s t u p q r s t u")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "text", "doc_id", k = 5, minOcc = 2).collect()
+    assert(spans.length === 1)
+    assert((spans(0).getInt(1), spans(0).getInt(2), spans(0).getInt(3)) === ((0, 12, 12)))
+  }
+
+  test("duplicatedSpans: disjoint duplicated regions stay separate spans") {
+    val a = "red orange yellow green blue"          // 5 words, one 5-gram
+    val b = "cat dog bird fish mouse"
+    val df = Seq(
+      (1L, s"$a zz1 zz2 zz3 zz4 zz5 zz6 $b"),
+      (2L, s"$a yy1 yy2 yy3 yy4 yy5 yy6 $b")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(df, "text", "doc_id", k = 5, minOcc = 2)
+      .where(col("doc_id") === 1L).orderBy("span_start").collect()
+    // doc 1: dup 5-gram at 0 (span [0,5)) and at 11 (span [11,16)); the
+    // gap of 6 unique words keeps them apart (11 - 0 > 5)
+    assert(spans.length === 2)
+    assert((spans(0).getInt(1), spans(0).getInt(2)) === ((0, 5)))
+    assert((spans(1).getInt(1), spans(1).getInt(2)) === ((11, 16)))
+  }
+
+  test("decontaminateBloom: output equals the band-join decontaminate exactly") {
+    val evalSet = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val banded = Dedup.decontaminate(corpus, evalSet, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Dedup.decontaminateBloom(corpus, evalSet, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(banded === bloomed)
+    assert(bloomed.size < corpus.count(), "the eval slice's near-matches must drop something")
+  }
+
+  test("clusterEmbeddings: matches semdedup assignment; sizes partition the corpus") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val cl = Dedup.clusterEmbeddings(emb, "vec_id", "embedding", k = 8)
+    val byId = cl.collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val sem = Dedup.semdedup(emb, "vec_id", "embedding", k = 8, minCos = 0.4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(byId.view.mapValues(_._1).toMap === sem)
+    // cluster_size is consistent per cluster and sums to the corpus size
+    val sizes = byId.values.groupBy(_._1).map { case (c, vs) =>
+      assert(vs.map(_._2).toSet.size === 1, s"cluster $c has inconsistent sizes")
+      (c, vs.head._2)
+    }
+    assert(sizes.values.sum === byId.size)
+    val counted = byId.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(sizes === counted)
+  }
+
+  test("clusterEmbeddings: trained path (iters>0) deterministic across partition layouts") {
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val a = Dedup.clusterEmbeddings(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .orderBy("vec_id").collect()
+    val b = Dedup.clusterEmbeddings(emb.repartition(7), "vec_id", "embedding", k = 4, iters = 2)
+      .orderBy("vec_id").collect()
+    assert(a.sameElements(b))
+  }
 }

@@ -59,4 +59,47 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.cosineF(a, b) === 0.0)
     assert(Kernels.dotF(a, b) === 0.0)
   }
+
+  test("ngramFps: positional fingerprints = fnv1a64 of ngramsAll, index-aligned") {
+    val text = u("The quick  Brown fox\njumps over the quick brown fox")
+    val fps = Kernels.ngramFps(text, 3).toLongArray()
+    val ngs = Kernels.ngramsAll(text, 3).toArray[org.apache.spark.unsafe.types.UTF8String](
+      org.apache.spark.sql.types.StringType)
+    assert(fps.length === ngs.length)
+    fps.indices.foreach(i => assert(fps(i) === Kernels.fnv1a64(ngs(i).toString)))
+    assert(Kernels.ngramFps(u("one two"), 3).numElements() === 0)
+  }
+
+  test("bloom: no false negatives — every inserted text hits its own filter") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(400)(i => s"w$i")
+    val texts = Array.fill(200)(
+      u(Array.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val fps = texts.flatMap(t => Kernels.ngramFps(t, 3).toLongArray()).distinct
+    val bits = Kernels.bloomBuild(fps, 12)
+    val k = Kernels.bloomK(12)
+    texts.foreach(t => assert(Kernels.anyShingleHit(t, 3, bits, k)))
+  }
+
+  test("anyShingleHit: text sharing a shingle with the filtered set always hits") {
+    val evalText = u("alpha beta gamma delta epsilon zeta eta theta")
+    val evalFps = Kernels.ngramFps(evalText, 3).toLongArray()
+    val bits = Kernels.bloomBuild(evalFps, 12)
+    val k = Kernels.bloomK(12)
+    // shares the shingle "gamma delta epsilon"
+    assert(Kernels.anyShingleHit(u("xx yy gamma delta epsilon zz"), 3, bits, k))
+    // identical text trivially hits
+    assert(Kernels.anyShingleHit(evalText, 3, bits, k))
+    // too short for any shingle -> never hits
+    assert(!Kernels.anyShingleHit(u("alpha beta"), 3, bits, k))
+    // overwhelmingly-likely miss for disjoint vocabulary
+    assert(!Kernels.anyShingleHit(u("q1 q2 q3 q4 q5 q6 q7 q8"), 3, bits, k))
+  }
+
+  test("termFreqs: dl and per-term token-equality counts in one pass") {
+    val out = Kernels.termFreqs(u("Spark spark JOIN sparkle  join spark"), Array("spark", "join"))
+      .toLongArray()
+    assert(out.toSeq === Seq(6L, 3L, 2L))
+    assert(Kernels.termFreqs(u(""), Array("x")).toLongArray().toSeq === Seq(0L, 0L))
+  }
 }
