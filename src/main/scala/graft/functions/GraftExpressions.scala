@@ -419,6 +419,46 @@ case class AnyShingleHitExpr(child: Expression, n: Int, bits: Array[Long], k: In
     copy(child = newChild)
 }
 
+/** [n_distinct_shingles, n_bloom_hits] against a plan-embedded Bloom
+  * filter — the count-based decontamination prefilter. */
+case class BloomShingleHitsExpr(child: Expression, n: Int, bits: Array[Long], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.bloomShingleHits(input.asInstanceOf[UTF8String], n, bits, k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bloomShingleHits($c, $n, $ref, $k)")
+  }
+  override def prettyName: String = "bloom_shingle_hits"
+  override protected def withNewChildInternal(newChild: Expression): BloomShingleHitsExpr =
+    copy(child = newChild)
+}
+
+/** Distinct word-n-gram shingle fingerprints, sorted ascending. */
+case class ShingleFpsSortedExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.shingleFpsSorted(input.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleFpsSorted($c, $n)")
+  override def prettyName: String = "shingle_fps_sorted"
+  override protected def withNewChildInternal(newChild: Expression): ShingleFpsSortedExpr =
+    copy(child = newChild)
+}
+
+/** One-merge-pass Jaccard of two sorted long arrays. */
+case class JaccardSortedFpsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardSortedFps(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaccardSortedFps($a, $b)")
+  override def prettyName: String = "jaccard_sorted_fps"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedFpsExpr =
+    copy(left = l, right = r)
+}
+
 /** BM25 per-document statistics [dl, tf_0, ..., tf_{m-1}] for a
   * plan-embedded (lower-cased) term list. */
 case class TermFreqsExpr(child: Expression, terms: Array[String]) extends UnaryExpression {
@@ -512,6 +552,17 @@ object gf {
   /** Any-shingle Bloom membership of a text column. */
   def anyShingleHit(text: Column, n: Int, bits: Array[Long], k: Int): Column =
     u(text)(AnyShingleHitExpr(_, n, bits, k))
+
+  /** [n_distinct_shingles, n_bloom_hits] of a text column. */
+  def bloomShingleHits(text: Column, n: Int, bits: Array[Long], k: Int): Column =
+    u(text)(BloomShingleHitsExpr(_, n, bits, k))
+
+  /** Distinct shingle fingerprints, sorted ascending. */
+  def shingleFpsSorted(text: Column, n: Int): Column = u(text)(ShingleFpsSortedExpr(_, n))
+
+  /** Merge-pass Jaccard of two sorted long-array columns. */
+  def jaccardSortedFps(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardSortedFpsExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** BM25 per-document statistics [dl, tf...] for a fixed term list. */
   def termFreqs(text: Column, terms: Array[String]): Column =

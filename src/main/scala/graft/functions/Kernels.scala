@@ -1043,13 +1043,26 @@ object Kernels {
     bits
   }
 
+  /** Bloom membership of one fingerprint; probe sequence shared with
+    * [[bloomBuild]]. */
+  private def bloomContains(fp: Long, bits: Array[Long], k: Int, mBits: Long): Boolean = {
+    val h2 = mix64(fp) | 1L
+    var h = fp
+    var p = 0
+    while (p < k) {
+      val pos = java.lang.Long.remainderUnsigned(h, mBits)
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+      h += h2
+      p += 1
+    }
+    true
+  }
+
   /** True iff ANY word-n-gram shingle fingerprint of the text hits the
     * plan-embedded Bloom filter (k probes per shingle, double hashing,
     * same fingerprints as [[ngramFps]]). No false negatives by Bloom
     * construction: a document sharing at least one shingle with the
-    * filtered set always returns true — the decontamination-prefilter
-    * contract that makes the exact-verify composition exact. Early-outs
-    * on the first hit. */
+    * filtered set always returns true. Early-outs on the first hit. */
   def anyShingleHit(text: UTF8String, n: Int, bits: Array[Long], k: Int): Boolean = {
     val toks = tokenize(text)
     val m = toks.length - n + 1
@@ -1065,21 +1078,96 @@ object Kernels {
         sb.append(toks(i + j))
         j += 1
       }
-      val fp = fnv1a64(sb.toString)
-      val h2 = mix64(fp) | 1L
-      var h = fp
-      var p = 0
-      var hit = true
-      while (p < k && hit) {
-        val pos = java.lang.Long.remainderUnsigned(h, mBits)
-        if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) hit = false
-        h += h2
-        p += 1
-      }
-      if (hit) return true
+      if (bloomContains(fnv1a64(sb.toString), bits, k, mBits)) return true
       i += 1
     }
     false
+  }
+
+  /** [n_distinct_shingles, n_bloom_hits] of a text against the
+    * plan-embedded Bloom filter — the count-based decontamination
+    * prefilter statistic. Counts DISTINCT shingles (matching the Jaccard
+    * set semantics): since the filter holds the UNION of eval shingles
+    * and Bloom has no false negatives, n_bloom_hits >= |shingles(a) ∩
+    * shingles(b)| for EVERY eval doc b, so any candidacy rule of the form
+    * n_bloom_hits >= f(bound on shared) keeps recall 1. */
+  def bloomShingleHits(text: UTF8String, n: Int, bits: Array[Long], k: Int): ArrayData = {
+    val toks = tokenize(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array[Any](0L, 0L))
+    val mBits = bits.length.toLong * 64L
+    val seen = new java.util.HashSet[Long](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var hits = 0L
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val fp = fnv1a64(sb.toString)
+      if (seen.add(fp) && bloomContains(fp, bits, k, mBits)) hits += 1
+      i += 1
+    }
+    new GenericArrayData(Array[Any](seen.size.toLong, hits))
+  }
+
+  /** Distinct word-n-gram shingle fingerprints, sorted ascending (signed)
+    * — the merge-joinable shingle-set representation. Jaccard over these
+    * equals Jaccard over the shingle strings modulo 64-bit FNV collision
+    * (vanishing at any real shingle-universe size; same accepted risk as
+    * the line-fingerprint operators). */
+  def shingleFpsSorted(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[Long](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(fnv1a64(sb.toString))
+      i += 1
+    }
+    val arr = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(arr)
+    val out = new Array[Any](arr.length)
+    k = 0
+    while (k < arr.length) { out(k) = arr(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Jaccard similarity of two ascending-sorted long arrays via one merge
+    * pass — the exact-verify scorer that replaces string-array
+    * intersection in pair loops (an order of magnitude cheaper per pair).
+    * Returns 0 when either side is empty. */
+  def jaccardSortedFps(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var shared = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { shared += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    shared.toDouble / (na + nb - shared)
   }
 
   /** [dl, tf(term_0), ..., tf(term_{m-1})]: document length in tokens and

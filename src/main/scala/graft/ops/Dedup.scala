@@ -647,11 +647,19 @@ object Dedup {
     * set's distinct shingle fingerprints build a driver-side Bloom filter
     * whose bits ride the plan (like the IVF centroids), and a corpus
     * document becomes a candidate iff ANY of its shingles hits the filter
-    * — one early-out codegen pass over the corpus with NO explode, NO band
-    * join, no shuffle at all before the contamination-bounded exact-verify
-    * stage. Bloom false positives only waste verification; false negatives
-    * are impossible, and Jaccard >= threshold > 0 implies a shared
-    * shingle, so candidate recall is exactly 1 and the output equals the
+    * — one codegen pass over the corpus with NO explode, NO band join, no
+    * shuffle at all before the contamination-bounded exact-verify stage.
+    *
+    * Candidacy is COUNT-based, not any-hit: J(a,b) >= t implies
+    * |a ∩ b| >= t·|a| (from shared >= t(|a|+|b|)/(1+t) and |b| >= shared),
+    * and the filter holds the union of eval shingles with no Bloom false
+    * negatives, so n_bloom_hits >= |a ∩ b| for every eval doc b. Requiring
+    * n_bloom_hits >= t·|shingles(a)| therefore keeps candidate recall
+    * EXACTLY 1 while discarding documents that merely share a few common
+    * shingles with the eval battery — the failure mode of an any-hit rule
+    * on small-vocabulary or boilerplate-heavy corpora, where nearly every
+    * document shares something. Bloom false positives only loosen the
+    * count, never drop a true candidate, so the output equals the
     * exact-Jaccard definition verbatim (this operator shares
     * [[decontaminate]]'s oracle).
     *
@@ -689,18 +697,33 @@ object Dedup {
     val kProbes = graft.functions.Kernels.bloomK(bitsPerItem)
 
     val candidates = corpus
-      .where(col(textCol).isNotNull &&
-        gf.anyShingleHit(col(textCol), n, bits, kProbes))
-      .select(col(idCol).cast("long").as("cand_id"), col(textCol).as("__text"))
-    val candSh = candidates
-      .select(col("cand_id"), shingles(col("__text"), n).as("a_shl"))
-    val evalSh = evalDocs.select(col("id").as("eval_id"), shingles(col("__text"), n).as("b_shl"))
-    val contaminated = candSh
-      .join(broadcast(evalSh),
-        size(array_intersect(col("a_shl"), col("b_shl"))) * lit(1.0) /
-          (size(col("a_shl")) + size(col("b_shl"))
-            - size(array_intersect(col("a_shl"), col("b_shl")))) >= threshold)
-      .select(col("cand_id").as(idCol))
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"),
+        gf.bloomShingleHits(col(textCol), n, bits, kProbes).as("__bh"))
+      .where(col("__bh").getItem(0) > 0 &&
+        col("__bh").getItem(1) >= lit(threshold) * col("__bh").getItem(0))
+      .select(col("id"), col("__text"))
+
+    // verify once per DISTINCT candidate content (duplicates multiply
+    // candidates on crawl-shaped corpora — the canonicalization lesson),
+    // scoring with a one-merge-pass sorted-fingerprint kernel instead of
+    // string-array intersection (an order of magnitude cheaper per pair);
+    // duplicate eval contents collapse too, membership is all that matters
+    val groups = canonicalGroups(candidates, "id",
+      TextAnalysis.fingerprint(col("__text")), col("__text"))
+    val candSh = groups.select(col("rep_id"),
+      gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))
+    val evalSh = evalDocs
+      .select(gf.shingleFpsSorted(col("__text"), n).as("b_shl"))
+      .distinct()
+    val contaminatedReps = candSh
+      .crossJoin(broadcast(evalSh))
+      .where(gf.jaccardSortedFps(col("a_shl"), col("b_shl")) >= threshold)
+      .select(col("rep_id"))
+      .distinct()
+    val contaminated = groups
+      .join(contaminatedReps, Seq("rep_id"))
+      .select(explode(col("members")).as(idCol))
       .distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
