@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.llm.{EchoModel, Elo, HashEmbedder, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
-import graft.ops.{Corpus, Dedup, LangModel, Multimodal, Search, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Dedup, LangModel, Multimodal, Search, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — the operator catalog from SURVEY.md §2.
   *
@@ -401,6 +401,52 @@ object SparkEntry {
         col("span_words").cast("long").as("span_words"))
       .orderBy("doc_id", "span_start")
 
+  /** Top 30% by quality score per language — the classifier-filtered-web
+    * curation cut, with the md5-hash tie-break making the selection
+    * deterministic under heavy score ties. */
+  private def corpusTopFrac(s: SparkSession, dir: String): DataFrame =
+    Corpus.topFractionPerStratum(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).cast("long").as("q")),
+      "lang", "doc_id", "q", fracPct = 30)
+      .orderBy("doc_id")
+
+  /** Salted join equals the plain join: per-segment order rollup through
+    * an 8-way salted orders-customer join (the skew-mitigation utility;
+    * correctness gate is equality with the unsalted SQL). */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedJoin(
+      t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+      t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      Seq("o_custkey"), salt = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy("c_mktsegment")
+
+  /** Compression-ratio quality signal (DEFLATE). JVM-zlib sizes are not
+    * SQL-reproducible -> rows-only driver check; TextAnalysisSpec pins
+    * the semantics (repetitive < prose < random, determinism). */
+  private def textCompression(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionStats(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** Substring-dedup application: every duplicated span dropped in place
+    * (drop-all policy); cleaned text compared verbatim vs the oracle. */
+  private def dedupSubstringApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "text", "doc_id", k = 5, minOcc = 2)
+      .orderBy("doc_id")
+
+  /** Contamination audit report at the dedup_decontaminate operating
+    * point: (corpus doc, eval doc, rounded exact Jaccard) matches. */
+  private def dedupDecontaminateReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    Dedup.decontaminateReport(corpus, evalSet, "text", "doc_id")
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** Deterministic 80/10/10 train/val/test split by md5 bucket — the
     * engine-reproducible alternative to randomSplit. */
   private def corpusSplit(s: SparkSession, dir: String): DataFrame =
@@ -692,10 +738,15 @@ object SparkEntry {
     "dedup_apply" -> (dedupApply _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_decontaminate_bloom" -> (dedupDecontaminateBloom _),
+    "dedup_decontaminate_report" -> (dedupDecontaminateReport _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_apply" -> (dedupSubstringApply _),
     "corpus_split" -> (corpusSplit _),
     "corpus_cluster" -> (corpusCluster _),
+    "corpus_top_frac" -> (corpusTopFrac _),
     "text_search" -> (textSearch _),
+    "text_compression" -> (textCompression _),
+    "q_salted_join" -> (qSaltedJoin _),
     "infer_render" -> (inferRender _),
     "infer_echo" -> (inferEcho _),
     "infer_structured" -> (inferStructured _),
@@ -1311,6 +1362,98 @@ object SparkEntry {
         |SELECT doc_id, min(i) - 1 AS span_start, max(i) + 4 AS span_end,
         |  max(i) + 4 - (min(i) - 1) AS span_words
         |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin,
+    // contamination report: the same exact-Jaccard pair machinery as
+    // dedup_decontaminate, emitting the matches instead of anti-joining
+    "dedup_decontaminate_report" ->
+      """WITH norm AS (
+        |  SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shl
+        |  FROM norm),
+        |ex AS (SELECT id, len(shl) AS sz, unnest(shl) AS shingle FROM sh),
+        |prs AS (
+        |  SELECT a.id AS corpus_id, b.id AS eval_id,
+        |    any_value(a.sz) AS a_size, any_value(b.sz) AS b_size, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+        |  WHERE a.id % 10 <> 0 AND b.id % 10 = 0
+        |  GROUP BY a.id, b.id)
+        |SELECT corpus_id AS doc_id, eval_id,
+        |  round(CAST(shared AS DOUBLE) / (a_size + b_size - shared), 4) AS jaccard
+        |FROM prs
+        |WHERE CAST(shared AS DOUBLE) / (a_size + b_size - shared) >= 0.5
+        |ORDER BY doc_id, eval_id""".stripMargin,
+    // substring-dedup application: rebuild each document from the raw
+    // (case-preserving) tokens whose 1-based position j is covered by no
+    // span [min(i), max(i)+4] (the 1-based closed form of the kernel's
+    // 0-based [start, end) offsets)
+    "dedup_substring_apply" ->
+      """WITH w0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS wr
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS ng
+        |  FROM w0, unnest(generate_series(1, greatest(len(w)-4, 0))) AS s(i)),
+        |dup AS (SELECT ng FROM pos GROUP BY ng HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, i FROM pos JOIN dup USING (ng)),
+        |brk AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 5
+        |      THEN 0 ELSE 1 END AS b
+        |  FROM hits),
+        |grp AS (
+        |  SELECT doc_id, i, sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |  FROM brk),
+        |spans AS (SELECT doc_id, min(i) AS s1, max(i) + 4 AS e1 FROM grp GROUP BY doc_id, g),
+        |allpos AS (
+        |  SELECT doc_id, j, wr[j] AS word
+        |  FROM w0, unnest(generate_series(1, len(wr))) t(j)),
+        |dropped AS (
+        |  SELECT DISTINCT p.doc_id, p.j FROM allpos p
+        |  JOIN spans s ON s.doc_id = p.doc_id AND p.j BETWEEN s.s1 AND s.e1),
+        |kept AS (
+        |  SELECT a.doc_id, a.j, a.word FROM allpos a
+        |  LEFT JOIN dropped d ON a.doc_id = d.doc_id AND a.j = d.j
+        |  WHERE d.j IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS cnt, string_agg(word, ' ' ORDER BY j) AS txt
+        |  FROM kept GROUP BY doc_id)
+        |SELECT w0.doc_id, CAST(len(w0.wr) AS BIGINT) AS n_words,
+        |  CAST(coalesce(agg.cnt, 0) AS BIGINT) AS n_kept,
+        |  coalesce(agg.txt, '') AS cleaned
+        |FROM w0 LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // the salted join must equal the PLAIN join — that equality is the
+    // whole correctness contract of the skew utility
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // top-30%-per-stratum: same quality formula as corpus_stats, ceil via
+    // integer arithmetic, md5-hash tie-break under heavy score ties
+    "corpus_top_frac" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(greatest(0, least(100,
+        |      least(len(regexp_split_to_array(text, '\s+')), 50)
+        |      + floor(len(list_distinct(regexp_split_to_array(text, '\s+'))) * 40.0
+        |              / greatest(len(regexp_split_to_array(text, '\s+')), 1))
+        |      - least(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')), 10)
+        |      + 10)) AS BIGINT) AS q
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, q,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY q DESC NULLS LAST, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM s)
+        |SELECT doc_id, lang, q FROM r
+        |WHERE rk <= (n * 30 + 99) // 100
+        |ORDER BY doc_id""".stripMargin,
     // same md5 bucket as corpus_sample; cut points 80/90 give 80/10/10
     "corpus_split" ->
       """SELECT doc_id, lang,

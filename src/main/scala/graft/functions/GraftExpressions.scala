@@ -447,6 +447,34 @@ case class ShingleFpsSortedExpr(child: Expression, n: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** [n_bytes, n_deflated] of a text column (DEFLATE level 6). */
+case class DeflateStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.deflateStats(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.deflateStats($c)")
+  override def prettyName: String = "deflate_stats"
+  override protected def withNewChildInternal(newChild: Expression): DeflateStatsExpr =
+    copy(child = newChild)
+}
+
+/** One-pass word-span removal: (text, interleaved sorted [s,e) offsets)
+  * -> struct(n_words, n_kept, cleaned). */
+case class DropSpansExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+  override def nullSafeEval(text: Any, spans: Any): Any =
+    Kernels.dropSpans(text.asInstanceOf[UTF8String], spans.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.functions.Kernels.dropSpans($t, $s)")
+  override def prettyName: String = "drop_spans"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DropSpansExpr =
+    copy(left = l, right = r)
+}
+
 /** One-merge-pass Jaccard of two sorted long arrays. */
 case class JaccardSortedFpsExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -563,6 +591,13 @@ object gf {
   /** Merge-pass Jaccard of two sorted long-array columns. */
   def jaccardSortedFps(a: Column, b: Column): Column =
     GraftBridge.column(JaccardSortedFpsExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Remove interleaved [s,e) word spans: struct(n_words, n_kept, cleaned). */
+  def dropSpans(text: Column, spans: Column): Column =
+    GraftBridge.column(DropSpansExpr(GraftBridge.expression(text), GraftBridge.expression(spans)))
+
+  /** [n_bytes, n_deflated] of a text column. */
+  def deflateStats(text: Column): Column = u(text)(DeflateStatsExpr(_))
 
   /** BM25 per-document statistics [dl, tf...] for a fixed term list. */
   def termFreqs(text: Column, terms: Array[String]): Column =

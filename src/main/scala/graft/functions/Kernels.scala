@@ -1170,6 +1170,74 @@ object Kernels {
     shared.toDouble / (na + nb - shared)
   }
 
+  /** [n_bytes, n_deflated] of the text's UTF-8 bytes under DEFLATE level
+    * 6 — the compression-ratio quality signal corpus curation uses
+    * (near-random text ~1.0, natural prose ~0.4, templated boilerplate
+    * approaching 0). Deterministic within a JVM/zlib version — executors
+    * in one cluster agree; pin the JDK for cross-run stability. A signal
+    * column, not a cross-engine-oracle-able invariant. */
+  def deflateStats(text: UTF8String): ArrayData = {
+    val raw = text.getBytes
+    if (raw.isEmpty) return new GenericArrayData(Array[Any](0L, 0L))
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      new GenericArrayData(Array[Any](raw.length.toLong, total))
+    } finally d.end()
+  }
+
+  /** Whitespace tokens with ORIGINAL case (empty tokens dropped) — the
+    * same positions as [[tokenize]] (lowercasing never changes the
+    * whitespace structure), for operators that edit text by word offset
+    * without normalizing it. */
+  private def rawTokens(text: UTF8String): Array[String] = {
+    val raw = ws.split(text.toString)
+    var n = 0
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) n += 1; i += 1 }
+    if (n == raw.length) raw
+    else {
+      val out = new Array[String](n)
+      var j = 0
+      i = 0
+      while (i < raw.length) { if (!raw(i).isEmpty) { out(j) = raw(i); j += 1 }; i += 1 }
+      out
+    }
+  }
+
+  /** Remove word spans from a document in one pass: `spans` is the
+    * interleaved [s0,e0,s1,e1,...] array of 0-based end-exclusive word
+    * offsets, sorted by start and disjoint (the [[ngramFps]]-derived
+    * maximal-span shape). Keeps the ORIGINAL token text (case preserved;
+    * inter-word whitespace normalizes to single spaces, the same
+    * canonicalization the span positions are defined over). Returns
+    * (n_words, n_kept, cleaned). */
+  def dropSpans(text: UTF8String, spans: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = rawTokens(text)
+    val n = toks.length
+    val m = spans.numElements()
+    val sb = new java.lang.StringBuilder(text.numChars())
+    var nKept = 0L
+    var si = 0
+    var w = 0
+    while (w < n) {
+      while (si + 1 < m && spans.getLong(si + 1) <= w) si += 2
+      val inSpan = si + 1 < m && spans.getLong(si) <= w && w < spans.getLong(si + 1)
+      if (!inSpan) {
+        if (nKept > 0) sb.append(' ')
+        sb.append(toks(w))
+        nKept += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, nKept, UTF8String.fromString(sb.toString)))
+  }
+
   /** [dl, tf(term_0), ..., tf(term_{m-1})]: document length in tokens and
     * per-term token-equality frequencies in one tokenize pass — the BM25
     * per-document statistics. Terms ride the plan already lower-cased;

@@ -64,6 +64,31 @@ object Corpus {
     df.withColumn("split", assigned)
   }
 
+  /** Keep the top `fracPct` percent of each stratum by a score column —
+    * the "top X% by quality per language" curation step (the
+    * classifier-filtered-web recipe): rank within the stratum by (score
+    * DESC, md5 hash, id) — the hash tie-break keeps selection
+    * deterministic and unbiased by physical row order when scores tie
+    * heavily, which integer-valued quality scores do — and keep
+    * ceil(fracPct% of the stratum). Both the rank and the stratum size
+    * come from ONE window partitioning (a single shuffle on the stratum
+    * key). All-integer cut arithmetic: kept = ceil(n * fracPct / 100) =
+    * (n * fracPct + 99) div 100, identical on any engine. */
+  def topFractionPerStratum(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      scoreCol: String,
+      fracPct: Int): DataFrame = {
+    require(fracPct >= 1 && fracPct <= 100, s"fracPct must be in [1,100], got $fracPct")
+    val w = Window.partitionBy(stratumCol)
+    val byScore = w.orderBy(col(scoreCol).desc, sampleHash(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(byScore))
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__rk") <= floor((col("__n") * fracPct + lit(99)) / lit(100)))
+      .drop("__rk", "__n")
+  }
+
   /** Cap each stratum at `maxRows` documents — the "downsample
     * overrepresented sources" step. Selection is by md5-hash order within
     * the stratum, so which rows survive is deterministic, engine-

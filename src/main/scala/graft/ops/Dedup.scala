@@ -641,6 +641,47 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_words"))
   }
 
+  /** Apply [[duplicatedSpans]] to the corpus: remove EVERY duplicated
+    * span from every document — the aggressive drop-all policy, which is
+    * deterministic and needs no global occurrence order (the keep-first
+    * policy of the suffix-array formulation requires ordering occurrences
+    * corpus-wide; drop-all is the variant that stays embarrassingly
+    * parallel). Null-text documents are excluded. Returns (idCol,
+    * n_words, n_kept, cleaned) with the original token case preserved and
+    * inter-word whitespace normalized to single spaces (the
+    * canonicalization the span offsets are defined over).
+    *
+    * Scale shape: spans are integer offsets, few per document; they
+    * groupBy-collect on the id and join back onto the corpus (broadcast
+    * when duplication is sparse — the post-dedup common case; an id-key
+    * shuffle otherwise), and a one-pass kernel drops the spans in place —
+    * no word-level explode/reassembly of the corpus. */
+  def removeDuplicatedSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      minOcc: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(docs, textCol, idCol, k, minOcc)
+    val perDoc = spans
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(
+          col("span_start").cast("long").as("s"),
+          col("span_end").cast("long").as("e")))),
+        x => array(x.getField("s"), x.getField("e")))).as("__spans"))
+    docs
+      .where(col(textCol).isNotNull)
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        gf.dropSpans(col(textCol),
+          coalesce(col("__spans"), lit(Array.empty[Long]))).as("c"))
+      .select(col(idCol),
+        col("c.n_words").as("n_words"),
+        col("c.n_kept").as("n_kept"),
+        col("c.cleaned").as("cleaned"))
+  }
+
   /** Bloom-prefilter decontamination — same contract and same OUTPUT as
     * [[decontaminate]] (drop corpus docs whose shingle Jaccard vs any eval
     * doc reaches the threshold), different candidate generation: the eval
@@ -678,6 +719,61 @@ object Dedup {
       threshold: Double = 0.5,
       bitsPerItem: Int = 12,
       maxEvalShingles: Int = 50000000): DataFrame = {
+    val (groups, _, pairs) = bloomVerifiedPairs(
+      corpus, evalSet, textCol, idCol, n, threshold, bitsPerItem, maxEvalShingles)
+    val contaminated = groups
+      .join(pairs.select("rep_id").distinct(), Seq("rep_id"))
+      .select(explode(col("members")).as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Contamination REPORT — which corpus documents match which eval docs
+    * and how strongly: (idCol, eval_id, jaccard rounded to 4 decimals),
+    * the audit artifact a curation review reads BEFORE a decontamination
+    * pass mutates the corpus. Same machinery as [[decontaminateBloom]];
+    * pairs expand through duplicate-group membership instead of
+    * anti-joining, so every affected document is attributed. */
+  def decontaminateReport(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bitsPerItem: Int = 12,
+      maxEvalShingles: Int = 50000000): DataFrame = {
+    val (groups, evalGroups, pairs) = bloomVerifiedPairs(
+      corpus, evalSet, textCol, idCol, n, threshold, bitsPerItem, maxEvalShingles)
+    groups
+      .join(pairs, Seq("rep_id"))
+      .join(evalGroups.select(col("rep_id").as("eval_rep"),
+        col("members").as("__eval_members")), Seq("eval_rep"))
+      .select(explode(col("members")).as(idCol), col("__eval_members"), col("jaccard"))
+      .select(col(idCol), explode(col("__eval_members")).as("eval_id"), col("jaccard"))
+  }
+
+  /** Shared Bloom-prefilter verify: (candidate groups, eval groups,
+    * exact-verified (rep_id, eval_rep, jaccard) pairs). Candidate
+    * generation is one codegen pass over the corpus (no explode, no band
+    * join, no shuffle); verification runs once per DISTINCT content on
+    * BOTH sides (duplicates multiply candidates on crawl-shaped corpora,
+    * and a replicated eval battery would otherwise multiply the verify
+    * the same way — the canonicalization lesson, applied symmetrically)
+    * and scores with the one-merge-pass sorted-fingerprint Jaccard
+    * kernel, an order of magnitude cheaper per pair than string-array
+    * intersection. Jaccard depends only on content, so expanding rep
+    * pairs through both membership lists reproduces every doc-level
+    * pair exactly. */
+  private def bloomVerifiedPairs(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      threshold: Double,
+      bitsPerItem: Int,
+      maxEvalShingles: Int): (DataFrame, DataFrame, DataFrame) = {
     requireLongId(corpus, idCol)
     requireLongId(evalSet, idCol)
     val evalDocs = evalSet
@@ -704,28 +800,22 @@ object Dedup {
         col("__bh").getItem(1) >= lit(threshold) * col("__bh").getItem(0))
       .select(col("id"), col("__text"))
 
-    // verify once per DISTINCT candidate content (duplicates multiply
-    // candidates on crawl-shaped corpora — the canonicalization lesson),
-    // scoring with a one-merge-pass sorted-fingerprint kernel instead of
-    // string-array intersection (an order of magnitude cheaper per pair);
-    // duplicate eval contents collapse too, membership is all that matters
     val groups = canonicalGroups(candidates, "id",
+      TextAnalysis.fingerprint(col("__text")), col("__text"))
+    val evalGroups = canonicalGroups(evalDocs, "id",
       TextAnalysis.fingerprint(col("__text")), col("__text"))
     val candSh = groups.select(col("rep_id"),
       gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))
-    val evalSh = evalDocs
-      .select(gf.shingleFpsSorted(col("__text"), n).as("b_shl"))
-      .distinct()
-    val contaminatedReps = candSh
+    val evalSh = evalGroups.select(col("rep_id").as("eval_rep"),
+      gf.shingleFpsSorted(col("__payload"), n).as("b_shl"))
+    val pairs = candSh
       .crossJoin(broadcast(evalSh))
-      .where(gf.jaccardSortedFps(col("a_shl"), col("b_shl")) >= threshold)
-      .select(col("rep_id"))
-      .distinct()
-    val contaminated = groups
-      .join(contaminatedReps, Seq("rep_id"))
-      .select(explode(col("members")).as(idCol))
-      .distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
+      // threshold on the RAW score (rounding first would admit pairs just
+      // under it); the reported value rounds for cross-engine stability
+      .withColumn("__jraw", gf.jaccardSortedFps(col("a_shl"), col("b_shl")))
+      .where(col("__jraw") >= threshold)
+      .select(col("rep_id"), col("eval_rep"), round(col("__jraw"), 4).as("jaccard"))
+    (groups, evalGroups, pairs)
   }
 
   /** One-call near-dup pipeline — the composition every training corpus

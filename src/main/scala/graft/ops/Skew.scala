@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for shuffle joins.
+  *
+  * AQE's skew-join handling splits oversized sort-merge partitions at
+  * runtime, and it is the first tool to reach for (GraftSession enables
+  * it). Explicit salting remains the tool when AQE cannot help: bucketed
+  * or pre-partitioned tables whose layout must be preserved, shuffle-hash
+  * joins, aggregation-after-join pipelines where one key dominates, or
+  * engines/configs without adaptive execution.
+  */
+object Skew {
+
+  /** Salted inner equi-join: the left (large, possibly skewed) side gets a
+    * deterministic per-row salt in [0, salt); the right side is replicated
+    * `salt` times; the join key becomes (key, salt), spreading each hot
+    * key's rows over `salt` shuffle partitions instead of one. The result
+    * is EXACTLY the plain inner join on `keys` — every left row meets
+    * every matching right row exactly once, under the one salt value it
+    * carries — with the salt column never escaping.
+    *
+    * The salt is a hash of the whole left row (xxhash64 over a struct of
+    * all columns), so it is deterministic across retries and partition
+    * layouts — no rand(), whose per-task reseeding breaks retry
+    * idempotency mid-shuffle. Identical rows share a salt, which is
+    * harmless: skew comes from many DISTINCT rows sharing a KEY.
+    *
+    * Cost model: right side grows `salt`x (use for moderate-size right
+    * sides that are too big to broadcast but cheap to replicate); left
+    * side is untouched. At 100 TB the win is turning one straggler
+    * partition holding a hot key's entire row set into `salt` even
+    * slices. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      salt: Int): DataFrame = {
+    require(salt >= 2, s"salt must be >= 2 (1 is a plain join), got $salt")
+    require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    val saltCol = pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(salt))
+    val saltedLeft = left.withColumn("__salt", saltCol)
+    // replicate the right side once per salt value with a generator — a
+    // narrow map, no join against an auxiliary range frame
+    val saltedRight = right
+      .withColumn("__salt", explode(lit((0L until salt.toLong).toArray)))
+    saltedLeft
+      .join(saltedRight, keys :+ "__salt")
+      .drop("__salt")
+  }
+}

@@ -164,4 +164,24 @@ object TextAnalysis {
       when(s === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Compression-ratio quality signal: (idCol, n_bytes, n_deflated,
+    * deflate_ratio) from one DEFLATE pass per document. Near-random text
+    * ratios toward 1.0, natural prose ~0.4, templated boilerplate toward
+    * 0 — the cheap repetition/entropy proxy corpus curation thresholds
+    * on. Ratio is null for empty text. One codegen kernel pass; values
+    * are JVM-zlib-deterministic (executors agree), not SQL-reproducible —
+    * the one signal column here checked by spec rather than oracle. */
+  def compressionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.functions.gf
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), gf.deflateStats(col(textCol)).as("__d"))
+      .select(col(idCol),
+        col("__d").getItem(0).as("n_bytes"),
+        col("__d").getItem(1).as("n_deflated"),
+        when(col("__d").getItem(0) > 0,
+          round(col("__d").getItem(1) * lit(1.0) / col("__d").getItem(0), 4))
+          .as("deflate_ratio"))
+  }
 }

@@ -197,6 +197,24 @@ class CorpusSpec extends SparkSpec {
     out.foreach(r => assert(again(r.getLong(0)) === r.getString(1)))
   }
 
+  test("topFractionPerStratum: ceil cut per stratum, kept scores dominate, layout-stable") {
+    val df = ((1L to 10L).map(i => (i, "a", i)) ++ (11L to 13L).map(i => (i, "b", i)))
+      .toDF("id", "s", "score")
+    val out = Corpus.topFractionPerStratum(df, "s", "id", "score", fracPct = 30)
+    val by = out.collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    // stratum a: ceil(10*0.3)=3 kept, the top scores 8,9,10; b: ceil(3*0.3)=1, score 13
+    assert(by.count(_._1 == "a") === 3)
+    assert(by.filter(_._1 == "a").map(_._3).sorted.toSeq === Seq(8L, 9L, 10L))
+    assert(by.filter(_._1 == "b").map(_._3).toSeq === Seq(13L))
+    // deterministic under a different layout (hash tie-break, no rand)
+    val again = Corpus.topFractionPerStratum(df.repartition(5), "s", "id", "score", 30)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === by.map(_._2).toSet)
+    intercept[IllegalArgumentException] {
+      Corpus.topFractionPerStratum(df, "s", "id", "score", 0)
+    }
+  }
+
   test("split: rejects cuts that do not sum to 100 or are non-positive") {
     intercept[IllegalArgumentException] {
       Corpus.assignSplits(docs, "doc_id", Seq("train" -> 80, "test" -> 10))

@@ -259,6 +259,44 @@ class DedupSpec extends SparkSpec {
     assert((spans(1).getInt(1), spans(1).getInt(2)) === ((11, 16)))
   }
 
+  test("removeDuplicatedSpans: duplicated words dropped, case preserved, counts consistent") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"One Two three $shared Four five six"),
+      (2L, s"$shared seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(df, "text", "doc_id", k = 5, minOcc = 2)
+      .orderBy("doc_id").collect()
+    // doc 1: span [3, 9) drops the shared run, original case kept elsewhere
+    assert(out(0).getLong(1) === 12L && out(0).getLong(2) === 6L)
+    assert(out(0).getString(3) === "One Two three Four five six")
+    // doc 2: span [0, 6)
+    assert(out(1).getString(3) === "seven eight nine ten eleven twelve")
+    // a doc with no duplicated spans passes through (normalized spacing)
+    val solo = Seq((1L, "only  one doc\there")).toDF("doc_id", "text")
+    val keep = Dedup.removeDuplicatedSpans(solo, "text", "doc_id").collect()
+    assert(keep(0).getString(3) === "only one doc here")
+    assert(keep(0).getLong(1) === 4L && keep(0).getLong(2) === 4L)
+  }
+
+  test("decontaminateReport: pairs match decontaminate's drop set; jaccard sane") {
+    val evalSet = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val report = Dedup.decontaminateReport(corpus, evalSet, "text", "doc_id").collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= 0.5 && j <= 1.0)
+      assert(r.getLong(0) % 10 !== 0L)
+      assert(r.getLong(1) % 10 === 0L)
+    }
+    // the documents the report names are exactly those decontaminate drops
+    val reported = report.map(_.getLong(0)).toSet
+    val kept = Dedup.decontaminateBloom(corpus, evalSet, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reported === (all -- kept))
+  }
+
   test("decontaminateBloom: output equals the band-join decontaminate exactly") {
     val evalSet = docs.where(pmod(col("doc_id"), lit(10)) === 0)
     val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)

@@ -96,6 +96,36 @@ class KernelsSpec extends AnyFunSuite {
     assert(!Kernels.anyShingleHit(u("q1 q2 q3 q4 q5 q6 q7 q8"), 3, bits, k))
   }
 
+  test("dropSpans: span walk, case preservation, boundary and empty cases") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def spans(xs: Long*) = new GenericArrayData(xs.toArray.map(_.asInstanceOf[Any]))
+    val r = Kernels.dropSpans(u("A b C d E f"), spans(1L, 3L, 4L, 5L))
+    assert(r.getLong(0) === 6L && r.getLong(1) === 3L)
+    assert(r.getUTF8String(2).toString === "A d f")
+    // no spans -> normalized rejoin
+    val r2 = Kernels.dropSpans(u("  x\t y  "), spans())
+    assert(r2.getLong(0) === 2L && r2.getUTF8String(2).toString === "x y")
+    // full-cover span -> empty cleaned
+    val r3 = Kernels.dropSpans(u("a b c"), spans(0L, 3L))
+    assert(r3.getLong(1) === 0L && r3.getUTF8String(2).toString === "")
+    // empty text
+    val r4 = Kernels.dropSpans(u(""), spans(0L, 2L))
+    assert(r4.getLong(0) === 0L && r4.getUTF8String(2).toString === "")
+  }
+
+  test("jaccardSortedFps: merge-pass equals set jaccard; empties are 0") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray.map(_.asInstanceOf[Any]))
+    assert(Kernels.jaccardSortedFps(arr(1L, 2L, 3L), arr(2L, 3L, 4L)) === 0.5)
+    assert(Kernels.jaccardSortedFps(arr(-5L, 1L), arr(-5L, 1L)) === 1.0)
+    assert(Kernels.jaccardSortedFps(arr(), arr(1L)) === 0.0)
+    // agreement with the string-set definition through shingleFpsSorted
+    val a = Kernels.shingleFpsSorted(u("the quick brown fox jumps"), 3)
+    val b = Kernels.shingleFpsSorted(u("the quick brown fox sleeps"), 3)
+    // shingle sets: {tqb, qbf, bfj} vs {tqb, qbf, bfs} -> J = 2/4
+    assert(Kernels.jaccardSortedFps(a, b) === 0.5)
+  }
+
   test("termFreqs: dl and per-term token-equality counts in one pass") {
     val out = Kernels.termFreqs(u("Spark spark JOIN sparkle  join spark"), Array("spark", "join"))
       .toLongArray()

@@ -77,4 +77,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) === ((true, "keep")))
     assert(out(2) === ((false, "lang_unknown")))
   }
+
+  test("compressionStats: repetition compresses below varied text; deterministic; edge cases") {
+    val rnd = new scala.util.Random(11)
+    val varied = Array.fill(400)(rnd.alphanumeric.take(6).mkString).mkString(" ")
+    val df = Seq(
+      (1L, ("spam ham " * 300).trim), // highly repetitive
+      (2L, varied),                   // high-entropy
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionStats(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val ratioRep = out(0).getDouble(3)
+    val ratioVar = out(1).getDouble(3)
+    assert(ratioRep < 0.1, s"repetitive ratio $ratioRep")
+    assert(ratioVar > ratioRep * 5, s"varied $ratioVar vs repetitive $ratioRep")
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(3))
+    // byte accounting: n_bytes is the UTF-8 length
+    assert(out(1).getLong(1) === varied.getBytes("UTF-8").length.toLong)
+    // deterministic across partition layouts
+    val again = TextAnalysis.compressionStats(df.repartition(3), "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.sameElements(again))
+  }
 }
