@@ -669,6 +669,12 @@ object SparkEntry {
     graft.streaming.Streams.dedupExactAvailableNow(s, dir)
       .orderBy("content_key")
 
+  /** Streaming contamination monitor (stateless stream-static verify):
+    * same pairs as the batch report, so it shares that oracle. */
+  private def streamDecontaminate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.decontaminateMonitorAvailableNow(s, dir)
+      .orderBy("doc_id", "eval_id")
+
   /** Streaming sessionization (flatMapGroupsWithState) — same semantics as
     * the batch q_sessionize, so it shares that oracle's shape. */
   private def streamSessionize(s: SparkSession, dir: String): DataFrame =
@@ -776,7 +782,8 @@ object SparkEntry {
     "stream_sessionize_sw" -> (streamSessionizeSw _),
     "stream_join" -> (streamJoin _),
     "stream_join_outer" -> (streamJoinOuter _),
-    "stream_dedup_exact" -> (streamDedupExact _)
+    "stream_dedup_exact" -> (streamDedupExact _),
+    "stream_decontaminate" -> (streamDecontaminate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1426,6 +1433,28 @@ object SparkEntry {
         |  coalesce(agg.txt, '') AS cleaned
         |FROM w0 LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // the streaming monitor emits exactly the batch report's pairs under
+    // AvailableNow (stateless stream-static join, single input file)
+    "stream_decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shl
+        |  FROM norm),
+        |ex AS (SELECT id, len(shl) AS sz, unnest(shl) AS shingle FROM sh),
+        |prs AS (
+        |  SELECT a.id AS corpus_id, b.id AS eval_id,
+        |    any_value(a.sz) AS a_size, any_value(b.sz) AS b_size, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle
+        |  WHERE a.id % 10 <> 0 AND b.id % 10 = 0
+        |  GROUP BY a.id, b.id)
+        |SELECT corpus_id AS doc_id, eval_id,
+        |  round(CAST(shared AS DOUBLE) / (a_size + b_size - shared), 4) AS jaccard
+        |FROM prs
+        |WHERE CAST(shared AS DOUBLE) / (a_size + b_size - shared) >= 0.5
+        |ORDER BY doc_id, eval_id""".stripMargin,
     // the salted join must equal the PLAIN join — that equality is the
     // whole correctness contract of the skew utility
     "q_salted_join" ->

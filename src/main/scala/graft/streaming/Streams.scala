@@ -282,6 +282,55 @@ object Streams {
     runToMemory(decisions.toDF(), "graft_stream_dedup", "append")
   }
 
+  /** Streaming contamination monitor: a document ingest stream checked
+    * against a STATIC eval battery — the intake-pipeline alerting shape
+    * (flag eval-contaminated documents as they arrive, before they land
+    * in a training corpus). Entirely STATELESS per micro-batch: the eval
+    * Bloom filter bits ride the plan into every batch (count-based
+    * candidacy, recall exactly 1 — same soundness argument as
+    * Dedup.decontaminateBloom), and the surviving candidates exact-verify
+    * against the broadcast eval shingle sets with the sorted-fingerprint
+    * merge kernel in a stream-static inner join. No watermark, no state
+    * store: the monitor runs forever in bounded memory, cost linear in
+    * contamination volume per batch. Verify is per DOCUMENT here (the
+    * batch operator canonicalizes candidate contents first; a stream
+    * cannot group without state) — the Bloom candidacy bound is what
+    * keeps that affordable. Emits one row per (document, matching eval
+    * doc): (doc_id, eval_id, jaccard rounded to 4). */
+  def decontaminateMonitorAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bitsPerItem: Int = 12): DataFrame = {
+    import graft.functions.{gf, Kernels}
+    val evalDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(pmod(col("doc_id"), lit(10)) === 0 && col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("eval_id"), col("text").as("__text"))
+    val fps = evalDocs
+      .select(explode(array_distinct(gf.ngramFps(col("__text"), n))).as("fp"))
+      .distinct().collect().map(_.getLong(0))
+    val bits = Kernels.bloomBuild(fps, bitsPerItem)
+    val kProbes = Kernels.bloomK(bitsPerItem)
+    val evalSh = evalDocs.select(col("eval_id"),
+      gf.shingleFpsSorted(col("__text"), n).as("b_shl"))
+
+    val candidates = streamTable(spark, sfDir, "documents.parquet")
+      .where(pmod(col("doc_id"), lit(10)) =!= 0 && col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text").as("__text"),
+        gf.bloomShingleHits(col("text"), n, bits, kProbes).as("__bh"))
+      .where(col("__bh").getItem(0) > 0 &&
+        col("__bh").getItem(1) >= lit(threshold) * col("__bh").getItem(0))
+      .select(col("doc_id"), gf.shingleFpsSorted(col("__text"), n).as("a_shl"))
+
+    val matches = candidates
+      .join(broadcast(evalSh),
+        gf.jaccardSortedFps(col("a_shl"), col("b_shl")) >= threshold)
+      .select(col("doc_id"), col("eval_id"),
+        round(gf.jaccardSortedFps(col("a_shl"), col("b_shl")), 4).as("jaccard"))
+    runToMemory(matches, "graft_stream_decon", "append")
+  }
+
   /** Gap-based session aggregation via Spark's NATIVE session_window — the
     * bounded-memory streaming sessionization path. The physical plan does
     * the per-key time ordering itself with a SPILLABLE sort before the

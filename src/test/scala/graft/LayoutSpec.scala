@@ -51,4 +51,35 @@ class LayoutSpec extends SparkSpec {
       assert(joined.count() === docs.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("corpus_split plan: narrow map, no Exchange") {
+    val df = graft.ops.Corpus.assignSplits(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split should not shuffle:\n$plan")
+  }
+
+  test("text_search plan: top-k via TakeOrderedAndProject, no global Sort exchange") {
+    val df = graft.ops.Search.bm25(docs, "text", "doc_id", Seq("spark", "join"), k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k should be TakeOrderedAndProject:\n$plan")
+    // the only exchange the query needs is the 1-row stats broadcast
+    assert(!plan.contains("rangepartitioning"),
+      s"bm25 must not global-sort the corpus:\n$plan")
+  }
+
+  test("dedup_substring plan: shuffles carry fingerprints and integers, never n-gram text") {
+    val df = graft.ops.Dedup.duplicatedSpans(docs, "text", "doc_id", k = 5, minOcc = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // every hashpartitioning key is fp or id — no string column shuffles
+    val exchanges = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { keys =>
+      assert(keys.contains("fp") || keys.contains("id"),
+        s"unexpected shuffle keys '$keys' in:\n$plan")
+      assert(!keys.contains("text") && !keys.contains("ng"),
+        s"n-gram/text shuffle in '$keys'")
+    }
+  }
 }

@@ -167,4 +167,16 @@ class StreamingSpec extends SparkSpec {
     assert(s.length === b.length)
     assert(s.sameElements(b))
   }
+
+  test("decontaminateMonitor: stateless stream-static verify equals the batch report") {
+    val streamed = Streams.decontaminateMonitorAvailableNow(spark, sfDir)
+      .orderBy("doc_id", "eval_id").collect()
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val batch = graft.ops.Dedup.decontaminateReport(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "text", "doc_id")
+      .orderBy("doc_id", "eval_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
 }
