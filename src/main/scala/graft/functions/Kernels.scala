@@ -1044,8 +1044,9 @@ object Kernels {
   }
 
   /** Bloom membership of one fingerprint; probe sequence shared with
-    * [[bloomBuild]]. */
-  private def bloomContains(fp: Long, bits: Array[Long], k: Int, mBits: Long): Boolean = {
+    * [[bloomBuild]] (package-visible so the property spec can assert the
+    * no-false-negative contract directly). */
+  private[graft] def bloomContains(fp: Long, bits: Array[Long], k: Int, mBits: Long): Boolean = {
     val h2 = mix64(fp) | 1L
     var h = fp
     var p = 0

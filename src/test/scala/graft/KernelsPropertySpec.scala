@@ -1,7 +1,7 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** Property-based checks for the kernels whose correctness the operators
   * lean on: the bounded top-k heap against a sort-based reference, and the
@@ -66,5 +66,61 @@ object KernelsPropertySpec extends Properties("Kernels") {
       val shuffled = UTF8String.fromString(scala.util.Random.shuffle(ws).mkString(" "))
       // simhash is an order-independent bag-of-words fingerprint
       graft.functions.Kernels.simhash64(a) == graft.functions.Kernels.simhash64(shuffled)
+    }
+
+  property("jaccardSortedFps over shingleFpsSorted equals string-set Jaccard") =
+    forAll(words, words) { (wa, wb) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val ta = UTF8String.fromString(wa.mkString(" "))
+      val tb = UTF8String.fromString(wb.mkString(" "))
+      def shingleSet(t: UTF8String) = {
+        val sh = graft.functions.Kernels.shingles(t, 3)
+        (0 until sh.numElements()).map(sh.getUTF8String(_).toString).toSet
+      }
+      val sa = shingleSet(ta)
+      val sb = shingleSet(tb)
+      val want =
+        if (sa.isEmpty || sb.isEmpty) 0.0
+        else (sa & sb).size.toDouble / (sa | sb).size
+      val got = graft.functions.Kernels.jaccardSortedFps(
+        graft.functions.Kernels.shingleFpsSorted(ta, 3),
+        graft.functions.Kernels.shingleFpsSorted(tb, 3))
+      Prop(got == want).label(f"got=$got%.4f want=$want%.4f")
+    }
+
+  private val spanText: Gen[(List[String], List[(Int, Int)])] = for {
+    n <- Gen.chooseNum(0, 24)
+    ws <- Gen.listOfN(n, Gen.oneOf("Aa", "Bb", "Cc", "Dd"))
+    // random disjoint sorted spans over [0, n)
+    cuts <- Gen.listOf(Gen.chooseNum(0, math.max(n, 1))).map(_.distinct.sorted)
+  } yield {
+    val spans = cuts.grouped(2).collect { case List(s, e) if s < e => (s, e) }.toList
+    (ws, spans)
+  }
+
+  property("dropSpans equals the naive positional filter for any disjoint span set") =
+    forAll(spanText) { case (ws, spans) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val text = UTF8String.fromString(ws.mkString(" "))
+      val flat = new GenericArrayData(
+        spans.flatMap { case (s, e) => Seq(s.toLong, e.toLong) }.toArray
+          .map(_.asInstanceOf[Any]))
+      val row = graft.functions.Kernels.dropSpans(text, flat)
+      val keptWant = ws.zipWithIndex
+        .filterNot { case (_, i) => spans.exists { case (s, e) => s <= i && i < e } }
+        .map(_._1)
+      (row.getLong(0) == ws.length.toLong) :| "n_words" &&
+        (row.getLong(1) == keptWant.length.toLong) :| "n_kept" &&
+        (row.getUTF8String(2).toString == keptWant.mkString(" ")) :| "cleaned"
+    }
+
+  property("bloom has no false negatives for any fingerprint set") =
+    forAll(Gen.nonEmptyListOf(Gen.long), Gen.chooseNum(4, 16)) { (fps, bpi) =>
+      val arr = fps.toArray
+      val bits = graft.functions.Kernels.bloomBuild(arr, bpi)
+      val k = graft.functions.Kernels.bloomK(bpi)
+      val mBits = bits.length.toLong * 64L
+      arr.forall(fp => graft.functions.Kernels.bloomContains(fp, bits, k, mBits))
     }
 }
