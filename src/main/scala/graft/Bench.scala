@@ -12,12 +12,37 @@ package graft
   * Queries are materialized through the noop datasource writer, NOT
   * count(): under count() Catalyst prunes every unreferenced projection,
   * so a narrow-map query (e.g. per-doc text analysis) would time the bare
-  * parquet scan instead of the operator it claims to measure. */
+  * parquet scan instead of the operator it claims to measure.
+  *
+  * State hygiene (the round-5 lesson): a 296-execution marathon in one JVM
+  * accumulates localCheckpoint blocks (eager, only GC'd when the
+  * ContextCleaner notices) and streaming memory-sink tables that are never
+  * dropped; the resulting memory pressure inflated recorded medians up to
+  * 140x over fresh-JVM truth (infer_echo 51s recorded vs 0.36s real). Every
+  * measured run is therefore followed by an UNTIMED cleanup — clear the
+  * cache manager (memory-sink tables are cached plans), drop the
+  * graft_stream_* temp views, unpersist every tracked RDD (localCheckpoints
+  * live there) — and a System.gc() runs between queries so one query's
+  * garbage never bills the next. */
 object Bench {
 
   /** Force full-row materialization of every output column. */
   private[graft] def exec(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
+
+  /** Untimed inter-run cleanup: release every piece of state a catalog
+    * query can leave behind. Runs OUTSIDE the timed window. */
+  private def cleanup(spark: org.apache.spark.sql.SparkSession): Unit = {
+    try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => () }
+    try {
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("graft_stream"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    } catch { case _: Throwable => () }
+    try spark.sharedState.cacheManager.clearCache() catch { case _: Throwable => () }
+    try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    catch { case _: Throwable => () }
+  }
 
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
@@ -29,6 +54,10 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  /** 3-decimal fixed-point seconds: 74 queries x 17-digit doubles overflowed
+    * the driver's captured stdout tail in round 5 (parsed: null). */
+  private def j3(sec: Double): String = f"$sec%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -38,7 +67,9 @@ object Bench {
     // first-run codegen compilation (measured up to 5s of the first run)
     SparkEntry.queries.foreach { case (_, fn) =>
       try { exec(fn(spark, warmDir)) } catch { case _: Throwable => () }
+      cleanup(spark)
     }
+    System.gc()
     // Median of 3 materialized runs per query at the measured sf: a single
     // cold run overstates a query by up to 10x (first-touch page cache, JIT
     // profile at the measured data shape), which the sf0.001 warmup above
@@ -46,25 +77,39 @@ object Bench {
     val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        try {
+        val r = try {
           val times = (1 to runsPerQuery).map { _ =>
             val t0 = System.nanoTime()
             exec(fn(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
+            val sec = (System.nanoTime() - t0) / 1e9
+            cleanup(spark)
+            sec
           }.sorted
           name -> Right(times(times.length / 2))
         } catch {
           case e: Throwable =>
+            cleanup(spark)
             name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
+        System.gc()
+        r
       }
     val qs = results.map {
-      case (k, Right(sec)) => s"${jstr(k)}:$sec"
+      case (k, Right(sec)) => s"${jstr(k)}:${j3(sec)}"
       case (k, Left(err)) => s"""${jstr(k)}:{"err":${jstr(err)}}"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val errors = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
+    // file copy survives any stdout truncation by the caller
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
+    // the very last stdout line, after Spark's shutdown chatter
+    println(line)
   }
 }

@@ -25,7 +25,7 @@ object Cli {
     finally spark.stop()
   }
 
-  private def run(g: Graft, args: List[String]): Unit = args match {
+  private[graft] def run(g: Graft, args: List[String]): Unit = args match {
     case "jobs" :: "list" :: Nil =>
       val jobs = g.listJobs()
       if (jobs.isEmpty) println("No jobs found.")
@@ -51,12 +51,33 @@ object Cli {
       }
     case "jobs" :: "cancel" :: id :: Nil =>
       println(s"$id\t${g.cancelJob(id)}")
+    case "jobs" :: "trace" :: id :: Nil =>
+      // per-job trace export (reference observability.py: batch traces
+      // filterable by sutro_job_id)
+      val ts = Observability.forJob(id)
+      if (ts.isEmpty) println(s"No traces recorded for job $id.")
+      else ts.foreach { t =>
+        val outcome = if (t.success) "ok" else s"FAILED ${t.error.getOrElse("")}"
+        println(s"${t.atMillis}\t${t.action}\t${t.durationMs}ms\t$outcome")
+      }
     case "datasets" :: "create" :: name :: Nil =>
       println(g.datasets.create(Some(name)))
     case "datasets" :: "list" :: Nil =>
       g.datasets.list().foreach(println)
     case "datasets" :: "files" :: id :: Nil =>
       g.datasets.listFiles(id).foreach(println)
+    case "datasets" :: "download" :: datasetId :: rest =>
+      // reference cli.py:348: download <dataset_id> [file_name]
+      // [output_path] — all files when no name, cwd when no output path
+      val (fileName, outputPath) = rest match {
+        case Nil => (None, ".")
+        case f :: Nil => (Some(f), ".")
+        case f :: out :: Nil => (Some(f), out)
+        case _ => sys.error("usage: datasets download <dataset_id> [file_name] [output_path]")
+      }
+      val written = g.datasets.exportFiles(datasetId, outputPath, fileName.map(Seq(_)))
+      println(s"Downloaded ${written.size} file(s) from dataset $datasetId:")
+      written.foreach(println)
     case "datasets" :: "upload" :: first :: rest =>
       // reference semantics: with a single argument it is the file path and
       // a fresh dataset is created; otherwise the first arg is the dataset
@@ -122,12 +143,13 @@ object Cli {
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
            |Commands:
-           |  jobs list | jobs status <id> | jobs cancel <id>
+           |  jobs list | jobs status <id> | jobs cancel <id> | jobs trace <id>
            |  jobs results <id> [--save] [--save-format parquet|csv] [--output-path dir]
            |                    [--include-inputs] [--include-cumulative-logprobs]
            |  cache show | cache clear
            |  function run <name> key=value [key=value ...]
            |  datasets create <name> | datasets list | datasets files <id>
+           |  datasets upload [<id>] <path> | datasets download <id> [file] [outDir]
            |  multimodal <path> <column> [nFrames]
            |  infer <path> <column> [maxChars]""".stripMargin)
       sys.exit(2)

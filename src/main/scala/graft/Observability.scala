@@ -16,16 +16,28 @@ import scala.jdk.CollectionConverters._
 object Observability {
 
   /** One completed Spark action. rowsOut is the optimizer's estimate when
-    * stats are available (-1 otherwise) — cheap, no extra job. */
+    * stats are available (-1 otherwise) — cheap, no extra job. jobId links
+    * the trace to the [[graft.llm.Jobs]] run that produced it (the
+    * reference's batch traces carry a sutro_job_id for exactly this
+    * filtering, observability.py:48) — None for ad-hoc actions. */
   case class Trace(
       action: String,
       durationMs: Long,
       success: Boolean,
       error: Option[String],
       rowsOut: Long,
-      atMillis: Long)
+      atMillis: Long,
+      jobId: Option[String] = None)
 
   private val traces = new ConcurrentLinkedQueue[Trace]()
+
+  /** Record a trace directly (the Jobs registry stamps its job id here —
+    * a listener cannot attribute an action to a job race-free). */
+  def record(trace: Trace): Unit = traces.add(trace): Unit
+
+  /** Traces belonging to one job, oldest first. */
+  def forJob(jobId: String): Seq[Trace] =
+    traces.asScala.toSeq.filter(_.jobId.contains(jobId))
   private val attached = java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
 
   private final class Listener extends QueryExecutionListener {

@@ -67,14 +67,28 @@ object Jobs {
     val groupId = s"graft-job-group-$id"
     val tracked = onProgress.map(f => Progress.register(sc, groupId, id, f))
     if (tracked.isDefined) sc.setJobGroup(groupId, s"graft $id", interruptOnCancel = false)
+    val t0 = System.nanoTime()
     try {
       df.write.mode("overwrite").parquet(path)
       job.status = Succeeded
+      // stamp the job id into the trace log (reference batch traces carry
+      // sutro_job_id for per-job filtering, observability.py:48); recorded
+      // here, not from a listener — attribution is race-free at the source
+      graft.Observability.record(graft.Observability.Trace(
+        action = s"jobs.submit${name.fold("")(n => s":$n")}",
+        durationMs = (System.nanoTime() - t0) / 1000000L,
+        success = true, error = None, rowsOut = -1L,
+        atMillis = System.currentTimeMillis(), jobId = Some(id)))
     } catch {
       case e: Throwable =>
         job.status = Failed
         job.failureReason = Some(
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(500)}")
+        graft.Observability.record(graft.Observability.Trace(
+          action = s"jobs.submit${name.fold("")(n => s":$n")}",
+          durationMs = (System.nanoTime() - t0) / 1000000L,
+          success = false, error = job.failureReason, rowsOut = -1L,
+          atMillis = System.currentTimeMillis(), jobId = Some(id)))
         throw e
     } finally {
       if (tracked.isDefined) {

@@ -779,17 +779,23 @@ object Dedup {
     val evalDocs = evalSet
       .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
       .where(col("__text").isNotNull)
-    // distinct eval shingle fps; limit BEFORE collect so an oversized eval
-    // battery fails without materializing on the driver
-    val fpRows = evalDocs
+    // distinct eval shingle fps. Guard with a count() BEFORE collecting —
+    // a limit(max+1).collect() would materialize up to max+1 Row objects
+    // (multi-GB at the 50M default) on the driver before the require could
+    // fire; the count is a cheap distributed aggregate. The collect itself
+    // is primitive longs (8 bytes each), not boxed Rows.
+    val evalFpDf = evalDocs
       .select(explode(array_distinct(gf.ngramFps(col("__text"), n))).as("fp"))
       .distinct()
-      .limit(maxEvalShingles + 1)
-      .collect()
-    require(fpRows.length <= maxEvalShingles,
-      s"eval shingle set exceeds $maxEvalShingles distinct shingles; " +
+    val nEvalFps = evalFpDf.count()
+    require(nEvalFps <= maxEvalShingles,
+      s"eval shingle set has $nEvalFps distinct shingles (max $maxEvalShingles); " +
         "raise maxEvalShingles or split the eval battery")
-    val bits = graft.functions.Kernels.bloomBuild(fpRows.map(_.getLong(0)), bitsPerItem)
+    val fps = {
+      import evalFpDf.sparkSession.implicits._
+      evalFpDf.as[Long].collect()
+    }
+    val bits = graft.functions.Kernels.bloomBuild(fps, bitsPerItem)
     val kProbes = graft.functions.Kernels.bloomK(bitsPerItem)
 
     val candidates = corpus
@@ -808,8 +814,22 @@ object Dedup {
       gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))
     val evalSh = evalGroups.select(col("rep_id").as("eval_rep"),
       gf.shingleFpsSorted(col("__payload"), n).as("b_shl"))
-    val pairs = candSh
-      .crossJoin(broadcast(evalSh))
+    // shared-shingle band join, NOT a cross join: a pair with Jaccard >=
+    // threshold (> 0) shares at least one shingle fingerprint, so an
+    // equi-join on the fp reproduces every qualifying pair (recall exactly
+    // 1 — output unchanged by construction) while bounding the pair space
+    // by actual co-occurrence. The cross join it replaces evaluated the
+    // merge kernel for every (candidate, eval) pair — O(cand x eval) with
+    // no pruning the moment Bloom candidacy degenerates, which §9.3 showed
+    // it does on boilerplate-heavy corpora.
+    val candPairs = candSh
+      .select(col("rep_id"), explode(col("a_shl")).as("fp"))
+      .join(broadcast(evalSh.select(col("eval_rep"), explode(col("b_shl")).as("fp"))), Seq("fp"))
+      .select("rep_id", "eval_rep")
+      .dropDuplicates("rep_id", "eval_rep")
+    val pairs = candPairs
+      .join(candSh, "rep_id")
+      .join(broadcast(evalSh), "eval_rep")
       // threshold on the RAW score (rounding first would admit pairs just
       // under it); the reported value rounds for cross-engine stability
       .withColumn("__jraw", gf.jaccardSortedFps(col("a_shl"), col("b_shl")))

@@ -37,7 +37,9 @@ object Search {
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     Dedup.requireLongId(docs, idCol)
-    val lower = terms.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+    // dedupe after lowercasing: a repeated query term must not double-count
+    // its score contribution
+    val lower = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray
     val stats = docs
       .where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
@@ -48,12 +50,16 @@ object Search {
         lower.indices.map(i =>
           sum(when(col("s").getItem(i + 1) > 0, 1L).otherwise(0L)).as(s"df_$i"))).toSeq
     val corpusStats = stats.agg(aggCols.head, aggCols.tail: _*)
+    // guard the avgdl denominator: on an all-empty corpus avgdl is 0 and
+    // dl/avgdl would poison every score with NaN; with the floor, tf = 0
+    // everywhere so every score is exactly 0 and the > 0 cut returns empty
+    val safeAvgdl = greatest(col("avgdl"), lit(1e-9))
     val score = lower.indices.map { i =>
       val tf = col("s").getItem(i + 1).cast("double")
       val idf = log(lit(1.0) +
         (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
       idf * tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("s").getItem(0) / col("avgdl")))
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("s").getItem(0) / safeAvgdl))
     }.reduce(_ + _)
     stats
       .crossJoin(broadcast(corpusStats))

@@ -40,14 +40,30 @@ object Skew {
       salt: Int): DataFrame = {
     require(salt >= 2, s"salt must be >= 2 (1 is a plain join), got $salt")
     require(keys.nonEmpty, "saltedJoin needs at least one key column")
-    val saltCol = pmod(xxhash64(struct(left.columns.map(col).toSeq: _*)), lit(salt))
-    val saltedLeft = left.withColumn("__salt", saltCol)
+    // working column name must not collide with a user column — withColumn
+    // would silently replace it and the final drop would eat the user's data
+    val saltName = Iterator.from(0)
+      .map(i => if (i == 0) "__salt" else s"__salt_$i")
+      .find(n => !left.columns.contains(n) && !right.columns.contains(n))
+      .get
+    // hash only columns xxhash64 accepts (MapType — anywhere in a nested
+    // type — is unhashable and would fail at analysis time). Keys are
+    // always hashable: an equi-join already requires equatable key types.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = left.schema.fields.filter(f => hashable(f.dataType)).map(_.name)
+    val saltCol = pmod(xxhash64(struct(hashCols.map(col).toSeq: _*)), lit(salt))
+    val saltedLeft = left.withColumn(saltName, saltCol)
     // replicate the right side once per salt value with a generator — a
     // narrow map, no join against an auxiliary range frame
     val saltedRight = right
-      .withColumn("__salt", explode(lit((0L until salt.toLong).toArray)))
+      .withColumn(saltName, explode(lit((0L until salt.toLong).toArray)))
     saltedLeft
-      .join(saltedRight, keys :+ "__salt")
-      .drop("__salt")
+      .join(saltedRight, keys :+ saltName)
+      .drop(saltName)
   }
 }

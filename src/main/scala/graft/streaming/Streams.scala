@@ -323,11 +323,14 @@ object Streams {
         col("__bh").getItem(1) >= lit(threshold) * col("__bh").getItem(0))
       .select(col("doc_id"), gf.shingleFpsSorted(col("__text"), n).as("a_shl"))
 
+    // project the merge-kernel score ONCE, then filter and round from the
+    // projected column — a kernel call in the join condition AND the output
+    // projection would run the per-pair merge twice
     val matches = candidates
-      .join(broadcast(evalSh),
-        gf.jaccardSortedFps(col("a_shl"), col("b_shl")) >= threshold)
-      .select(col("doc_id"), col("eval_id"),
-        round(gf.jaccardSortedFps(col("a_shl"), col("b_shl")), 4).as("jaccard"))
+      .crossJoin(broadcast(evalSh))
+      .withColumn("__jraw", gf.jaccardSortedFps(col("a_shl"), col("b_shl")))
+      .where(col("__jraw") >= threshold)
+      .select(col("doc_id"), col("eval_id"), round(col("__jraw"), 4).as("jaccard"))
     runToMemory(matches, "graft_stream_decon", "append")
   }
 

@@ -304,6 +304,15 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val bloomed = Dedup.decontaminateBloom(corpus, evalSet, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    // sound on ANY data: Bloom candidacy has recall exactly 1, so its drop
+    // set contains the band variant's (MinHash banding at 32 bands x 4 rows
+    // can miss a pair sitting right at J = 0.5) — kept sets go the other way
+    assert(bloomed.subsetOf(banded),
+      "Bloom (recall 1) must never keep a doc the band join drops")
+    // on THIS fixture the contaminated pairs sit well above the threshold
+    // (mostly exact/near-exact eval copies), where 32x4 banding recall is
+    // ~1 - (1 - J^4)^32 ≈ 1 — so the two variants agree exactly; with
+    // near-threshold pairs only the subset relation above is guaranteed
     assert(banded === bloomed)
     assert(bloomed.size < corpus.count(), "the eval slice's near-matches must drop something")
   }
