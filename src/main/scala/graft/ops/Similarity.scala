@@ -334,6 +334,53 @@ object Similarity {
     rankTopK(exact, k)
   }
 
+  /** The trained PQ codebooks, exposed for external oracle checking: the
+    * same deterministic hash-sample + seeded Lloyd's as [[pqTopK]], so two
+    * runs (or two engines given these exact values) agree bit-for-bit. */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): Array[Double] =
+    trainPqCodebooks(corpus, idCol, vecCol, m, ksub, sampleSize, seed)
+
+  /** ADC scores — the numeric core of PQ, exposed as a checkable query:
+    * every (query, neighbor) pair's asymmetric-distance-computation value
+    * (sum over sub-spaces of the query's table entry at the neighbor's
+    * code word), rounded to 6 decimals, top `topPerQuery` per query by
+    * (adc_dist asc, neighbor_id asc) — a total order shared with a SQL
+    * re-derivation. All-pairs by design: this is an oracle baseline for
+    * the ADC arithmetic (encode + table + lookup-sum), not a scale path —
+    * [[pqTopK]]/[[ivfpqTopK]] are the deployment shapes. */
+  def pqAdcScores(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topPerQuery: Int = 50,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): DataFrame = {
+    Dedup.requireLongId(corpus, idCol)
+    Dedup.requireLongId(queries, idCol)
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, sampleSize, seed)
+    val codes = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      gf.pqEncode(col(vecCol), codebooks, m, ksub).as("codes"))
+    val qt = queries.select(col(idCol).cast("long").as("query_id"),
+      gf.pqTable(col(vecCol), codebooks, m, ksub).as("tbl"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    codes.crossJoin(broadcast(qt))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(gf.pqAdc(col("tbl"), col("codes"), ksub), 6).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topPerQuery)
+  }
+
   /** IVF x PQ composed ANN (IVFADC, Jégou et al. 2011) — the shape real
     * 100 TB ANN deployments run: the coarse quantizer prunes the corpus to
     * nprobe cells per query AND the scan inside each cell reads compressed
@@ -370,9 +417,15 @@ object Similarity {
   }
 
   /** Build a PERSISTENT IVFADC index: the coded corpus (cell + PQ codes +
-    * raw vector for re-rank) bucketed BY CELL, with the centroid table and
-    * PQ codebooks stored alongside — index once, query many with no
-    * corpus-side shuffle at query time. */
+    * raw vector for re-rank) PARTITIONED BY CELL, with the centroid table
+    * and PQ codebooks stored alongside — index once, query many.
+    *
+    * Partitioning (one directory per cell, nlist is small) rather than
+    * bucketing: the probe join broadcasts the query side, so Spark's
+    * dynamic partition pruning turns "nprobe cells per query batch" into
+    * files SKIPPED AT THE SCAN — at 100 TB the index read is
+    * sum(probed cells), not the corpus. (The IVF index keeps the bucketed
+    * layout as the co-located-join variant; both shapes are demonstrated.) */
   def ivfpqBuildIndex(
       corpus: DataFrame,
       idCol: String,
@@ -381,7 +434,6 @@ object Similarity {
       nlist: Int = 16,
       m: Int = 8,
       ksub: Int = 16,
-      numBuckets: Int = 16,
       sampleSize: Int = 10000,
       seed: Long = 42L): Unit = {
     Dedup.requireLongId(corpus, idCol)
@@ -391,7 +443,7 @@ object Similarity {
     val (centroids, codebooks) = trainIvfpq(corpus, idCol, vecCol, nlist, m, ksub, sampleSize, seed)
     encodeIvfpq(corpus, idCol, vecCol, centroids, codebooks, m, ksub)
       .write.mode("overwrite")
-      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .partitionBy("cell")
       .format("parquet")
       .saveAsTable(tableName)
     centroids.zipWithIndex

@@ -46,6 +46,11 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // state-store observability for scale rehearsals: the final batch's
+    // progress carries per-operator state rows/bytes — the number that
+    // proves (or disproves) the bounded-state contract at 10x
+    if (sys.env.contains("GRAFT_STREAM_PROGRESS"))
+      q.recentProgress.foreach(p => println(s"[stream-progress] $name ${p.json}"))
     spark.table(name)
   }
 
@@ -173,6 +178,70 @@ object Streams {
       } else stageOne(raw, "events-0.parquet", t0)
       stageOne(sentinel(10), "events-1.parquet", t0 + 20000)
       stageOne(sentinel(20), "events-2.parquet", t0 + 40000)
+    }
+
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+    if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else stream
+  }
+
+  /** The staged events stream with the real data split into `chunks`
+    * TIME-ORDERED files (then the two sentinels) — backfill replay
+    * discipline for stateful operators: when the whole backlog lands in
+    * ONE micro-batch the watermark cannot advance until after all of it,
+    * so "open" state = the entire history (measured: 954,650 open sessions
+    * after a 1M-event single-batch backfill, then a ~70s eviction storm on
+    * the next 1-row batch). Replayed in event-time-ordered bounded batches
+    * the watermark advances BETWEEN batches, finalizing and evicting as it
+    * goes — state peaks at one chunk's open window.
+    *
+    * Output is unchanged by construction: chunks are time-ordered, so a
+    * session evicted at watermark maxTs(chunk k) - delay ended more than
+    * `delay` before every later event — with delay > gap no later event
+    * could have merged into it anyway. */
+  private def stagedEventsStreamChunked(
+      spark: SparkSession, sfDir: String, stageDir: String, chunks: Int): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val tsIsLong = batchSchema("ts").dataType == org.apache.spark.sql.types.LongType
+
+    val stage = new java.io.File(stageDir)
+    if (!new java.io.File(stage, f"events-${chunks + 1}%03d.parquet").exists()) {
+      stage.mkdirs()
+      val raw = spark.read.parquet(path)
+      val maxTs = raw.agg(max(col("ts"))).head().get(0)
+      def sentinel(offsetHours: Int) = {
+        val bumped =
+          if (tsIsLong) raw.limit(1).withColumn("ts",
+            lit(maxTs.asInstanceOf[Long] + offsetHours.toLong * 3600L * 1000000000L))
+          else raw.limit(1).withColumn("ts",
+            col("ts") + expr(s"INTERVAL $offsetHours HOURS"))
+        bumped.withColumn("event_type", lit("__sentinel"))
+          .withColumn("user_id", lit(-1).cast(bumped.schema("user_id").dataType))
+      }
+      def stageOne(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stage-part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(stage, name)
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(mtime)
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      // ntile over event time: deterministic time-range chunks (one-time
+      // staging cost, not part of the measured operator)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+      val chunked = raw.withColumn("__chunk", ntile(chunks).over(w))
+      (1 to chunks).foreach { c =>
+        stageOne(chunked.where(col("__chunk") === c).drop("__chunk"),
+          f"events-${c - 1}%03d.parquet", t0 + c * 1000L)
+      }
+      stageOne(sentinel(10), f"events-$chunks%03d.parquet", t0 + (chunks + 1) * 1000L)
+      stageOne(sentinel(20), f"events-${chunks + 1}%03d.parquet", t0 + (chunks + 2) * 1000L)
     }
 
     val stream = spark.readStream
@@ -312,8 +381,17 @@ object Streams {
       .distinct().collect().map(_.getLong(0))
     val bits = Kernels.bloomBuild(fps, bitsPerItem)
     val kProbes = Kernels.bloomK(bitsPerItem)
-    val evalSh = evalDocs.select(col("eval_id"),
-      gf.shingleFpsSorted(col("__text"), n).as("b_shl"))
+    // canonicalize the STATIC side (the stream side cannot group without
+    // state, but the eval battery can and must): eval batteries duplicate
+    // too, and verifying per eval DOC multiplied the per-batch pair count
+    // by the duplication factor — measured 131s -> 17s at the 10x
+    // replicated corpus. Jaccard is content-only, so matches expand back
+    // through the membership list exactly.
+    val evalSh = evalDocs
+      .groupBy(graft.ops.TextAnalysis.fingerprint(col("__text")).as("__fp"))
+      .agg(sort_array(collect_list(col("eval_id"))).as("__members"),
+        first(col("__text")).as("__payload"))
+      .select(gf.shingleFpsSorted(col("__payload"), n).as("b_shl"), col("__members"))
 
     val candidates = streamTable(spark, sfDir, "documents.parquet")
       .where(pmod(col("doc_id"), lit(10)) =!= 0 && col("text").isNotNull)
@@ -330,7 +408,8 @@ object Streams {
       .crossJoin(broadcast(evalSh))
       .withColumn("__jraw", gf.jaccardSortedFps(col("a_shl"), col("b_shl")))
       .where(col("__jraw") >= threshold)
-      .select(col("doc_id"), col("eval_id"), round(col("__jraw"), 4).as("jaccard"))
+      .select(col("doc_id"), explode(col("__members")).as("eval_id"),
+        round(col("__jraw"), 4).as("jaccard"))
     runToMemory(matches, "graft_stream_decon", "append")
   }
 
@@ -357,16 +436,23 @@ object Streams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
-  /** [[sessionWindows]] under the staged append-mode harness: sentinel
-    * batches advance the watermark past every real session, so all real
-    * sessions close, emit, and evict by termination; the per-user rollup
-    * (n_sessions, n_events) is a batch aggregation over the emitted
-    * sessions. Equals the batch q_sessionize answer. */
+  /** [[sessionWindows]] under the staged append-mode harness, with the
+    * backlog replayed as TIME-ORDERED chunks ([[stagedEventsStreamChunked]]
+    * — the backfill replay discipline): the watermark advances between
+    * chunks, so sessions finalize, emit, and evict DURING the backfill and
+    * open-session state peaks at one chunk's window instead of the whole
+    * history (measured at the 10x corpus: 954k peak state rows and a ~70s
+    * eviction storm single-batch vs ~130k peak and no storm chunked —
+    * same output rows by construction). Sentinel batches then flush the
+    * tail; the per-user rollup (n_sessions, n_events) is a batch
+    * aggregation over the emitted sessions. Equals batch q_sessionize. */
   def sessionizeSessionWindowsAvailableNow(
-      spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
-    val stageDir = stageCache.computeIfAbsent(sfDir, _ =>
-      java.nio.file.Files.createTempDirectory("graft-stream-append").toString)
-    val sessions = sessionWindows(stagedEventsStream(spark, sfDir, stageDir), gapMinutes)
+      spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
+      backfillChunks: Int = 8): DataFrame = {
+    val stageDir = stageCache.computeIfAbsent(s"$sfDir#chunked-$backfillChunks", _ =>
+      java.nio.file.Files.createTempDirectory("graft-stream-chunked").toString)
+    val sessions = sessionWindows(
+      stagedEventsStreamChunked(spark, sfDir, stageDir, backfillChunks), gapMinutes)
     runToMemory(sessions, "graft_stream_sessions_sw", "append")
       .where(col("user_id") >= 0) // sentinel rows carry user_id -1
       .groupBy("user_id")

@@ -69,6 +69,22 @@ class LayoutSpec extends SparkSpec {
       s"bm25 must not global-sort the corpus:\n$plan")
   }
 
+  test("ivfpq index probe: dynamic partition pruning reaches the index scan") {
+    val emb = graft.io.Tables.table(spark, sfDir, "embeddings")
+    graft.ops.Similarity.ivfpqBuildIndex(emb, "vec_id", "embedding", "graft_ivfpq_dpp",
+      nlist = 16, m = 8, ksub = 16)
+    val probe = graft.ops.Similarity.ivfpqQueryIndex(
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", "graft_ivfpq_dpp",
+      k = 5, nprobe = 4, rerank = 50)
+    // the index is partitioned by cell and the probe side broadcasts, so
+    // unprobed cells must be skipped AT THE SCAN (dynamic partition
+    // pruning) — at 100 TB the probe reads sum(probed cells), not the index
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the index scan:\n${plan.take(4000)}")
+    assert(probe.count() > 0)
+  }
+
   test("dedup_substring plan: shuffles carry fingerprints and integers, never n-gram text") {
     val df = graft.ops.Dedup.duplicatedSpans(docs, "text", "doc_id", k = 5, minOcc = 2)
     val plan = df.queryExecution.executedPlan.toString

@@ -146,6 +146,22 @@ class SimilaritySpec extends SparkSpec {
     assert(run(emb.repartition(3)) === run(emb.repartition(17)))
   }
 
+  test("pqAdcScores: layout-deterministic; ranks dense; adc monotone per query") {
+    val queries = emb.where(col("vec_id") < 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqAdcScores(c, queries, "vec_id", "embedding", topPerQuery = 20)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val a = run(emb.repartition(3))
+    assert(a === run(emb.repartition(17)))
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4) === (1 to rows.length), s"ranks not dense for query $q")
+      val dists = rows.sortBy(_._4).map(_._3)
+      assert(dists === dists.sorted, s"adc_dist not monotone in rank for query $q")
+      assert(dists.forall(_ >= 0.0))
+    }
+  }
+
   test("ivfpq persistent index: build once, query equals direct ivfpqTopK") {
     val queries = emb.where(col("vec_id") < 20)
     Similarity.ivfpqBuildIndex(emb, "vec_id", "embedding", "graft_ivfpq_idx",
