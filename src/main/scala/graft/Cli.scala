@@ -26,10 +26,18 @@ object Cli {
   }
 
   private[graft] def run(g: Graft, args: List[String]): Unit = args match {
-    case "jobs" :: "list" :: Nil =>
+    case "jobs" :: "list" :: rest =>
+      // reference cli.py:143: newest first, first 25 unless --all
+      val all = rest.contains("--all")
       val jobs = g.listJobs()
+        .sortBy(j => -j.id.stripPrefix("job-").toLongOption.getOrElse(0L))
       if (jobs.isEmpty) println("No jobs found.")
-      else jobs.foreach(j => println(s"${j.id}\t${j.status}\tpriority=${j.priority}\t${j.name.getOrElse("-")}"))
+      else {
+        val shown = if (all) jobs else jobs.take(25)
+        shown.foreach(j => println(s"${j.id}\t${j.status}\tpriority=${j.priority}\t${j.name.getOrElse("-")}"))
+        if (!all && jobs.size > 25)
+          println(s"... ${jobs.size - 25} more (use --all to see all jobs)")
+      }
     case "jobs" :: "status" :: id :: Nil =>
       println(s"$id\t${Jobs.status(id)}")
     case "jobs" :: "results" :: id :: rest =>
@@ -143,7 +151,7 @@ object Cli {
       System.err.println(
         s"""Unknown command: ${other.mkString(" ")}
            |Commands:
-           |  jobs list | jobs status <id> | jobs cancel <id> | jobs trace <id>
+           |  jobs list [--all] | jobs status <id> | jobs cancel <id> | jobs trace <id>
            |  jobs results <id> [--save] [--save-format parquet|csv] [--output-path dir]
            |                    [--include-inputs] [--include-cumulative-logprobs]
            |  cache show | cache clear

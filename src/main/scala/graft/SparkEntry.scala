@@ -391,6 +391,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** N-gram-collision decontamination (the GPT-3 13-gram recipe, at n=8
+    * for this short-document corpus): drops corpus docs sharing ANY word
+    * 8-gram with the eval slice — catches eval CONTAINMENT inside long
+    * documents, which a Jaccard threshold structurally misses. */
+  private def dedupDecontaminateNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    Dedup.decontaminateNgram(corpus, evalSet, "text", "doc_id", n = 8, minHits = 1)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring duplicated spans (Lee-2022 shape): word-5-gram
     * fingerprints recurring anywhere in the corpus (>=2 occurrences,
     * self-repetition included) merged into maximal per-document spans. */
@@ -446,6 +459,13 @@ object SparkEntry {
     Dedup.decontaminateReport(corpus, evalSet, "text", "doc_id")
       .orderBy("doc_id", "eval_id")
   }
+
+  /** Deterministic training shards (16-way) + within-shard order key —
+    * the engine-reproducible corpus-shuffle-and-shard materialization. */
+  private def corpusShard(s: SparkSession, dir: String): DataFrame =
+    Corpus.assignShards(t(s, dir, "documents"), "doc_id", nShards = 16)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"), col("sort_key"))
+      .orderBy("doc_id")
 
   /** Deterministic 80/10/10 train/val/test split by md5 bucket — the
     * engine-reproducible alternative to randomSplit. */
@@ -777,11 +797,13 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
+    "dedup_decontaminate_ngram" -> (dedupDecontaminateNgram _),
     "dedup_decontaminate_bloom" -> (dedupDecontaminateBloom _),
     "dedup_decontaminate_report" -> (dedupDecontaminateReport _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_apply" -> (dedupSubstringApply _),
     "corpus_split" -> (corpusSplit _),
+    "corpus_shard" -> (corpusShard _),
     "corpus_cluster" -> (corpusCluster _),
     "corpus_top_frac" -> (corpusTopFrac _),
     "text_search" -> (textSearch _),
@@ -1392,6 +1414,26 @@ object SparkEntry {
         |    WHERE (j.a_id = d.doc_id AND j.b_id % 10 = 0)
         |       OR (j.b_id = d.doc_id AND j.a_id % 10 = 0))
         |ORDER BY d.doc_id""".stripMargin,
+    // n-gram-collision decontamination: contaminated = shares >= 1 word
+    // 8-gram with the eval slice's n-gram union. The oracle matches on the
+    // n-gram STRINGS; the Spark side matches 64-bit fingerprints of the
+    // same token windows — identical sets (an fp collision would hash-fail
+    // the compare, which is itself evidence none occurred).
+    "dedup_decontaminate_ngram" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-7, 0)),
+        |    i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gs
+        |  FROM norm),
+        |ev AS (SELECT DISTINCT unnest(gs) AS g FROM gr WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT c.doc_id FROM (SELECT doc_id, unnest(gs) AS g FROM gr WHERE doc_id % 10 <> 0) c
+        |  JOIN ev USING (g) GROUP BY c.doc_id HAVING count(*) >= 1)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY d.doc_id""".stripMargin,
     // the Bloom prefilter has recall 1 (no false negatives + J>=0.5
     // implies a shared shingle), so the twin's output equals the exact
     // Jaccard definition and it shares dedup_decontaminate's oracle
@@ -1558,6 +1600,11 @@ object SparkEntry {
         |WHERE rk <= (n * 30 + 99) // 100
         |ORDER BY doc_id""".stripMargin,
     // same md5 bucket as corpus_sample; cut points 80/90 give 80/10/10
+    "corpus_shard" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS BIGINT) AS shard,
+        |  md5('graft' || CAST(doc_id AS VARCHAR)) AS sort_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 < 80 THEN 'train'

@@ -64,6 +64,33 @@ object Corpus {
     df.withColumn("split", assigned)
   }
 
+  /** Deterministic training-shard assignment + within-shard order — the
+    * final "shuffle and shard the corpus for training" materialization
+    * step, as a pure function of (seed, id): `shard` is an md5 bucket over
+    * nShards and `sort_key` the full md5 of (seed, id). Same seed -> same
+    * shard and same order on any engine, partition layout, retry, or
+    * rerun — the reproducibility a training run needs to resume mid-epoch
+    * or re-materialize a corpus byte-for-byte (a rand()-based shuffle
+    * guarantees none of this). Different seeds give independent epoch
+    * orders.
+    *
+    * Scale shape: a narrow map — no shuffle, no count. Order is carried BY
+    * THE KEY, never by a global row_number (which would funnel the corpus
+    * through one partition): write shards with
+    * `.repartition(col("shard")).sortWithinPartitions(col("sort_key"))`
+    * and `partitionBy("shard")` — one exchange, in-partition sort, done. */
+  def assignShards(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      seed: String = "graft"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val key = md5(concat(lit(seed), col(idCol).cast("string")))
+    df.withColumn("sort_key", key)
+      .withColumn("shard",
+        (conv(substring(col("sort_key"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+  }
+
   /** Keep the top `fracPct` percent of each stratum by a score column —
     * the "top X% by quality per language" curation step (the
     * classifier-filtered-web recipe): rank within the stratum by (score

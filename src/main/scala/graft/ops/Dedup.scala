@@ -753,6 +753,76 @@ object Dedup {
       .select(col(idCol), explode(col("__eval_members")).as("eval_id"), col("jaccard"))
   }
 
+  /** N-gram-collision decontamination (the GPT-3/PaLM recipe): drop every
+    * corpus document sharing at least `minHits` distinct word n-grams with
+    * the eval set's n-gram union. COMPLEMENTS the Jaccard-threshold
+    * variants ([[decontaminate]]/[[decontaminateBloom]]): a short eval
+    * answer quoted inside a long document has LOW Jaccard (the document's
+    * shingle set dwarfs the eval doc's) yet is exactly the leakage a
+    * training corpus must not carry — n-gram collision catches
+    * CONTAINMENT, Jaccard catches near-duplication. Long n-grams (13 in
+    * GPT-3; ~8 suits short-document corpora) keep natural collisions rare.
+    *
+    * Scale shape mirrors [[decontaminateBloom]]: the eval n-gram fp union
+    * rides the plan as a Bloom filter — one codegen candidacy pass over
+    * the corpus, recall exactly 1 (Bloom false positives only over-admit;
+    * the candidacy count upper-bounds true hits) — candidates canonicalize
+    * to distinct contents, and the verify is an exact fp equi-join +
+    * per-content hit count, bounded by candidate volume (AQE broadcasts
+    * the eval fp table when it is small). */
+  def decontaminateNgram(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minHits: Int = 1,
+      bitsPerItem: Int = 12,
+      maxEvalShingles: Int = 50000000): DataFrame = {
+    requireLongId(corpus, idCol)
+    requireLongId(evalSet, idCol)
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val evalDocs = evalSet
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+      .where(col("__text").isNotNull)
+    val evalFpDf = evalDocs
+      .select(explode(array_distinct(gf.ngramFps(col("__text"), n))).as("fp"))
+      .distinct()
+    val nEvalFps = evalFpDf.count()
+    require(nEvalFps <= maxEvalShingles,
+      s"eval n-gram set has $nEvalFps distinct n-grams (max $maxEvalShingles); " +
+        "raise maxEvalShingles or split the eval battery")
+    val fps = {
+      import evalFpDf.sparkSession.implicits._
+      evalFpDf.as[Long].collect()
+    }
+    val bits = graft.functions.Kernels.bloomBuild(fps, bitsPerItem)
+    val kProbes = graft.functions.Kernels.bloomK(bitsPerItem)
+
+    val candidates = corpus
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"),
+        gf.bloomShingleHits(col(textCol), n, bits, kProbes).as("__bh"))
+      .where(col("__bh").getItem(1) >= minHits)
+      .select(col("id"), col("__text"))
+    val groups = canonicalGroups(candidates, "id",
+      TextAnalysis.fingerprint(col("__text")), col("__text"))
+    // exact verify: both sides are distinct fp sets, so count(*) after the
+    // equi-join IS the distinct shared-n-gram count
+    val contaminatedReps = groups
+      .select(col("rep_id"), explode(array_distinct(gf.ngramFps(col("__payload"), n))).as("fp"))
+      .join(evalFpDf, "fp")
+      .groupBy("rep_id")
+      .agg(count(lit(1)).as("__hits"))
+      .where(col("__hits") >= minHits)
+      .select("rep_id")
+    val contaminated = groups
+      .join(contaminatedReps, Seq("rep_id"))
+      .select(explode(col("members")).as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Shared Bloom-prefilter verify: (candidate groups, eval groups,
     * exact-verified (rep_id, eval_rep, jaccard) pairs). Candidate
     * generation is one codegen pass over the corpus (no explode, no band

@@ -39,5 +39,7 @@ class CliSpec extends SparkSpec {
     assert(ts.nonEmpty && ts.forall(_.jobId.contains(id)))
     Cli.run(g, List("jobs", "trace", id))          // prints, must not throw
     Cli.run(g, List("jobs", "trace", "job-none"))  // empty case, must not throw
+    Cli.run(g, List("jobs", "list"))               // newest-first top 25
+    Cli.run(g, List("jobs", "list", "--all"))      // unlimited variant
   }
 }

@@ -223,4 +223,30 @@ class CorpusSpec extends SparkSpec {
       Corpus.assignSplits(docs, "doc_id", Seq("train" -> 100, "test" -> 0))
     }
   }
+
+  test("shards: cover all rows, roughly balanced, layout-independent, seed varies order") {
+    val out = Corpus.assignShards(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "sort_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.length === docs.count())
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet.subsetOf((0 until 8).toSet))
+    // md5 buckets are near-uniform: no shard over 3x the fair share
+    assert(sizes.values.max <= 3 * out.length / 8)
+    // pure function of (seed, id): identical under any partition layout
+    val again = Corpus.assignShards(docs.repartition(7), "doc_id", nShards = 8)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(again === out.map(t => (t._1, t._2)).toMap)
+    // a different seed reshuffles: the induced order must differ
+    val orderA = out.sortBy(_._3).map(_._1).toSeq
+    val orderB = Corpus.assignShards(docs, "doc_id", 8, seed = "epoch2")
+      .select("doc_id", "sort_key").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2).map(_._1).toSeq
+    assert(orderA !== orderB)
+    assert(orderA.toSet === orderB.toSet)
+    // narrow map: no Exchange in the plan
+    val plan = Corpus.assignShards(docs, "doc_id", 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignShards must not shuffle:\n$plan")
+    intercept[IllegalArgumentException](Corpus.assignShards(docs, "doc_id", 0))
+  }
 }

@@ -297,6 +297,40 @@ class DedupSpec extends SparkSpec {
     assert(reported === (all -- kept))
   }
 
+  test("decontaminateNgram: catches containment the Jaccard threshold misses") {
+    val evalSentence = "what is the capital of france the answer is paris"  // 10 words
+    val evalSet = Seq((100L, evalSentence)).toDF("doc_id", "text")
+    val filler = (1 to 80).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $evalSentence"),              // eval QUOTED inside a long doc
+      (2L, s"$filler entirely unrelated tail"),    // clean
+      (3L, evalSentence)                            // exact eval copy
+    ).toDF("doc_id", "text")
+
+    // Jaccard view: doc 1 shares 8 of ~88 shingles with eval -> J ~ 0.09,
+    // far below the 0.5 threshold — the band-join variant KEEPS the leak
+    val keptJ = Dedup.decontaminate(corpus, evalSet, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptJ === Set(1L, 2L), "Jaccard decontamination keeps the containment leak (by design)")
+
+    // n-gram collision view: doc 1 shares every 8-gram of the eval
+    // sentence -> dropped; doc 2 shares none -> kept
+    val keptN = Dedup.decontaminateNgram(corpus, evalSet, "text", "doc_id", n = 8, minHits = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptN === Set(2L))
+
+    // minHits raises the bar: a 10-word quote has exactly 3 distinct
+    // 8-grams, so minHits = 4 keeps every doc here (even the exact copy —
+    // its whole content is those same 3 n-grams), and minHits = 3 drops
+    // the quoting doc and the copy alike
+    val keptHi = Dedup.decontaminateNgram(corpus, evalSet, "text", "doc_id", n = 8, minHits = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptHi === Set(1L, 2L, 3L))
+    val keptAt3 = Dedup.decontaminateNgram(corpus, evalSet, "text", "doc_id", n = 8, minHits = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAt3 === Set(2L))
+  }
+
   test("decontaminateBloom: output equals the band-join decontaminate exactly") {
     val evalSet = docs.where(pmod(col("doc_id"), lit(10)) === 0)
     val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
