@@ -31,7 +31,16 @@ object Bench {
     df.write.mode("overwrite").format("noop").save()
 
   /** Untimed inter-run cleanup: release every piece of state a catalog
-    * query can leave behind. Runs OUTSIDE the timed window. */
+    * query can leave behind. Runs OUTSIDE the timed window.
+    *
+    * The round-6 lesson: each streaming run starts a fresh memory-sink
+    * query with a fresh checkpoint, and every micro-batch loads state-store
+    * providers that stay LOADED in the executor JVM after the query stops
+    * (the provider cache is keyed by checkpoint, so a marathon of
+    * one-shot queries accumulates hundreds of providers plus their
+    * maintenance-thread churn — recorded streaming medians ran 3-8x over
+    * fresh-JVM truth). StateStore.stop() unloads them all; the maintenance
+    * pool restarts lazily on the next streaming query. */
   private def cleanup(spark: org.apache.spark.sql.SparkSession): Unit = {
     try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => () }
     try {
@@ -42,6 +51,25 @@ object Bench {
     try spark.sharedState.cacheManager.clearCache() catch { case _: Throwable => () }
     try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     catch { case _: Throwable => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    sweepTempCheckpoints()
+  }
+
+  /** Delete the temp checkpoint dirs one-shot streaming queries leave in
+    * java.io.tmpdir. Clean AvailableNow stops delete their own, but a
+    * query that errors (or a sink that stops uncleanly) leaves its
+    * "temporary-*" dir behind — a marathon must not let them pile up. */
+  private def sweepTempCheckpoints(): Unit = try {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("temporary-"))
+      .foreach(deleteRecursively)
+  } catch { case _: Throwable => () }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   private def jstr(s: String): String = "\"" + s.flatMap {
@@ -55,8 +83,11 @@ object Bench {
   } + "\""
 
   /** 3-decimal fixed-point seconds: 74 queries x 17-digit doubles overflowed
-    * the driver's captured stdout tail in round 5 (parsed: null). */
-  private def j3(sec: Double): String = f"$sec%.3f"
+    * the driver's captured stdout tail in round 5 (parsed: null). Formatted
+    * under Locale.ROOT — the default-locale f-interpolator would print
+    * comma decimals on a de/tr JVM and break the JSON. */
+  private def j3(sec: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,8 +106,17 @@ object Bench {
     // profile at the measured data shape), which the sf0.001 warmup above
     // cannot absorb — the recorded number must reflect steady state.
     val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // prime the first measured query at the MEASURED sf (untimed): it alone
+    // pays the first-touch page cache of the sf files, which the sf0.001
+    // warmup loop cannot absorb (r6: ann_bruteforce, first alphabetically,
+    // recorded well above its steady state even after warmup)
+    ordered.headOption.foreach { case (_, fn) =>
+      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      cleanup(spark)
+    }
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      ordered.map { case (name, fn) =>
         val r = try {
           val times = (1 to runsPerQuery).map { _ =>
             val t0 = System.nanoTime()

@@ -56,7 +56,21 @@ object Skew {
       case _ => true
     }
     val hashCols = left.schema.fields.filter(f => hashable(f.dataType)).map(_.name)
-    val saltCol = pmod(xxhash64(struct(hashCols.map(col).toSeq: _*)), lit(salt))
+    // when the only hashable columns ARE the join keys (e.g. left =
+    // (key, map-payload)), a pure content hash is a function of the key —
+    // every hot-key row would land in ONE salt bucket and the mitigation
+    // would silently degrade to a plain join. Mix in a row-local
+    // disambiguator: partition id + in-partition row index, deterministic
+    // on recompute for a deterministic upstream (same class of retry
+    // idempotency as the content hash; the join result never depends on
+    // WHICH salt a row gets, only that it gets exactly one).
+    val keysOnly = !hashCols.exists(c => !keys.contains(c))
+    val hashInput =
+      if (keysOnly)
+        struct((hashCols.map(col) ++ Seq(spark_partition_id().cast("long"),
+          monotonically_increasing_id())).toSeq: _*)
+      else struct(hashCols.map(col).toSeq: _*)
+    val saltCol = pmod(xxhash64(hashInput), lit(salt))
     val saltedLeft = left.withColumn(saltName, saltCol)
     // replicate the right side once per salt value with a generator — a
     // narrow map, no join against an auxiliary range frame
