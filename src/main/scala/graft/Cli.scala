@@ -59,6 +59,27 @@ object Cli {
       }
     case "jobs" :: "cancel" :: id :: Nil =>
       println(s"$id\t${g.cancelJob(id)}")
+    case "jobs" :: "attach" :: rest =>
+      // reference cli.py:422: attach [job_id] [--latest] — stream status
+      // transitions until a terminal state (local jobs are synchronous, so
+      // an attach observes at least the terminal status, exactly the
+      // sdk.attach contract for an already-finished job)
+      val latest = rest.contains("--latest")
+      val idArg = rest.filterNot(_.startsWith("--")).headOption
+      val target =
+        if (latest) {
+          val jobs = g.listJobs()
+            .sortBy(j => -j.id.stripPrefix("job-").toLongOption.getOrElse(0L))
+          jobs.headOption match {
+            case Some(j) => println(s"Attaching to latest job: ${j.id}"); Some(j.id)
+            case None => println("No jobs found."); None
+          }
+        } else idArg.orElse { println("No job ID provided."); None }
+      target.foreach { jid =>
+        val fin = g.attachJob(jid, s => println(s"$jid\t$s"))
+        if (fin == Jobs.Failed)
+          Jobs.failureReason(jid).foreach(r => println(s"failure reason: $r"))
+      }
     case "jobs" :: "trace" :: id :: Nil =>
       // per-job trace export (reference observability.py: batch traces
       // filterable by sutro_job_id)
@@ -152,6 +173,7 @@ object Cli {
         s"""Unknown command: ${other.mkString(" ")}
            |Commands:
            |  jobs list [--all] | jobs status <id> | jobs cancel <id> | jobs trace <id>
+           |  jobs attach [<id>] [--latest]
            |  jobs results <id> [--save] [--save-format parquet|csv] [--output-path dir]
            |                    [--include-inputs] [--include-cumulative-logprobs]
            |  cache show | cache clear

@@ -540,6 +540,17 @@ object SparkEntry {
         k = 5, nlist = 16, nprobe = 4)
       .orderBy("query_id", "rank")
   }
+  /** IVF probed at nprobe = nlist — EXHAUSTIVE: every query searches every
+    * cell, so the candidate set is the full corpus and the result equals
+    * brute force by construction. This is the operating point that lets
+    * the exact SQL oracle apply verbatim (like the full-recall LSH
+    * points); cell-pruned recall stays ScalaTest-covered on ann_ivf. */
+  private def annIvfFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 16)
+      .orderBy("query_id", "rank")
+  }
 
   /** PQ + exact re-rank. Rows-only like ann_ivf: the approximate phase is
     * honestly recall-trading; SimilaritySpec checks recall vs brute force
@@ -827,6 +838,7 @@ object SparkEntry {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_full" -> (annIvfFull _),
     "ann_pq" -> (annPq _),
     "ann_pq_adc" -> (annPqAdc _),
     "ann_ivfpq" -> (annIvfpq _),
@@ -1218,6 +1230,17 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INTEGER) AS "rank"
         |FROM rk WHERE rnk <= 50 ORDER BY query_id, rnk""").stripMargin,
     "ann_bruteforce" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM scored
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // ann_ivf_full probes nprobe = nlist (exhaustive — every cell searched),
+    // so the exact brute-force oracle applies verbatim.
+    "ann_ivf_full" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    row_number() OVER (PARTITION BY q.vec_id

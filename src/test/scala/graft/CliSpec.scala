@@ -42,4 +42,30 @@ class CliSpec extends SparkSpec {
     Cli.run(g, List("jobs", "list"))               // newest-first top 25
     Cli.run(g, List("jobs", "list", "--all"))      // unlimited variant
   }
+
+  test("jobs attach: streams status to terminal, --latest picks newest (cli.py:422)") {
+    val g = Graft(spark)
+    val id = g.submitJob(Seq((1L, "x")).toDF("id", "t"), Some("cli-attach-1"))
+    val id2 = g.submitJob(Seq((2L, "y")).toDF("id", "t"), Some("cli-attach-2"))
+
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.run(g, List("jobs", "attach", id))
+    }
+    val lines = out.toString("UTF-8").linesIterator.toSeq
+    assert(lines.exists(l => l.startsWith(id) && l.contains("Succeeded")),
+      s"attach must print the terminal status; got: $lines")
+
+    // --latest resolves to the most recently submitted job
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      Cli.run(g, List("jobs", "attach", "--latest"))
+    }
+    val s2 = out2.toString("UTF-8")
+    assert(s2.contains(s"Attaching to latest job: $id2"), s2)
+    assert(s2.linesIterator.exists(l => l.startsWith(id2) && l.contains("Succeeded")), s2)
+
+    // no id and no --latest: a message, not an exception
+    Cli.run(g, List("jobs", "attach"))
+  }
 }

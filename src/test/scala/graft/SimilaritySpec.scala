@@ -42,6 +42,15 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.groupBy(_._1).values.map(_.size).max <= 5)
   }
 
+  test("ivfTopK at nprobe = nlist is EXACTLY brute force (the oracle operating point)") {
+    val queries = emb.where(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5, nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === bf, "exhaustive IVF must equal brute force including ranks")
+  }
+
   test("knnLabel: majority of k=3 identical-label neighbors wins") {
     val corpus = Seq(
       (10L, Array(1.0f, 0.0f), 7),
