@@ -35,16 +35,33 @@ object Streams {
   }
 
   /** Run a streaming frame to a uniquely-named memory sink under
-    * AvailableNow and return the materialized table. */
+    * AvailableNow and return the materialized table.
+    *
+    * Shuffle partitions are dropped to a small replay default for the
+    * query's lifetime (state partition count is fixed per checkpoint at
+    * query start, so this binds only the replay harness): every micro-batch
+    * commits one state-store checkpoint PER PARTITION per stateful
+    * operator, so a 10-batch staged replay at the session's 32 partitions
+    * pays ~320 tiny checkpoint commits of pure fixed overhead — at harness
+    * scale the state fits comfortably in far fewer partitions. A real
+    * deployment sizes spark.sql.shuffle.partitions for its cluster before
+    * starting the query; GRAFT_STREAM_SHUFFLE_PARTITIONS overrides the
+    * harness default. */
   private def runToMemory(df: DataFrame, prefix: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     val name = s"${prefix}_${counter.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(partsKey)
+    val replayParts = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+    val q = try {
+      spark.conf.set(partsKey, replayParts)
+      df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(partsKey, prior)
     q.awaitTermination()
     // state-store observability for scale rehearsals: the final batch's
     // progress carries per-operator state rows/bytes — the number that
@@ -486,11 +503,25 @@ object Streams {
     * aggregation over the emitted sessions. Equals batch q_sessionize. */
   def sessionizeSessionWindowsAvailableNow(
       spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
-      backfillChunks: Int = 8): DataFrame = {
-    val stageDir = stageCache.computeIfAbsent(s"$sfDir#chunked-$backfillChunks", _ =>
+      backfillChunks: Int = 0): DataFrame = {
+    // backfillChunks = 0 → auto: size chunks to a per-chunk open-state
+    // budget rather than a fixed count. The §9.4 measurement is the budget's
+    // provenance: a 1M-event single-batch backfill peaked at 954,650 open
+    // sessions (then a ~70s eviction storm); 8 time-ordered chunks of
+    // ~125k events peaked at 121,890. So: chunks = ceil(rows / 125k) —
+    // 10x data replays in the rehearsal's 8 chunks, while a backlog already
+    // within budget replays in ONE batch and skips 7 micro-batches of pure
+    // state-commit overhead.
+    val chunks =
+      if (backfillChunks > 0) backfillChunks
+      else {
+        val rows = spark.read.parquet(s"$sfDir/events.parquet").count()
+        math.max(1, math.ceil(rows / 125000.0).toInt)
+      }
+    val stageDir = stageCache.computeIfAbsent(s"$sfDir#chunked-$chunks", _ =>
       java.nio.file.Files.createTempDirectory("graft-stream-chunked").toString)
     val sessions = sessionWindows(
-      stagedEventsStreamChunked(spark, sfDir, stageDir, backfillChunks), gapMinutes)
+      stagedEventsStreamChunked(spark, sfDir, stageDir, chunks), gapMinutes)
     runToMemory(sessions, "graft_stream_sessions_sw", "append")
       .where(col("user_id") >= 0) // sentinel rows carry user_id -1
       .groupBy("user_id")
