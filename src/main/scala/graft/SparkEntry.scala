@@ -562,6 +562,19 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ at its exhaustive operating point: rerank = corpus size, so the
+    * approximate ADC phase prunes nothing and the exact-cosine re-rank —
+    * the same scoring and tie-breaking as brute force — ranks EVERY
+    * neighbor. Result equals ann_bruteforce by construction and the exact
+    * SQL oracle applies verbatim (the ann_ivf_full convention); the
+    * recall-trading rerank=50 point stays ScalaTest-covered on ann_pq. */
+  private def annPqFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, rerank = emb.count().toInt)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF x PQ composed (IVFADC). Rows-only like ann_ivf/ann_pq: cell
     * pruning + residual-code scoring are honestly recall-trading;
     * SimilaritySpec checks recall vs brute force, partition-layout
@@ -570,6 +583,19 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 50)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVFADC at its exhaustive operating point: nprobe = nlist (every cell
+    * probed) AND rerank = corpus size (no candidate pruning), so both
+    * approximations vanish and the exact-cosine re-rank equals brute force
+    * by construction — the exact SQL oracle applies verbatim. The
+    * recall-trading (nprobe=4, rerank=50) point stays ScalaTest-covered on
+    * ann_ivfpq. */
+  private def annIvfpqFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = emb.count().toInt)
       .orderBy("query_id", "rank")
   }
 
@@ -604,6 +630,24 @@ object SparkEntry {
     })
     Similarity.ivfpqQueryIndex(emb.filter(col("vec_id") < 10), "vec_id", "embedding", table,
         k = 5, nprobe = 4, rerank = 50)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The persistent-index probe at its exhaustive operating point
+    * (nprobe = nlist, rerank = corpus size): same index, zero pruning, so
+    * the result equals brute force by construction and the exact SQL
+    * oracle applies verbatim. Closes the cross-engine check over the
+    * WHOLE persistent path — build, cell partitioning, code round-trip,
+    * probe join, re-rank — leaving only cell-pruned recall to ScalaTest. */
+  private def annIvfpqQueryFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val table = ivfpqIndexFor.computeIfAbsent(dir, d => {
+      val name = "graft_ivfpq_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.ivfpqBuildIndex(emb, "vec_id", "embedding", name, nlist = 16, m = 8, ksub = 16)
+      name
+    })
+    Similarity.ivfpqQueryIndex(emb.filter(col("vec_id") < 10), "vec_id", "embedding", table,
+        k = 5, nprobe = 16, rerank = emb.count().toInt)
       .orderBy("query_id", "rank")
   }
 
@@ -840,9 +884,12 @@ object SparkEntry {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_full" -> (annIvfFull _),
     "ann_pq" -> (annPq _),
+    "ann_pq_full" -> (annPqFull _),
     "ann_pq_adc" -> (annPqAdc _),
     "ann_ivfpq" -> (annIvfpq _),
+    "ann_ivfpq_full" -> (annIvfpqFull _),
     "ann_ivfpq_query" -> (annIvfpqQuery _),
+    "ann_ivfpq_query_full" -> (annIvfpqQueryFull _),
     "knn_label" -> (knnLabel _),
     "knn_label_lsh" -> (knnLabelLsh _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -1241,6 +1288,40 @@ object SparkEntry {
     // ann_ivf_full probes nprobe = nlist (exhaustive — every cell searched),
     // so the exact brute-force oracle applies verbatim.
     "ann_ivf_full" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM scored
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // ann_pq_full reranks the whole corpus (rerank = N): the approximate
+    // phase prunes nothing, the exact re-rank IS brute force.
+    "ann_pq_full" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM scored
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // ann_ivfpq_full probes every cell AND reranks the whole corpus:
+    // both approximations vanish, the result is brute force.
+    "ann_ivfpq_full" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM scored
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // ann_ivfpq_query_full probes the PERSISTENT index exhaustively —
+    // build, partitioning, code round-trip, probe join and re-rank all
+    // checked against the exact oracle.
+    "ann_ivfpq_query_full" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    row_number() OVER (PARTITION BY q.vec_id

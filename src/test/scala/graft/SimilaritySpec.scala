@@ -51,6 +51,28 @@ class SimilaritySpec extends SparkSpec {
     assert(full === bf, "exhaustive IVF must equal brute force including ranks")
   }
 
+  test("pqTopK at rerank = N is EXACTLY brute force (the oracle operating point)") {
+    val queries = emb.where(col("vec_id") < 20)
+    val n = emb.count().toInt
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+        m = 8, ksub = 16, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === bf, "full-rerank PQ must equal brute force including ranks")
+  }
+
+  test("ivfpqTopK at nprobe = nlist, rerank = N is EXACTLY brute force") {
+    val queries = emb.where(col("vec_id") < 20)
+    val n = emb.count().toInt
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.ivfpqTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === bf, "exhaustive IVFADC must equal brute force including ranks")
+  }
+
   test("knnLabel: majority of k=3 identical-label neighbors wins") {
     val corpus = Seq(
       (10L, Array(1.0f, 0.0f), 7),
