@@ -1113,6 +1113,167 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"), col("cluster_size"))
   }
 
+  // ----- persistent incremental-dedup index (the daily-delta shape) -----
+
+  /** Build the PERSISTENT dedup fingerprint index for a corpus snapshot —
+    * the build-once side of incremental ingestion (a 100 TB corpus is not
+    * re-deduplicated for every crawl delta; the delta probes an index).
+    *
+    * Three tables under `tableName`:
+    *   - `<t>` (reps): ONE ROW PER DISTINCT CONTENT — (rep_id = min doc id
+    *     of that content, content_key, sorted shingle-fp array), partitioned
+    *     by `pb = pmod(hash(rep_id), numParts)` so the probe's verify fetch
+    *     prunes partitions dynamically (the IVFADC index convention).
+    *     Exact-dup canonicalization is IN the index: web crawls run 30-50%
+    *     exact duplication, and every exact copy would multiply probe work.
+    *   - `<t>_fps` : the shingle-fp INVERTED INDEX (fp, rep_id), partitioned
+    *     by `fb = pmod(hash(fp), numParts)`. Shared-shingle candidacy has
+    *     recall exactly 1 for any Jaccard threshold > 0 (a qualifying pair
+    *     shares a shingle), so the probe's output is EXACT — unlike banding,
+    *     whose recall is a tuned property. The index carries 8-byte
+    *     fingerprints, never shingle text.
+    *   - `<t>_meta`: (n, num_parts).
+    *
+    * Probe economics ([[dedupIndexProbe]]): the delta side broadcasts, so
+    * neither index table is ever shuffled — candidacy is one column-pruned
+    * scan of `<t>_fps` (partition-pruned via the delta's fp hash buckets)
+    * and verification fetches only candidate rep rows from `<t>` (partition-
+    * pruned via the candidates' rep_id hash buckets). Cost scales with the
+    * delta and its co-occurrence, not the corpus. */
+  def dedupIndexBuild(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      tableName: String,
+      n: Int = 3,
+      numParts: Int = 16): Unit = {
+    requireLongId(corpus, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    dropWarehouseTables(spark, Seq(tableName, s"${tableName}_fps", s"${tableName}_meta"))
+    val docs = corpus
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+    val groups = canonicalGroups(docs, "id",
+      TextAnalysis.fingerprint(col("__text")), col("__text"))
+    val reps = groups.select(
+      col("rep_id"),
+      col("__ck").as("content_key"),
+      gf.shingleFpsSorted(col("__payload"), n).as("shl"))
+    reps
+      .withColumn("pb", pmod(hash(col("rep_id")), lit(numParts)))
+      .write.mode("overwrite").partitionBy("pb").format("parquet")
+      .saveAsTable(tableName)
+    reps
+      .select(col("rep_id"), explode(col("shl")).as("fp"))
+      .withColumn("fb", pmod(hash(col("fp")), lit(numParts)))
+      .write.mode("overwrite").partitionBy("fb").format("parquet")
+      .saveAsTable(s"${tableName}_fps")
+    Seq((n, numParts)).toDF("n", "num_parts")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+  }
+
+  /** Probe a persistent dedup index with a delta batch: per delta doc,
+    * (status, match_id, jaccard) against the INDEXED corpus —
+    *   - `exact`: an indexed doc has identical normalized content;
+    *     match_id = min such corpus id (the rep_id by construction),
+    *     jaccard = 1.0 by definition.
+    *   - `near` : else some indexed doc has exact shingle Jaccard >=
+    *     threshold; match_id = min such corpus id, jaccard = that pair's
+    *     score (rounded for cross-engine stability).
+    *   - `new`  : else — the doc is admissible.
+    *
+    * EXACT output (not approximate): candidacy via the shared-shingle
+    * inverted index has recall 1, and every candidate is verified with the
+    * one-merge-pass sorted-fp Jaccard kernel. The delta is canonicalized to
+    * distinct contents before probing (verify work per distinct content,
+    * not per doc — the §9.3 symmetry rule) and every join against the index
+    * broadcasts the delta side: the corpus-sized tables are scanned
+    * partition-pruned, never shuffled. */
+  def dedupIndexProbe(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      tableName: String,
+      threshold: Double = 0.5): DataFrame = {
+    requireLongId(delta, idCol)
+    val spark = delta.sparkSession
+    val meta = spark.table(s"${tableName}_meta").head()
+    val (n, numParts) = (meta.getInt(0), meta.getInt(1))
+    val reps = spark.table(tableName)
+    val fpsIdx = spark.table(s"${tableName}_fps")
+
+    val docs = delta
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+    val groups = canonicalGroups(docs, "id",
+      TextAnalysis.fingerprint(col("__text")), col("__text"))
+    val dSh = groups.select(
+      col("rep_id").as("d_rep"),
+      col("__ck").as("d_key"),
+      gf.shingleFpsSorted(col("__payload"), n).as("d_shl"))
+      .localCheckpoint(eager = true) // reused by exact join, candidacy, verify
+
+    // exact: content-key equi-join, delta keys broadcast; the scan reads
+    // (rep_id, content_key) only, and rep_id IS min(corpus id | content)
+    val exactM = reps
+      .join(broadcast(dSh.select(col("d_rep"), col("d_key").as("content_key"))),
+        Seq("content_key"))
+      .groupBy("d_rep").agg(min(col("rep_id")).as("exact_match"))
+
+    // candidacy: delta fps broadcast against the inverted index — the fb
+    // column rides along so the scan partition-prunes on the delta's fp
+    // hash buckets; recall 1 (a J>=t>0 pair shares a shingle fp)
+    val dFps = dSh
+      .select(col("d_rep"), explode(col("d_shl")).as("fp"))
+      .withColumn("fb", pmod(hash(col("fp")), lit(numParts)))
+    val cand = fpsIdx
+      .join(broadcast(dFps), Seq("fb", "fp"))
+      .select("d_rep", "rep_id")
+      .dropDuplicates("d_rep", "rep_id")
+
+    // verify: fetch candidate rep rows (pb pruning), one-merge-pass Jaccard
+    val nearM = reps
+      .join(broadcast(cand.withColumn("pb", pmod(hash(col("rep_id")), lit(numParts)))),
+        Seq("pb", "rep_id"))
+      .join(broadcast(dSh), Seq("d_rep"))
+      .withColumn("__jraw", gf.jaccardSortedFps(col("d_shl"), col("shl")))
+      .where(col("__jraw") >= threshold)
+      .groupBy("d_rep")
+      // min over (rep_id, score) structs = the min-id match AND its score
+      .agg(min(struct(col("rep_id"), col("__jraw"))).as("m"))
+      .select(col("d_rep"), col("m.rep_id").as("near_match"),
+        round(col("m.__jraw"), 4).as("near_j"))
+
+    groups.select(col("rep_id").as("d_rep"), col("members"))
+      .join(broadcast(exactM), Seq("d_rep"), "left")
+      .join(broadcast(nearM), Seq("d_rep"), "left")
+      .select(
+        explode(col("members")).as(idCol),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"),
+        when(col("exact_match").isNotNull, lit(1.0))
+          .otherwise(col("near_j")).as("jaccard"))
+  }
+
+  /** Drop a saveAsTable-backed index table AND its orphan warehouse dir
+    * (the in-memory catalog forgets tables across JVMs but their files
+    * persist; saveAsTable refuses the orphan) — the Similarity index
+    * convention. */
+  private def dropWarehouseTables(
+      spark: org.apache.spark.sql.SparkSession, names: Seq[String]): Unit =
+    names.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(warehouse, t))
+    }
+
   /** Driver-side spherical k-means: assign by max cosine, update by
     * (unnormalized) mean — empty clusters retain their centroid. */
   private def sphericalKmeans(

@@ -407,6 +407,23 @@ object Streams {
       fps, offsets, gids, groups)
   }
 
+  /** Streaming intake quality filter — the admission-control stage of a
+    * continuous ingestion pipeline (decide keep/drop + first-failing-rule
+    * reason for every arriving document BEFORE it lands in the corpus).
+    * Entirely STATELESS: the decision is a per-row codegen map
+    * ([[graft.ops.TextAnalysis.filterCorpus]] — the same kernels as the
+    * batch corpus_filter, so streaming and batch admission can never
+    * disagree), no watermark, no state store, no shuffle; the monitor runs
+    * forever in bounded memory at ingest line rate. */
+  def cleanFilterAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = streamTable(spark, sfDir, "documents.parquet")
+      .select(col("doc_id"), col("text"),
+        graft.functions.gf.regroupLines(col("text"), 2).as("lined"))
+    val decided = graft.ops.TextAnalysis.filterCorpus(stream, "text", "lined")
+      .select(col("doc_id"), col("keep"), col("reason"))
+    runToMemory(decided, "graft_stream_clean", "append")
+  }
+
   /** Streaming contamination monitor: a document ingest stream checked
     * against a STATIC eval battery — the intake-pipeline alerting shape
     * (flag eval-contaminated documents as they arrive, before they land

@@ -376,4 +376,77 @@ class DedupSpec extends SparkSpec {
       .orderBy("vec_id").collect()
     assert(a.sameElements(b))
   }
+
+  // ----- persistent incremental-dedup index -----
+
+  private def fpSet(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Set[Long])] =
+    df.select(col("doc_id").cast("long"),
+        graft.ops.TextAnalysis.fingerprint(col("text")),
+        gf.shingleFpsSorted(col("text"), 3))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[Long](2).toSet))
+      .toMap
+
+  test("dedupIndexProbe: verdicts equal the brute-force delta-vs-corpus truth") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val delta = docs.where(col("doc_id") % 10 === 0)
+    Dedup.dedupIndexBuild(corpus, "text", "doc_id", "graft_dedup_idx_spec")
+    val out = Dedup.dedupIndexProbe(delta, "text", "doc_id", "graft_dedup_idx_spec")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .toMap
+    val c = fpSet(corpus)
+    val d = fpSet(delta)
+    assert(out.keySet === d.keySet)
+    d.foreach { case (id, (key, shl)) =>
+      val exactIds = c.collect { case (cid, (ck, _)) if ck == key => cid }
+      val jac = c.view.mapValues { case (_, cs) =>
+        val shared = (shl & cs).size
+        if (shl.isEmpty || cs.isEmpty) 0.0
+        else shared.toDouble / (shl.size + cs.size - shared)
+      }.filter(_._2 >= 0.5)
+      val (st, m, j) = out(id)
+      if (exactIds.nonEmpty) {
+        assert(st === "exact" && m === exactIds.min && j === 1.0, s"doc $id")
+      } else if (jac.nonEmpty) {
+        val mm = jac.keys.min
+        assert(st === "near" && m === mm, s"doc $id")
+        assert(math.abs(j - jac(mm)) < 5e-5, s"doc $id jaccard $j vs ${jac(mm)}")
+      } else assert(st === "new" && m === -1L, s"doc $id")
+    }
+  }
+
+  test("dedupIndexProbe: deterministic across delta partition layouts") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val delta = docs.where(col("doc_id") % 10 === 0)
+    Dedup.dedupIndexBuild(corpus, "text", "doc_id", "graft_dedup_idx_det")
+    val a = Dedup.dedupIndexProbe(delta, "text", "doc_id", "graft_dedup_idx_det")
+      .orderBy("doc_id").collect()
+    val b = Dedup.dedupIndexProbe(delta.repartition(7), "text", "doc_id", "graft_dedup_idx_det")
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("dedupIndexProbe: exact duplicate of an indexed doc, dup-of-delta stays new") {
+    val corpus = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "an unrelated corpus document about database engines")).toDF("doc_id", "text")
+    // 10: exact dup (case/whitespace variant) of 2; 20: near dup of 2;
+    // 30: brand new; 40: too short for any 3-gram shingle, content unseen
+    val delta = Seq(
+      (10L, "The  Quick Brown Fox jumps over the lazy dog"),
+      (20L, "the quick brown fox jumps over the lazy dog daily"),
+      (30L, "completely novel text that matches nothing in the index"),
+      (40L, "tiny doc")).toDF("doc_id", "text")
+    Dedup.dedupIndexBuild(corpus, "text", "doc_id", "graft_dedup_idx_tiny")
+    val out = Dedup.dedupIndexProbe(delta, "text", "doc_id", "graft_dedup_idx_tiny")
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(10L) === ("exact", 2L))
+    assert(out(20L)._1 === "near" && out(20L)._2 === 2L)
+    assert(out(30L) === ("new", -1L))
+    assert(out(40L) === ("new", -1L))
+  }
 }

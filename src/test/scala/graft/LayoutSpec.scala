@@ -85,6 +85,23 @@ class LayoutSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("dedup index probe: index tables are scanned, never shuffled") {
+    graft.ops.Dedup.dedupIndexBuild(docs.where(col("doc_id") % 10 =!= 0),
+      "text", "doc_id", "graft_dedup_idx_plan")
+    val probe = graft.ops.Dedup.dedupIndexProbe(docs.where(col("doc_id") % 10 === 0),
+      "text", "doc_id", "graft_dedup_idx_plan")
+    // the delta side broadcasts into every join against the corpus-sized
+    // index tables (exact-key join, fp candidacy, rep fetch) — at 100 TB
+    // the index must never enter an Exchange. Every hashpartitioning key
+    // in the plan belongs to the (small) delta/candidate side.
+    val plan = probe.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected >=3 broadcast joins against the index, got $bhj:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index side entered a sort-merge join (index-sized shuffle):\n${plan.take(3000)}")
+    assert(probe.count() > 0)
+  }
+
   test("dedup_substring plan: shuffles carry fingerprints and integers, never n-gram text") {
     val df = graft.ops.Dedup.duplicatedSpans(docs, "text", "doc_id", k = 5, minOcc = 2)
     val plan = df.queryExecution.executedPlan.toString

@@ -179,4 +179,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed.sameElements(batch))
   }
+
+  test("cleanFilterAvailableNow: stateless intake filter equals batch corpus_filter") {
+    val streamed = Streams.cleanFilterAvailableNow(spark, sfDir)
+      .orderBy("doc_id").collect()
+    val docs = graft.io.Tables.documents(spark, sfDir)
+    val batch = graft.ops.TextAnalysis.filterCorpus(
+        docs.select(col("doc_id"), col("text"),
+          graft.functions.gf.regroupLines(col("text"), 2).as("lined")),
+        "text", "lined")
+      .select(col("doc_id"), col("keep"), col("reason"))
+      .orderBy("doc_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+    // both verdicts occur at sf0.001 — the filter is exercised, not trivial
+    assert(streamed.exists(_.getBoolean(1)) && streamed.exists(!_.getBoolean(1)))
+  }
 }

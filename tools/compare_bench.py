@@ -7,7 +7,14 @@ import sys
 
 def load(path):
     with open(path) as f:
-        return json.loads(f.read().strip())
+        d = json.loads(f.read().strip())
+    if "queries" not in d and "tail" in d:
+        # driver BENCH_r{N}.json wraps the bench line in a "tail" field
+        for line in d["tail"].splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"queries"' in line:
+                return json.loads(line)
+    return d
 
 def main():
     a_path, b_path = sys.argv[1], sys.argv[2]
