@@ -219,6 +219,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** HTML/markup extraction — the C4-pipeline first step, exercised by
+    * the multimodal convention: each document is wrapped in a
+    * deterministic, structurally-real HTML page (title carrying the doc
+    * id, script/style blocks with angle brackets inside, entity-encoded
+    * punctuation), then the REAL extractor strips and decodes it. The
+    * oracle rebuilds the same page and applies the same RE2-safe
+    * regexes, checking the whole strip/decode/collapse chain verbatim on
+    * 500 distinct bodies. */
+  private def textExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2 && 3 > 0;</script>" +
+        "<style>.main { color: #333; }</style></head><body><div class=\"main\"><p>"),
+      col("text"),
+      lit("</p><br/><a href=\"https://example.com/?a=1&amp;b=2\">link &lt;here&gt;</a>" +
+        " &nbsp;&quot;q&quot; &amp; &#39;s&#39;</div></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), html.as("__html"))
+      .select(col("doc_id"),
+        TextAnalysis.markupTitle(col("__html")).as("title"),
+        TextAnalysis.stripMarkup(col("__html")).as("clean_text"))
+      .withColumn("n_chars", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-trained char-bigram LM score — the CCNet-style perplexity
     * quality signal (train pass: bounded 16k-row agg; score pass: narrow
     * codegen map over the plan-embedded table). */
@@ -295,6 +320,12 @@ object SparkEntry {
   private def corpusNgrams(s: SparkSession, dir: String): DataFrame =
     Corpus.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 50)
       .orderBy(col("cnt").desc, col("ngram").asc)
+
+  /** Top-50 PMI collocations with support >= 3 — the phrase-mining cut
+    * (rounded-PMI + bigram tie-break is a cross-engine total order). */
+  private def corpusCooccurrence(s: SparkSession, dir: String): DataFrame =
+    Corpus.cooccurrencePmi(t(s, dir, "documents"), "text", k = 50, minCount = 3L)
+      .orderBy(col("pmi").desc, col("bigram").asc)
 
   /** Exact per-language quantiles of document length (linear
     * interpolation; the approx_percentile twin is the sketch scale path,
@@ -864,6 +895,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "text_extract" -> (textExtract _),
     "text_perplexity" -> (textPerplexity _),
     "dedup_lines" -> (dedupLines _),
     "corpus_stats" -> (corpusStats _),
@@ -873,6 +905,7 @@ object SparkEntry {
     "corpus_chunk" -> (corpusChunk _),
     "corpus_mix" -> (corpusMix _),
     "corpus_ngrams" -> (corpusNgrams _),
+    "corpus_cooccurrence" -> (corpusCooccurrence _),
     "corpus_quantiles" -> (corpusQuantiles _),
     "corpus_dupe_profile" -> (corpusDupeProfile _),
     "corpus_filter" -> (corpusFilter _),
@@ -1184,6 +1217,37 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}', '<PHONE>', 'g')) AS scrubbed_key
         |FROM withpii ORDER BY doc_id""".stripMargin,
+    // markup extraction: the oracle rebuilds the identical synthetic page
+    // and applies the identical RE2-safe regex chain — script/style blocks
+    // first (contents removed), then tags, then entities (ampersand LAST),
+    // then whitespace collapse. Same patterns, same order, any engine.
+    "text_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><script type="text/javascript">var x = 1 < 2 && 3 > 0;</script><style>.main { color: #333; }</style></head><body><div class="main"><p>' ||
+        |    text ||
+        |    '</p><br/><a href="https://example.com/?a=1&amp;b=2">link &lt;here&gt;</a> &nbsp;&quot;q&quot; &amp; &#39;s&#39;</div></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(regexp_replace(html,
+        |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |          '&lt;', '<', 'g'),
+        |          '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |          '&#39;', '''', 'g'),
+        |          '&nbsp;', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM h)
+        |SELECT doc_id, regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+        |  clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
     // bigram counts recomputed globally in SQL; per-doc score = left-fold
     // of count*ln(smoothed P) over ASCENDING codes (list ORDER BY code +
     // list_reduce), mirroring the kernel's accumulation order exactly;
@@ -1547,6 +1611,30 @@ object SparkEntry {
         |  FROM w0, unnest(generate_series(1, greatest(len(w)-2, 0))) AS s(i))
         |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+    // PMI = ln(c_ab*T*T / (B*c_a*c_b)) with the same left-to-right double
+    // multiplication order on both engines; round(6) absorbs the ln ulp
+    "corpus_cooccurrence" ->
+      """WITH w0 AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (
+        |  SELECT u AS w, count(*) AS c FROM w0, unnest(w) AS t(u) GROUP BY u),
+        |bgr AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS bigram, w[i] AS w1, w[i+1] AS w2
+        |  FROM w0, unnest(generate_series(1, greatest(len(w)-1, 0))) AS s(i)),
+        |bc AS (
+        |  SELECT bigram, any_value(w1) AS w1, any_value(w2) AS w2, count(*) AS c_ab
+        |  FROM bgr GROUP BY bigram),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS t,
+        |         (SELECT CAST(sum(c_ab) AS DOUBLE) FROM bc) AS b)
+        |SELECT bc.bigram, CAST(bc.c_ab AS BIGINT) AS cnt,
+        |  round(ln((CAST(bc.c_ab AS DOUBLE) * tot.t * tot.t) / (tot.b * ua.c * ub.c)), 6) AS pmi
+        |FROM bc CROSS JOIN tot
+        |JOIN uni ua ON ua.w = bc.w1
+        |JOIN uni ub ON ub.w = bc.w2
+        |WHERE bc.c_ab >= 3
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
     // quantile_cont and Spark's exact percentile share the (n-1)*p
     // linear-interpolation definition; round(4) absorbs the last ulp
     "corpus_quantiles" ->

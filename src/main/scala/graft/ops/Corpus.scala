@@ -262,6 +262,49 @@ object Corpus {
       .limit(k)
   }
 
+  /** Top-k PMI collocations — pointwise mutual information over adjacent
+    * word pairs (Church & Hanks 1990), the phrase-mining primitive behind
+    * tokenizer-vocab and boilerplate-phrase analysis:
+    * pmi = ln( p(ab) / (p(a)p(b)) ) with p(ab) = c_ab/B, p(a) = c_a/T
+    * (B = bigram total, T = token total), support-floored at `minCount`.
+    *
+    * Scale: both count passes aggregate map-side-partial on their key; the
+    * support filter runs BEFORE the vocabulary joins, so only surviving
+    * bigrams (a tiny set at any corpus size — support grows with the
+    * corpus) shuffle against the unigram counts; the two totals ride in as
+    * a single broadcast row; top-k is TakeOrderedAndProject on the
+    * (rounded pmi, bigram) total order — no global sort. */
+  def cooccurrencePmi(
+      docs: DataFrame,
+      textCol: String,
+      k: Int,
+      minCount: Long = 5L): DataFrame = {
+    require(k > 0 && minCount > 0, "need k > 0 and minCount > 0")
+    val gfc = graft.functions.gf
+    val uni = docs.where(col(textCol).isNotNull)
+      .select(explode(gfc.ngramsAll(col(textCol), 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true) // reused by both vocab joins + the total
+    val bg = docs.where(col(textCol).isNotNull)
+      .select(explode(gfc.ngramsAll(col(textCol), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(eager = true) // reused by the support filter + the total
+    val totals = uni.agg(sum(col("c")).cast("double").as("t_uni"))
+      .crossJoin(bg.agg(sum(col("c_ab")).cast("double").as("t_bg")))
+    bg.where(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log(col("c_ab").cast("double") * col("t_uni") * col("t_uni") /
+          (col("t_bg") * col("c_a") * col("c_b"))), 6))
+      .select(col("bigram"), col("c_ab").cast("long").as("cnt"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Exact per-stratum quantiles of a numeric column (linear
     * interpolation — the classic length/token-count distribution profile
     * run before choosing context windows and packing budgets). Exact

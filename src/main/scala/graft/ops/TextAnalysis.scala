@@ -172,6 +172,28 @@ object TextAnalysis {
     * on. Ratio is null for empty text. One codegen kernel pass; values
     * are JVM-zlib-deterministic (executors agree), not SQL-reproducible —
     * the one signal column here checked by spec rather than oracle. */
+  /** Strip HTML/XML markup from a crawled page — the first step of every
+    * C4/CCNet-style web pipeline (boilerplate extraction): script and
+    * style blocks removed WITH their contents, remaining tags removed,
+    * common entities decoded (ampersand LAST, so '&amp;lt;' cannot
+    * double-decode), whitespace collapsed. A pure chain of codegen'd
+    * regexp_replace — RE2-compatible patterns (no lookarounds or
+    * backrefs), so the identical regexes run in any engine and the
+    * transform is SQL-oracle-able. Narrow map: no shuffle, no UDF. */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (p, r)) => regexp_replace(c, p, r) }
+    trim(regexp_replace(regexp_replace(ent, "&amp;", "&"), "\\s+", " "))
+  }
+
+  /** The page's <title> text (first match, empty when absent). */
+  def markupTitle(html: Column): Column =
+    regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
+
   def compressionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     import graft.functions.gf
     docs

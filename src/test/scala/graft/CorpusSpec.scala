@@ -249,4 +249,27 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignShards must not shuffle:\n$plan")
     intercept[IllegalArgumentException](Corpus.assignShards(docs, "doc_id", 0))
   }
+
+  test("cooccurrencePmi: hand-computed PMI on a tiny corpus, layout-independent") {
+    // "new york" always adjacent (3x); "the cat" 2x but 'the' is everywhere
+    val df = Seq(
+      "new york is big the cat sat",
+      "i like new york the cat slept",
+      "new york the end the start").toDF("text")
+    val out = Corpus.cooccurrencePmi(df, "text", k = 10, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    val t = 20.0 // total tokens
+    val b = 17.0 // total bigrams (3 docs: 6+6+5)
+    val ny = math.rint(math.log(3.0 * t * t / (b * 3.0 * 3.0)) * 1e6) / 1e6
+    val tc = math.rint(math.log(2.0 * t * t / (b * 4.0 * 2.0)) * 1e6) / 1e6
+    assert(out.exists { case (bg, c, p) => bg == "new york" && c == 3L && math.abs(p - ny) < 1e-9 })
+    assert(out.exists { case (bg, c, p) => bg == "the cat" && c == 2L && math.abs(p - tc) < 1e-9 })
+    // always-together rare pair scores above the common-word pair
+    assert(ny > tc)
+    // sorted by (pmi desc, bigram asc)
+    assert(out === out.sortBy { case (bg, _, p) => (-p, bg) })
+    val again = Corpus.cooccurrencePmi(df.repartition(5), "text", k = 10, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    assert(again === out)
+  }
 }

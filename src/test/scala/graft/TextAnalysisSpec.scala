@@ -99,4 +99,29 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(out.sameElements(again))
   }
+
+  test("stripMarkup: tags stripped, script/style contents removed, entities decoded once") {
+    val cases = Seq(
+      // script body with angle brackets must vanish entirely
+      ("<p>a</p><script>if (1 < 2) { x(); }</script><p>b</p>", "a b"),
+      ("<style>.x { a: 1; }</style>ok", "ok"),
+      // entity decode happens AFTER tag strip, so encoded tags survive as text
+      ("&lt;b&gt;not bold&lt;/b&gt;", "<b>not bold</b>"),
+      // ampersand decodes LAST: &amp;lt; is the literal text '&lt;', not '<'
+      ("x &amp;lt; y", "x &lt; y"),
+      ("a &nbsp; b &quot;c&quot; &#39;d&#39;", "a b \"c\" 'd'"),
+      ("<div class=\"z\">  spaced   out  </div>", "spaced out"))
+    val df = cases.map(_._1).toDF("h")
+    val out = df.select(TextAnalysis.stripMarkup(col("h"))).as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) => assert(got === want) }
+  }
+
+  test("markupTitle: first title extracted, empty when absent") {
+    val df = Seq(
+      "<html><title>A Title</title><title>B</title></html>",
+      "<html><body>no title</body></html>").toDF("h")
+    val out = df.select(TextAnalysis.markupTitle(col("h"))).as[String].collect()
+    assert(out(0) === "A Title")
+    assert(out(1) === "")
+  }
 }
