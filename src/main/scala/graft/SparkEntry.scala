@@ -321,6 +321,17 @@ object SparkEntry {
     Corpus.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 50)
       .orderBy(col("cnt").desc, col("ngram").asc)
 
+  /** Quality-proportional weighted sampling: keep with p = quality%
+    * (all-integer acceptance — bucket in [0,10000) vs quality*100), the
+    * deterministic classifier-weighted data-selection recipe. */
+  private def corpusWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          (TextAnalysis.qualityScore(col("text")).cast("long") * 100).as("w")),
+        "doc_id", "w", den = 10000)
+      .select(col("doc_id"), col("lang"), (col("w") / 100).cast("long").as("quality"))
+      .orderBy("doc_id")
+
   /** Top-50 PMI collocations with support >= 3 — the phrase-mining cut
     * (rounded-PMI + bigram tie-break is a cross-engine total order). */
   private def corpusCooccurrence(s: SparkSession, dir: String): DataFrame =
@@ -687,6 +698,32 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Incrementally-grown persistent index at the exhaustive operating
+    * point: the index is built on HALF the corpus (even vec_ids), the
+    * other half APPENDED with the index's frozen quantizers
+    * (ivfpqAppendIndex — the growing-embedding-store shape), then probed
+    * with zero pruning. Exhaustive probing makes the quantizer question
+    * moot (every cell read, every candidate exact-re-ranked), so the
+    * result equals brute force over the FULL corpus and the exact SQL
+    * oracle checks the append path end-to-end: encode-with-loaded-
+    * codebooks, partition routing of appended files, probe join over
+    * mixed build+append partitions, re-rank. */
+  private val ivfpqAppendIndexFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annIvfpqAppendFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val table = ivfpqAppendIndexFor.computeIfAbsent(dir, d => {
+      val name = "graft_ivfpq_app_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.ivfpqBuildIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", name, nlist = 16, m = 8, ksub = 16)
+      Similarity.ivfpqAppendIndex(emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", name)
+      name
+    })
+    Similarity.ivfpqQueryIndex(emb.filter(col("vec_id") < 10), "vec_id", "embedding", table,
+        k = 5, nprobe = 16, rerank = emb.count().toInt)
+      .orderBy("query_id", "rank")
+  }
+
   /** The persistent-index probe at its exhaustive operating point
     * (nprobe = nlist, rerank = corpus size): same index, zero pruning, so
     * the result equals brute force by construction and the exact SQL
@@ -906,6 +943,7 @@ object SparkEntry {
     "corpus_mix" -> (corpusMix _),
     "corpus_ngrams" -> (corpusNgrams _),
     "corpus_cooccurrence" -> (corpusCooccurrence _),
+    "corpus_weighted_sample" -> (corpusWeightedSample _),
     "corpus_quantiles" -> (corpusQuantiles _),
     "corpus_dupe_profile" -> (corpusDupeProfile _),
     "corpus_filter" -> (corpusFilter _),
@@ -954,6 +992,7 @@ object SparkEntry {
     "ann_ivfpq_full" -> (annIvfpqFull _),
     "ann_ivfpq_query" -> (annIvfpqQuery _),
     "ann_ivfpq_query_full" -> (annIvfpqQueryFull _),
+    "ann_ivfpq_append_full" -> (annIvfpqAppendFull _),
     "knn_label" -> (knnLabel _),
     "knn_label_lsh" -> (knnLabelLsh _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -1494,6 +1533,18 @@ object SparkEntry {
         |  WHERE q.vec_id < 10)
         |SELECT query_id, neighbor_id, rank FROM scored
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // ann_ivfpq_append_full: index built on half the corpus, the other
+    // half APPENDED with frozen quantizers, probed exhaustively — equals
+    // brute force over the full corpus, same exact oracle.
+    "ann_ivfpq_append_full" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM scored
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // ann_lsh runs a full-recall operating point on this corpus
     // (deterministic hyperplanes), so the exact brute-force oracle applies.
     "ann_lsh" ->
@@ -1611,6 +1662,21 @@ object SparkEntry {
         |  FROM w0, unnest(generate_series(1, greatest(len(w)-2, 0))) AS s(i))
         |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+    // weighted sampling: md5 bucket in [0,10000) accepted below
+    // quality*100 — all-integer, so the same rows survive on any engine
+    "corpus_weighted_sample" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, CAST(greatest(0, least(100,
+        |    least(len(regexp_split_to_array(text, '\s+')), 50)
+        |    + floor(len(list_distinct(regexp_split_to_array(text, '\s+'))) * 40.0
+        |            / greatest(len(regexp_split_to_array(text, '\s+')), 1))
+        |    - least(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')), 10)
+        |    + 10)) AS BIGINT) AS quality
+        |  FROM documents)
+        |SELECT doc_id, lang, quality FROM q
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000
+        |  < quality * 100
+        |ORDER BY doc_id""".stripMargin,
     // PMI = ln(c_ab*T*T / (B*c_a*c_b)) with the same left-to-right double
     // multiplication order on both engines; round(6) absorbs the ln ulp
     "corpus_cooccurrence" ->

@@ -40,6 +40,26 @@ object Corpus {
   def sampleBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
 
+  /** Deterministic WEIGHTED (importance) sampling — the
+    * quality-proportional data-selection recipe (keep a document with
+    * probability weight/den, e.g. proportional to a classifier score):
+    * keep iff md5-bucket(id) in [0, den) < weight. All-integer acceptance
+    * (the weight column and `den` are integers), so the decision is exact
+    * and engine/layout/retry-reproducible — the same row survives every
+    * re-materialization, which rand()-based importance sampling cannot
+    * guarantee. Narrow map: no shuffle, no sampling pass, no count. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, den: Int): DataFrame = {
+    require(den > 0, "den must be positive")
+    df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => ()
+      case other => throw new IllegalArgumentException(
+        s"weight column '$weightCol' must be integral (exact acceptance), got $other")
+    }
+    val b = conv(substring(sampleHash(col(idCol)), 1, 4), 16, 10).cast("long") % den
+    df.where(b < col(weightCol))
+  }
+
   /** Deterministic train/val/test split — the engine-reproducible
     * alternative to randomSplit: assignment is a pure function of the id
     * (the same md5 bucket as [[deterministicSample]]), so the same row

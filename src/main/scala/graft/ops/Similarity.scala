@@ -454,6 +454,40 @@ object Similarity {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_pq")
   }
 
+  /** APPEND new vectors to a persistent IVFADC index built by
+    * [[ivfpqBuildIndex]] — the growing-embedding-store shape (a corpus
+    * gains vectors daily; re-training and re-encoding 100 TB per delta is
+    * not an option). The delta is encoded with the index's EXISTING
+    * quantizers (centroid + codebook tables are loaded, never retrained),
+    * so the result is definitionally identical to having encoded those
+    * rows at build time with the same quantizers; new rows land in their
+    * cells as appended partition files, and every subsequent
+    * [[ivfpqQueryIndex]] probe sees them through the same
+    * dynamic-partition-pruned scan. Quantizer drift under a shifting
+    * vector distribution is a re-build decision (recall degrades
+    * gracefully — ADC distances stay correct against the trained
+    * codebooks), mirroring the FAISS add-vs-train contract. */
+  def ivfpqAppendIndex(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tableName: String): Unit = {
+    Dedup.requireLongId(newVecs, idCol)
+    val spark = newVecs.sparkSession
+    val centroids = spark.table(s"${tableName}_centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val meta = spark.table(s"${tableName}_pq").head()
+    val codebooks = meta.getSeq[Double](2).toArray
+    val encoded = encodeIvfpq(newVecs, idCol, vecCol, centroids, codebooks,
+      meta.getInt(0), meta.getInt(1))
+    // insertInto is position-based and routes rows through the table's
+    // existing cell partitioning — align to the catalog schema order
+    encoded.select(spark.table(tableName).schema.fieldNames.map(col).toSeq: _*)
+      .write.mode("append").insertInto(tableName)
+  }
+
   /** Query a persistent IVFADC index built by [[ivfpqBuildIndex]]. */
   def ivfpqQueryIndex(
       queries: DataFrame,

@@ -250,6 +250,27 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException](Corpus.assignShards(docs, "doc_id", 0))
   }
 
+  test("weightedSample: acceptance tracks the weight, exact and layout-independent") {
+    val df = spark.range(0, 20000).toDF("id")
+      .withColumn("w", (col("id") % 3 * 5000).cast("long")) // weights 0, 5000, 10000
+    val kept = Corpus.weightedSample(df, "id", "w", den = 10000)
+    val byW = kept.groupBy("w").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!byW.contains(0L)) // weight 0 keeps nothing
+    assert(byW(10000L) > 6600) // weight >= den keeps everything (6667 rows)
+    val half = byW(5000L).toDouble / 6667.0
+    assert(half > 0.4 && half < 0.6, s"p=0.5 weight kept $half")
+    // exact reproducibility across layouts
+    val again = Corpus.weightedSample(df.repartition(7), "id", "w", den = 10000)
+      .orderBy("id").collect()
+    assert(kept.orderBy("id").collect().sameElements(again))
+    // narrow map; integral weights enforced
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"weightedSample must not shuffle:\n$plan")
+    intercept[IllegalArgumentException](
+      Corpus.weightedSample(df.withColumn("w", col("w").cast("double")), "id", "w", 10000))
+  }
+
   test("cooccurrencePmi: hand-computed PMI on a tiny corpus, layout-independent") {
     // "new york" always adjacent (3x); "the cat" 2x but 'the' is everywhere
     val df = Seq(

@@ -205,4 +205,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(viaIndex === direct)
   }
+
+  test("ivfpqAppendIndex: grown index covers both halves; exhaustive probe = brute force") {
+    val queries = emb.where(col("vec_id") < 10)
+    val n = emb.count().toInt
+    Similarity.ivfpqBuildIndex(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", "graft_ivfpq_grow", nlist = 16, m = 8, ksub = 16)
+    Similarity.ivfpqAppendIndex(emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", "graft_ivfpq_grow")
+    // every corpus row present exactly once across build + append files
+    val idx = spark.table("graft_ivfpq_grow")
+    assert(idx.count() === n.toLong)
+    assert(idx.select("neighbor_id").distinct().count() === n.toLong)
+    // appended rows were encoded with the LOADED quantizers: at the
+    // exhaustive operating point the probe equals brute force rank-for-rank
+    val viaIndex = Similarity.ivfpqQueryIndex(queries, "vec_id", "embedding",
+        "graft_ivfpq_grow", k = 5, nprobe = 16, rerank = n)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank").collect()
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank").collect()
+    assert(viaIndex.sameElements(bf))
+  }
 }
