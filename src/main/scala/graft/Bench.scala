@@ -149,7 +149,15 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()
-    // the very last stdout line, after Spark's shutdown chatter
+    // full per-query line first, after Spark's shutdown chatter
     println(line)
+    // ...then a short summary line as the VERY last stdout: the 88-query
+    // line (~3.6 KB) outgrew the caller's captured stdout tail in round 7
+    // (BENCH_r07 parsed: null — the head of the line fell off the window).
+    // Whatever tail window the caller keeps, this line always fits whole,
+    // so there is always one complete parseable JSON object; per-query
+    // detail lives in the file named by "queries_file".
+    println(
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","errors":$errors,"n_queries":${results.size},"sf":"$sfDir","queries_file":${jstr(outPath)}}""")
   }
 }

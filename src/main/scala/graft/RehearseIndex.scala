@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10x scale rehearsal for the persistent-index family (SURVEY §9.5):
+  * build the incremental-dedup index and the IVFADC index on the 10x
+  * corpus, probe/append/query with a 1x delta, and report steady-state
+  * timings plus the on-disk index sizes and the dedup probe's measured
+  * broadcast footprint (the [[graft.ops.Dedup.dedupIndexProbe]] size-guard
+  * estimate) — so the broadcast→shuffle cutover is documented from data,
+  * not guessed.
+  *
+  * Env: GRAFT_REHEARSE_CORPUS (default /root/repo/data/sf1),
+  *      GRAFT_REHEARSE_DELTA  (default /root/testdata/sf0.1). */
+object RehearseIndex {
+
+  private def timed[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[rehearse] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  private def duDir(path: java.io.File): Long =
+    if (path.isDirectory)
+      Option(path.listFiles()).getOrElse(Array.empty).map(duDir).sum
+    else path.length()
+
+  private def tableBytes(spark: SparkSession, names: Seq[String]): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    names.foreach { t =>
+      val b = duDir(new java.io.File(wh, t.toLowerCase(java.util.Locale.ROOT)))
+      println(f"[rehearse] table $t: ${b / 1e6}%.1f MB on disk")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val corpusDir = sys.env.getOrElse("GRAFT_REHEARSE_CORPUS", "/root/repo/data/sf1")
+    val deltaDir = sys.env.getOrElse("GRAFT_REHEARSE_DELTA", "/root/testdata/sf0.1")
+    val spark = GraftSession.getOrCreate()
+
+    val corpusDocs = spark.read.parquet(s"$corpusDir/documents.parquet")
+    // the delta is "tomorrow's crawl": 1x-sized, ids shifted clear of the
+    // corpus so match structure comes from content, not id collisions
+    val deltaDocs = spark.read.parquet(s"$deltaDir/documents.parquet")
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+
+    // ---- incremental-dedup index ----
+    timed("dedup index BUILD (10x corpus)") {
+      ops.Dedup.dedupIndexBuild(corpusDocs, "text", "doc_id", "graft_rehearse_dedup")
+    }
+    tableBytes(spark, Seq("graft_rehearse_dedup", "graft_rehearse_dedup_fps",
+      "graft_rehearse_dedup_meta"))
+    // the probe's own size-guard aggregate, recomputed here for the record
+    val n = spark.table("graft_rehearse_dedup_meta").head().getInt(0)
+    val groups = deltaDocs.select(
+      graft.functions.gf.shingleFpsSorted(col("text"), n).as("shl"))
+    val st = groups.agg(count(lit(1)), sum(size(col("shl")))).head()
+    val (dRows, dFps) = (st.getLong(0), st.getLong(1))
+    val estMb = (dRows * 64L + dFps * 48L) / 1e6
+    println(f"[rehearse] delta: $dRows rows, $dFps shingle fps, " +
+      f"est broadcast footprint $estMb%.1f MB (guard default 256 MB)")
+    var probeOut: DataFrame = null
+    (1 to 3).foreach { i =>
+      timed(s"dedup index PROBE (1x delta, broadcast path) run$i") {
+        probeOut = ops.Dedup.dedupIndexProbe(deltaDocs, "text", "doc_id",
+          "graft_rehearse_dedup")
+        Bench.exec(probeOut)
+      }
+    }
+    probeOut.groupBy("status").count().orderBy("status").collect()
+      .foreach(r => println(s"[rehearse] probe status ${r.get(0)}: ${r.get(1)}"))
+    (1 to 3).foreach { i =>
+      timed(s"dedup index PROBE (guard-forced SHUFFLE path) run$i") {
+        Bench.exec(ops.Dedup.dedupIndexProbe(deltaDocs, "text", "doc_id",
+          "graft_rehearse_dedup", maxBroadcastBytes = 0L))
+      }
+    }
+
+    // ---- IVFADC index ----
+    val corpusEmb = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+    val deltaEmb = spark.read.parquet(s"$deltaDir/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    timed("ivfpq index BUILD (10x corpus)") {
+      ops.Similarity.ivfpqBuildIndex(corpusEmb, "vec_id", "embedding",
+        "graft_rehearse_ivfpq", nlist = 16, m = 8, ksub = 16)
+    }
+    tableBytes(spark, Seq("graft_rehearse_ivfpq", "graft_rehearse_ivfpq_centroids",
+      "graft_rehearse_ivfpq_pq"))
+    timed("ivfpq index APPEND (1x delta = 10%)") {
+      ops.Similarity.ivfpqAppendIndex(deltaEmb, "vec_id", "embedding",
+        "graft_rehearse_ivfpq")
+    }
+    val queries = corpusEmb.where(col("vec_id") % 1000 === 0) // ~20 probes
+    (1 to 3).foreach { i =>
+      timed(s"ivfpq index QUERY (post-append, nprobe=4) run$i") {
+        Bench.exec(ops.Similarity.ivfpqQueryIndex(queries, "vec_id", "embedding",
+          "graft_rehearse_ivfpq", k = 10, nprobe = 4, rerank = 50))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -459,7 +459,7 @@ object SparkEntry {
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val table = dedupIndexFor.computeIfAbsent(dir, d => {
-      val name = "graft_dedup_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val name = ("graft_dedup_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase(java.util.Locale.ROOT)
       Dedup.dedupIndexBuild(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
         "text", "doc_id", name)
       name
@@ -689,7 +689,7 @@ object SparkEntry {
   private def annIvfpqQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val table = ivfpqIndexFor.computeIfAbsent(dir, d => {
-      val name = "graft_ivfpq_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val name = ("graft_ivfpq_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase(java.util.Locale.ROOT)
       Similarity.ivfpqBuildIndex(emb, "vec_id", "embedding", name, nlist = 16, m = 8, ksub = 16)
       name
     })
@@ -712,7 +712,7 @@ object SparkEntry {
   private def annIvfpqAppendFull(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val table = ivfpqAppendIndexFor.computeIfAbsent(dir, d => {
-      val name = "graft_ivfpq_app_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val name = ("graft_ivfpq_app_" + d.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase(java.util.Locale.ROOT)
       Similarity.ivfpqBuildIndex(emb.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", name, nlist = 16, m = 8, ksub = 16)
       Similarity.ivfpqAppendIndex(emb.filter(col("vec_id") % 2 === 1),
@@ -733,7 +733,7 @@ object SparkEntry {
   private def annIvfpqQueryFull(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val table = ivfpqIndexFor.computeIfAbsent(dir, d => {
-      val name = "graft_ivfpq_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val name = ("graft_ivfpq_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase(java.util.Locale.ROOT)
       Similarity.ivfpqBuildIndex(emb, "vec_id", "embedding", name, nlist = 16, m = 8, ksub = 16)
       name
     })
@@ -1662,7 +1662,7 @@ object SparkEntry {
         |  FROM w0, unnest(generate_series(1, greatest(len(w)-2, 0))) AS s(i))
         |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
-    // weighted sampling: md5 bucket in [0,10000) accepted below
+    // weighted sampling: 2^32 md5 bucket in [0,10000) accepted below
     // quality*100 — all-integer, so the same rows survive on any engine
     "corpus_weighted_sample" ->
       """WITH q AS (
@@ -1674,7 +1674,7 @@ object SparkEntry {
         |    + 10)) AS BIGINT) AS quality
         |  FROM documents)
         |SELECT doc_id, lang, quality FROM q
-        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
         |  < quality * 100
         |ORDER BY doc_id""".stripMargin,
     // PMI = ln(c_ab*T*T / (B*c_a*c_b)) with the same left-to-right double

@@ -47,7 +47,12 @@ object Corpus {
     * (the weight column and `den` are integers), so the decision is exact
     * and engine/layout/retry-reproducible — the same row survives every
     * re-materialization, which rand()-based importance sampling cannot
-    * guarantee. Narrow map: no shuffle, no sampling pass, no count. */
+    * guarantee. Narrow map: no shuffle, no sampling pass, no count.
+    *
+    * The bucket is an 8-hex-digit (2^32) md5 prefix reduced mod den, so
+    * the acceptance probability is weight/den up to a mod-reduction bias
+    * below 2^-32·den/weight relative (~2e-6 at den=10000) — a 4-digit
+    * (2^16) prefix would bias low weights by up to ~7% relative. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, den: Int): DataFrame = {
     require(den > 0, "den must be positive")
     df.schema(weightCol).dataType match {
@@ -56,7 +61,7 @@ object Corpus {
       case other => throw new IllegalArgumentException(
         s"weight column '$weightCol' must be integral (exact acceptance), got $other")
     }
-    val b = conv(substring(sampleHash(col(idCol)), 1, 4), 16, 10).cast("long") % den
+    val b = conv(substring(sampleHash(col(idCol)), 1, 8), 16, 10).cast("long") % den
     df.where(b < col(weightCol))
   }
 

@@ -1189,13 +1189,25 @@ object Dedup {
     * distinct contents before probing (verify work per distinct content,
     * not per doc — the §9.3 symmetry rule) and every join against the index
     * broadcasts the delta side: the corpus-sized tables are scanned
-    * partition-pruned, never shuffled. */
+    * partition-pruned, never shuffled.
+    *
+    * SIZE GUARD: broadcasting is only correct while the delta is small.
+    * The dominant broadcast is the exploded (fb, fp, d_rep) frame — one
+    * hash-relation entry per delta shingle — so after canonicalizing we
+    * measure the delta (one cheap aggregate over the checkpointed frame)
+    * and estimate that footprint; above `maxBroadcastBytes` every
+    * delta-side broadcast hint is dropped and the probe degrades to
+    * ordinary shuffled joins. At that size the "delta" is no longer a
+    * daily crawl increment but a corpus-scale batch, and shuffling both
+    * sides IS the right plan — the guard makes the cutover explicit
+    * instead of letting a 10 GB broadcast OOM the executors. */
   def dedupIndexProbe(
       delta: DataFrame,
       textCol: String,
       idCol: String,
       tableName: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     requireLongId(delta, idCol)
     val spark = delta.sparkSession
     val meta = spark.table(s"${tableName}_meta").head()
@@ -1214,10 +1226,20 @@ object Dedup {
       gf.shingleFpsSorted(col("__payload"), n).as("d_shl"))
       .localCheckpoint(eager = true) // reused by exact join, candidacy, verify
 
+    // size guard: one cheap aggregate over the checkpointed delta decides
+    // broadcast vs shuffle for EVERY delta-derived join side (they scale
+    // together — the exploded fp frame dominates at ~48 B/hash-relation
+    // entry, the shingle arrays at ~8 B/fp)
+    val st = dSh.agg(count(lit(1)).as("c"), sum(size(col("d_shl"))).as("f")).head()
+    val dRows = st.getLong(0)
+    val dFpsTotal = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val bcastDelta = dRows * 64L + dFpsTotal * 48L <= maxBroadcastBytes
+    def deltaSide(df: DataFrame): DataFrame = if (bcastDelta) broadcast(df) else df
+
     // exact: content-key equi-join, delta keys broadcast; the scan reads
     // (rep_id, content_key) only, and rep_id IS min(corpus id | content)
     val exactM = reps
-      .join(broadcast(dSh.select(col("d_rep"), col("d_key").as("content_key"))),
+      .join(deltaSide(dSh.select(col("d_rep"), col("d_key").as("content_key"))),
         Seq("content_key"))
       .groupBy("d_rep").agg(min(col("rep_id")).as("exact_match"))
 
@@ -1228,15 +1250,15 @@ object Dedup {
       .select(col("d_rep"), explode(col("d_shl")).as("fp"))
       .withColumn("fb", pmod(hash(col("fp")), lit(numParts)))
     val cand = fpsIdx
-      .join(broadcast(dFps), Seq("fb", "fp"))
+      .join(deltaSide(dFps), Seq("fb", "fp"))
       .select("d_rep", "rep_id")
       .dropDuplicates("d_rep", "rep_id")
 
     // verify: fetch candidate rep rows (pb pruning), one-merge-pass Jaccard
     val nearM = reps
-      .join(broadcast(cand.withColumn("pb", pmod(hash(col("rep_id")), lit(numParts)))),
+      .join(deltaSide(cand.withColumn("pb", pmod(hash(col("rep_id")), lit(numParts)))),
         Seq("pb", "rep_id"))
-      .join(broadcast(dSh), Seq("d_rep"))
+      .join(deltaSide(dSh), Seq("d_rep"))
       .withColumn("__jraw", gf.jaccardSortedFps(col("d_shl"), col("shl")))
       .where(col("__jraw") >= threshold)
       .groupBy("d_rep")
@@ -1246,8 +1268,8 @@ object Dedup {
         round(col("m.__jraw"), 4).as("near_j"))
 
     groups.select(col("rep_id").as("d_rep"), col("members"))
-      .join(broadcast(exactM), Seq("d_rep"), "left")
-      .join(broadcast(nearM), Seq("d_rep"), "left")
+      .join(deltaSide(exactM), Seq("d_rep"), "left")
+      .join(deltaSide(nearM), Seq("d_rep"), "left")
       .select(
         explode(col("members")).as(idCol),
         when(col("exact_match").isNotNull, lit("exact"))
@@ -1258,21 +1280,10 @@ object Dedup {
           .otherwise(col("near_j")).as("jaccard"))
   }
 
-  /** Drop a saveAsTable-backed index table AND its orphan warehouse dir
-    * (the in-memory catalog forgets tables across JVMs but their files
-    * persist; saveAsTable refuses the orphan) — the Similarity index
-    * convention. */
+  /** Drop an index table + orphan warehouse dir — see [[Warehouse.dropTables]]. */
   private def dropWarehouseTables(
       spark: org.apache.spark.sql.SparkSession, names: Seq[String]): Unit =
-    names.foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(warehouse, t))
-    }
+    Warehouse.dropTables(spark, names)
 
   /** Driver-side spherical k-means: assign by max cosine, update by
     * (unnormalized) mean — empty clusters retain their centroid. */

@@ -167,20 +167,9 @@ object Similarity {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_centroids")
   }
 
-  /** Overwrite semantics across sessions: with the default in-memory
-    * catalog a previous JVM's table metadata is gone but its warehouse
-    * location persists, and saveAsTable refuses the orphan dir — drop
-    * both so rebuild is idempotent. */
+  /** Overwrite semantics across sessions — see [[Warehouse.dropTables]]. */
   private def dropIndexTables(spark: org.apache.spark.sql.SparkSession, names: Seq[String]): Unit =
-    names.foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(warehouse, t))
-    }
+    Warehouse.dropTables(spark, names)
 
   /** Query a persistent IVF index built by [[ivfBuildIndex]]: loads the
     * (tiny) centroid table, probes nprobe cells per query, and joins the

@@ -229,10 +229,20 @@ object Streams {
       } else if (chunks == 1) {
         stageOne(raw, "events-000.parquet", t0)
       } else {
-        // ntile over event time: deterministic time-range chunks (one-time
-        // staging cost, not part of the measured operator)
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
-        val chunked = raw.withColumn("__chunk", ntile(chunks).over(w))
+        // time-range chunks from approx_percentile cutpoints: chunk c holds
+        // ts in (cut(c-1), cut(c)], so chunks are time-ordered and
+        // near-equal-sized — without the single-task global sort an
+        // ntile-over-Window.orderBy(ts) would pay (staging a 100x backlog
+        // must not serialize the whole table through one sorted task)
+        val tsNum = if (tsIsLong) col("ts") else unix_micros(col("ts"))
+        val probs = (1 until chunks).map(i => i.toDouble / chunks)
+        val cuts = raw.select(
+            percentile_approx(tsNum, typedLit(probs), lit(100000)).as("c"))
+          .head().getSeq[Long](0)
+        val chunkCol = cuts.foldLeft(lit(1)) { case (acc, cut) =>
+          acc + when(tsNum > cut, 1).otherwise(0)
+        }
+        val chunked = raw.withColumn("__chunk", chunkCol)
         (1 to chunks).foreach { c =>
           stageOne(chunked.where(col("__chunk") === c).drop("__chunk"),
             f"events-${c - 1}%03d.parquet", t0 + c * 1000L)
@@ -356,12 +366,34 @@ object Streams {
     * (sfDir, n, bitsPerItem) for the JVM's lifetime — a monitor that
     * restarts its query (or a bench marathon) must not re-aggregate the
     * static battery every call. */
-  private case class EvalIndex(
+  private[graft] case class EvalIndex(
       bits: Array[Long], kProbes: Int,
       fps: Array[Long], offsets: Array[Int], gids: Array[Int],
       groups: Array[(Int, Array[Long], Array[Long])])
 
-  private val evalIndexCache = new java.util.concurrent.ConcurrentHashMap[String, EvalIndex]()
+  /** LRU-bounded (access-ordered, capacity 4): a long-lived monitor session
+    * cycling distinct eval batteries must not accumulate one CSR index per
+    * battery in driver memory for the JVM's lifetime. 4 covers any realistic
+    * set of concurrently-live batteries; an evicted one is just rebuilt. */
+  private[graft] val evalIndexCacheMax = 4
+  private val evalIndexCache =
+    new java.util.LinkedHashMap[String, EvalIndex](8, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, EvalIndex]): Boolean =
+        size() > evalIndexCacheMax
+    }
+
+  private[graft] def cachedEvalIndex(key: String)(build: => EvalIndex): EvalIndex =
+    evalIndexCache.synchronized {
+      val hit = evalIndexCache.get(key)
+      if (hit != null) hit
+      else { val v = build; evalIndexCache.put(key, v); v }
+    }
+
+  /** Test hook: current cache keys, eldest first. */
+  private[graft] def evalIndexCacheKeys: Seq[String] = evalIndexCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    evalIndexCache.keySet().asScala.toSeq
+  }
 
   private def buildEvalIndex(
       evalDocs: DataFrame, n: Int, bitsPerItem: Int): EvalIndex = {
@@ -454,7 +486,7 @@ object Streams {
     import graft.functions.gf
     require(threshold > 0, s"threshold must be > 0, got $threshold " +
       "(shared-shingle pair generation is complete only for J >= t > 0)")
-    val idx = evalIndexCache.computeIfAbsent(s"$sfDir#$n#$bitsPerItem", _ =>
+    val idx = cachedEvalIndex(s"$sfDir#$n#$bitsPerItem")(
       buildEvalIndex(
         spark.read.parquet(s"$sfDir/documents.parquet")
           .where(pmod(col("doc_id"), lit(10)) === 0 && col("text").isNotNull)

@@ -85,6 +85,24 @@ class LayoutSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("ivfpq index probe AFTER append: dynamic partition pruning survives") {
+    val emb = graft.io.Tables.table(spark, sfDir, "embeddings")
+    graft.ops.Similarity.ivfpqBuildIndex(emb.where(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", "graft_ivfpq_dpp_app", nlist = 16, m = 8, ksub = 16)
+    graft.ops.Similarity.ivfpqAppendIndex(emb.where(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", "graft_ivfpq_dpp_app")
+    val probe = graft.ops.Similarity.ivfpqQueryIndex(
+      emb.where(col("vec_id") < 10), "vec_id", "embedding", "graft_ivfpq_dpp_app",
+      k = 5, nprobe = 4, rerank = 50)
+    // appending via insertInto must leave the cell-partitioned layout (and
+    // with it scan-level DPP) intact — the daily-append deployment shape
+    // keeps its read path pruned
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"append broke dynamic partition pruning on the index scan:\n${plan.take(4000)}")
+    assert(probe.count() > 0)
+  }
+
   test("dedup index probe: index tables are scanned, never shuffled") {
     graft.ops.Dedup.dedupIndexBuild(docs.where(col("doc_id") % 10 =!= 0),
       "text", "doc_id", "graft_dedup_idx_plan")
@@ -100,6 +118,34 @@ class LayoutSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"index side entered a sort-merge join (index-sized shuffle):\n${plan.take(3000)}")
     assert(probe.count() > 0)
+  }
+
+  test("dedup index probe size guard: oversized delta degrades to shuffled joins, same rows") {
+    graft.ops.Dedup.dedupIndexBuild(docs.where(col("doc_id") % 10 =!= 0),
+      "text", "doc_id", "graft_dedup_idx_guard")
+    val delta = docs.where(col("doc_id") % 10 === 0)
+    val bcast = graft.ops.Dedup.dedupIndexProbe(delta, "text", "doc_id",
+      "graft_dedup_idx_guard")
+    // at test scale the planner would auto-broadcast the (tiny) index
+    // tables anyway — disable stats-based broadcast so the guard's plan
+    // shape (what a genuinely huge delta would get) is observable
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val shuffled = graft.ops.Dedup.dedupIndexProbe(delta, "text", "doc_id",
+        "graft_dedup_idx_guard", maxBroadcastBytes = 0L)
+      // with the guard tripped no delta-side broadcast hint survives; the
+      // probe becomes ordinary shuffled joins (the correct plan once the
+      // "delta" is corpus-sized) — and the output is identical either way
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"guard tripped but no shuffled join in plan:\n${plan.take(3000)}")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"guard tripped but a broadcast join survived:\n${plan.take(3000)}")
+      assert(bcast.exceptAll(shuffled).isEmpty && shuffled.exceptAll(bcast).isEmpty,
+        "broadcast and shuffled probes disagree")
+    } finally spark.conf.set(key, prev)
   }
 
   test("dedup_substring plan: shuffles carry fingerprints and integers, never n-gram text") {

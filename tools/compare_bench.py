@@ -3,17 +3,43 @@
 prints per-query seconds and the scale ratio, sorted by ratio desc, and
 flags queries whose ratio exceeds a threshold (default 10x)."""
 import json
+import os
 import sys
 
 def load(path):
     with open(path) as f:
         d = json.loads(f.read().strip())
     if "queries" not in d and "tail" in d:
-        # driver BENCH_r{N}.json wraps the bench line in a "tail" field
+        # driver BENCH_r{N}.json wraps the bench line in a "tail" field;
+        # a truncated tail may hold partial lines, so parse defensively
+        found = None
         for line in d["tail"].splitlines():
             line = line.strip()
-            if line.startswith("{") and '"queries"' in line:
-                return json.loads(line)
+            if not line.startswith("{"):
+                continue
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # line truncated mid-JSON by the tail window
+            if "queries" in cand:
+                found = cand
+            elif "queries_file" in cand and found is None:
+                found = cand
+        if found is None:
+            sys.exit(f"{path}: no bench line found in tail (truncated stdout?)")
+        d = found
+    if "queries" not in d and "queries_file" in d:
+        # short summary line: per-query detail lives in the pointed-to file
+        qf = d["queries_file"]
+        if not os.path.isabs(qf):
+            qf = os.path.join(os.path.dirname(os.path.abspath(path)), qf)
+        try:
+            with open(qf) as f:
+                return json.loads(f.read().strip())
+        except OSError:
+            sys.exit(f"{path}: summary line points at missing {qf}")
+    if "queries" not in d:
+        sys.exit(f"{path}: no 'queries' field in bench JSON")
     return d
 
 def main():
