@@ -42,9 +42,11 @@ object RehearseIndex {
 
     val corpusDocs = spark.read.parquet(s"$corpusDir/documents.parquet")
     // the delta is "tomorrow's crawl": 1x-sized, ids shifted clear of the
-    // corpus so match structure comes from content, not id collisions
+    // corpus so match structure comes from content, not id collisions.
+    // GenScale copies occupy doc_id + c*10M for c < copies, so the delta
+    // must sit above every copy's range, not just copy 1's.
     val deltaDocs = spark.read.parquet(s"$deltaDir/documents.parquet")
-      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
 
     // ---- incremental-dedup index ----
     timed("dedup index BUILD (10x corpus)") {
@@ -81,7 +83,7 @@ object RehearseIndex {
     // ---- IVFADC index ----
     val corpusEmb = spark.read.parquet(s"$corpusDir/embeddings.parquet")
     val deltaEmb = spark.read.parquet(s"$deltaDir/embeddings.parquet")
-      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      .withColumn("vec_id", col("vec_id") + lit(1000000000L))
     timed("ivfpq index BUILD (10x corpus)") {
       ops.Similarity.ivfpqBuildIndex(corpusEmb, "vec_id", "embedding",
         "graft_rehearse_ivfpq", nlist = 16, m = 8, ksub = 16)

@@ -19,16 +19,27 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark has no native type
-    * for; with spark.sql.legacy.parquet.nanosAsLong=true it arrives as long
-    * nanos and is truncated (DIV, not double math — ns values exceed the
-    * 53-bit double mantissa) to microsecond TimestampType here. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = table(spark, sfDir, "events")
-    df.schema("ts").dataType match {
+  /** events.parquet has carried two parquet encodings across driver data
+    * generations: TIMESTAMP(NANOS), which Spark has no native type for (with
+    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as long nanos), and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives as
+    * TIMESTAMP_NTZ. Both normalize to session-TZ TimestampType here so every
+    * consumer (watermarks, unix_micros, window()) sees one type. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "events"), "ts")
+
+  /** Normalize a timestamp-carrying column to microsecond TimestampType:
+    * long nanos are truncated with DIV (not double math — ns values exceed
+    * the 53-bit double mantissa); TIMESTAMP_NTZ is reinterpreted in the
+    * session time zone (UTC for every graft session, so the wall-clock is
+    * preserved exactly); TimestampType passes through. */
+  def normalizeTs(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -19,18 +19,16 @@ object Streams {
 
   /** File-source stream over one parquet table in an sf dir: batch-read
     * schema (file streams require one), glob-filtered to the single file,
-    * with the TIMESTAMP(NANOS)-as-long legacy handling applied when the
-    * table carries a long `ts` (shared so every streaming entry point
-    * treats timestamps identically). */
+    * with `ts` normalized exactly as [[graft.io.Tables.normalizeTs]] does
+    * for batch reads (long nanos or TIMESTAMP_NTZ → session-TZ timestamp),
+    * so every streaming entry point treats timestamps identically. */
   private def streamTable(spark: SparkSession, sfDir: String, file: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/$file").schema
     val raw = spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", file)
       .parquet(sfDir)
-    if (batchSchema.fieldNames.contains("ts") &&
-        batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    if (batchSchema.fieldNames.contains("ts")) graft.io.Tables.normalizeTs(raw, "ts")
     else raw
   }
 
@@ -196,11 +194,19 @@ object Streams {
       // spans more than the offset, silently stalling the watermark and
       // suppressing every append-mode emission
       def sentinel(offsetHours: Int) = {
-        val bumped =
-          if (tsIsLong) raw.limit(1).withColumn("ts",
-            lit(maxTs.asInstanceOf[Long] + offsetHours.toLong * 3600L * 1000000000L))
-          else raw.limit(1).withColumn("ts",
-            lit(maxTs.asInstanceOf[java.sql.Timestamp]) + expr(s"INTERVAL $offsetHours HOURS"))
+        // maxTs's JVM type tracks the ts encoding: long nanos, TIMESTAMP
+        // (java.sql.Timestamp), or TIMESTAMP_NTZ (LocalDateTime) — the
+        // sentinel keeps the RAW encoding so staged files share one schema
+        val bumped = maxTs match {
+          case l: java.lang.Long => raw.limit(1).withColumn("ts",
+            lit(l.longValue + offsetHours.toLong * 3600L * 1000000000L))
+          case t: java.sql.Timestamp => raw.limit(1).withColumn("ts",
+            lit(t) + expr(s"INTERVAL $offsetHours HOURS"))
+          case ldt: java.time.LocalDateTime => raw.limit(1).withColumn("ts",
+            lit(ldt) + expr(s"INTERVAL $offsetHours HOURS"))
+          case other => throw new IllegalStateException(
+            s"unsupported ts encoding for staging sentinel: ${other.getClass}")
+        }
         // doubly marked so every consumer can exclude them: event_type for
         // the window agg, an impossible user id for the sessionizers
         bumped.withColumn("event_type", lit("__sentinel"))
@@ -234,7 +240,8 @@ object Streams {
         // near-equal-sized — without the single-task global sort an
         // ntile-over-Window.orderBy(ts) would pay (staging a 100x backlog
         // must not serialize the whole table through one sorted task)
-        val tsNum = if (tsIsLong) col("ts") else unix_micros(col("ts"))
+        // cast first: no-op on TIMESTAMP, session-TZ reinterpret on NTZ
+        val tsNum = if (tsIsLong) col("ts") else unix_micros(col("ts").cast("timestamp"))
         val probs = (1 until chunks).map(i => i.toDouble / chunks)
         val cuts = raw.select(
             percentile_approx(tsNum, typedLit(probs), lit(100000)).as("c"))
@@ -256,8 +263,7 @@ object Streams {
       .schema(batchSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
-    if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else stream
+    graft.io.Tables.normalizeTs(stream, "ts")
   }
 
   /** Stream-stream inner join with watermarks — click→purchase
