@@ -546,6 +546,22 @@ object SparkEntry {
     Search.bm25(t(s, dir, "documents"), "text", "doc_id",
       Seq("spark", "join", "window"), k = 20)
 
+  private val searchIndexFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persistent BM25 inverted index: built once per sf dir, then answered
+    * from the index alone — the postings scan statically partition-pruned
+    * to the query terms' hash buckets. Different terms from text_search so
+    * the two entries exercise distinct score distributions. */
+  private def textSearchIndexed(s: SparkSession, dir: String): DataFrame = {
+    val table = searchIndexFor.computeIfAbsent(dir, d => {
+      val name = ("graft_search_idx_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase(java.util.Locale.ROOT)
+      Search.bm25IndexBuild(t(s, dir, "documents"), "text", "doc_id", name)
+      name
+    })
+    Search.bm25IndexQuery(s, table, Seq("data", "vector", "query"), k = 20)
+  }
+
   /** Embedding clustering at the oracle-able iters=0 operating point
     * (md5-hash-order leader seeds, argmax cosine, k=8); the trained
     * iters>0 path is covered by DedupSpec. */
@@ -964,6 +980,7 @@ object SparkEntry {
     "corpus_cluster" -> (corpusCluster _),
     "corpus_top_frac" -> (corpusTopFrac _),
     "text_search" -> (textSearch _),
+    "text_search_indexed" -> (textSearchIndexed _),
     "text_compression" -> (textCompression _),
     "q_salted_join" -> (qSaltedJoin _),
     "infer_render" -> (inferRender _),
@@ -2044,6 +2061,33 @@ object SparkEntry {
         |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'spark')) AS tf0,
         |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'join')) AS tf1,
         |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'window')) AS tf2
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM s),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |      ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM s, g)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the indexed path must reproduce the direct-scan BM25 exactly, so its
+    // oracle is the same first-principles CTE over (data, vector, query)
+    "text_search_indexed" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dl,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'data')) AS tf0,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'vector')) AS tf1,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'query')) AS tf2
         |  FROM documents WHERE text IS NOT NULL),
         |g AS (
         |  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
 
@@ -64,6 +64,121 @@ object Search {
     stats
       .crossJoin(broadcast(corpusStats))
       .select(col("doc_id"), round(score, 4).as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Build a PERSISTENT inverted index for BM25 retrieval — the build-once /
+    * query-many shape of the persistent dedup and IVFADC indexes: [[bm25]]
+    * rescans and re-aggregates the whole corpus per query, which is the
+    * wrong cost model when a curation workflow runs hundreds of keyword
+    * probes against one 100 TB snapshot.
+    *
+    * Three tables:
+    *  - `<name>`        — postings (term, doc_id, tf, dl), PARTITIONED by
+    *    `tb = pmod(hash(term), numParts)`. A query's terms are literals, so
+    *    their buckets are computable up front and the postings scan is
+    *    statically partition-pruned to |distinct term buckets| directories —
+    *    the corpus-sized table is never fully scanned at query time.
+    *  - `<name>_terms`  — per-term document frequency, same layout.
+    *  - `<name>_meta`   — one row: (n_docs, avgdl, num_parts).
+    *
+    * dl is denormalized onto every posting so scoring never joins a
+    * doc-length table. Postings dedupe to one row per (term, doc): tf
+    * carries the within-doc count. */
+  def bm25IndexBuild(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      tableName: String,
+      numParts: Int = 16): Unit = {
+    Dedup.requireLongId(docs, idCol)
+    val spark = docs.sparkSession
+    Warehouse.dropTables(spark,
+      Seq(tableName, s"${tableName}_terms", s"${tableName}_meta"))
+    // tokenizer contract shared with bm25/termFreqs and the SQL oracle:
+    // lowercase, split on \s+, drop empty tokens
+    val toks = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    toks
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(numParts)))
+      .write.mode("overwrite").partitionBy("tb").format("parquet")
+      .saveAsTable(tableName)
+    // df = postings rows per term (postings are unique per (term, doc))
+    spark.table(tableName)
+      .groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("tb").format("parquet")
+      .saveAsTable(s"${tableName}_terms")
+    toks
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+      .withColumn("num_parts", lit(numParts))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+  }
+
+  /** Query a [[bm25IndexBuild]] index. Identical scoring contract to
+    * [[bm25]] — same tokenizer, same +1-form idf, same fixed-term-order
+    * float arithmetic, same round-to-4-decimals total order — so the top-k
+    * is bit-compatible with the direct scan (and with the SQL oracle).
+    *
+    * Plan shape: corpus stats and per-term dfs come from the meta/terms
+    * tables (driver-side, O(|terms|)); idf per term becomes a LITERAL; the
+    * postings scan is pruned to the query terms' hash buckets
+    * (PartitionFilters on `tb`, plus a pushed `term IN` row-group filter);
+    * one groupBy(doc_id) over only MATCHING postings; TakeOrderedAndProject
+    * for the top-k. Query cost scales with the matched postings, not the
+    * corpus — the index did the corpus-sized work once at build. */
+  def bm25IndexQuery(
+      spark: SparkSession,
+      tableName: String,
+      terms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25IndexQuery needs at least one query term")
+    val meta = spark.table(s"${tableName}_meta").head()
+    val nDocs = meta.getAs[Long]("n_docs")
+    val avgdl = math.max(meta.getAs[Double]("avgdl"), 1e-9)
+    val numParts = meta.getAs[Int]("num_parts")
+    val lower = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray
+    // bucket literals via a local 1-row plan: the exact murmur3+pmod the
+    // build partitioned by, without reimplementing the hash on the driver
+    val buckets = spark.range(1)
+      .select(lower.map(t => pmod(hash(lit(t)), lit(numParts))): _*)
+      .head().toSeq.map(_.asInstanceOf[Int]).distinct
+    val dfs = spark.table(s"${tableName}_terms")
+      .where(col("tb").isin(buckets: _*) && col("term").isin(lower.toSeq: _*))
+      .select(col("term"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // java.lang.Math.log — the same function Spark's log expression codegens
+    val idf = lower.map { t =>
+      val df = dfs.getOrElse(t, 0L).toDouble
+      math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    }
+    val posts = spark.table(tableName)
+      .where(col("tb").isin(buckets: _*) && col("term").isin(lower.toSeq: _*))
+    // one partial sum per term: each doc group holds at most one row per
+    // term, every other row contributes exactly +0.0, so the per-term sum
+    // is order-insensitive and the final fixed-order (c_0 + c_1 + ...) add
+    // reproduces bm25's term-order float arithmetic bit-for-bit
+    val partials = lower.indices.map { i =>
+      val tf = when(col("term") === lower(i), col("tf").cast("double"))
+        .otherwise(lit(0.0))
+      sum(lit(idf(i)) * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl").cast("double") / lit(avgdl)))).as(s"__c_$i")
+    }
+    posts
+      .groupBy(col("doc_id"))
+      .agg(partials.head, partials.tail: _*)
+      .select(col("doc_id"),
+        round(lower.indices.map(i => col(s"__c_$i")).reduce(_ + _), 4).as("score"))
       .where(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

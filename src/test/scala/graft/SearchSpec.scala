@@ -48,4 +48,51 @@ class SearchSpec extends SparkSpec {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] { Search.bm25(df, "text", "doc_id", Seq.empty) }
   }
+
+  test("bm25 index: query reproduces the direct scan exactly") {
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_spec")
+    for (terms <- Seq(Seq("spark", "join", "window"), Seq("data"),
+        Seq("vector", "scan", "agg", "slow"))) {
+      val direct = Search.bm25(docs, "text", "doc_id", terms, k = 25).collect().toSeq
+      val indexed = Search.bm25IndexQuery(spark, "graft_search_idx_spec", terms, k = 25)
+        .collect().toSeq
+      assert(indexed === direct, s"terms=$terms")
+    }
+  }
+
+  test("bm25 index: query scan is partition-pruned to the terms' buckets") {
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_prune",
+      numParts = 16)
+    val q = Search.bm25IndexQuery(spark, "graft_search_idx_prune", Seq("spark"), k = 5)
+    q.collect()
+    // one term -> exactly one of the 16 tb buckets may be read: the postings
+    // scan must carry a STATIC tb partition filter (pruned at planning, no
+    // corpus-wide read), and the term predicate must push to the row groups
+    val plan = q.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("graft_search_idx_prune"))
+      .getOrElse(fail(s"no file scan over the index table:\n${plan.take(3000)}"))
+    assert(scanLine.contains("PartitionFilters:") &&
+      scanLine.replaceAll(".*PartitionFilters:", "").contains("tb"),
+      s"index scan not partition-pruned:\n$scanLine")
+    assert(scanLine.contains("PushedFilters:") &&
+      scanLine.replaceAll(".*PushedFilters:", "").contains("term"),
+      s"term predicate not pushed to the scan:\n$scanLine")
+  }
+
+  test("bm25 index: unknown terms score nothing; empty terms rejected") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_edge")
+    assert(Search.bm25IndexQuery(spark, "graft_search_idx_edge",
+      Seq("zzz_not_present"), k = 5).collect().isEmpty)
+    // a present term alongside an absent one still scores the present term
+    val mixed = Search.bm25IndexQuery(spark, "graft_search_idx_edge",
+      Seq("zzz_not_present", "beta"), k = 5).collect()
+    assert(mixed.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Search.bm25IndexQuery(spark, "graft_search_idx_edge", Seq.empty)
+    }
+  }
 }
