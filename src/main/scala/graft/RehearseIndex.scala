@@ -79,6 +79,20 @@ object RehearseIndex {
           "graft_rehearse_dedup", maxBroadcastBytes = 0L))
       }
     }
+    // worst-case probe: appending a token kills every exact match (content
+    // key changes) but keeps shingle overlap high, so ALL delta reps enter
+    // near candidacy — the full fan-out the exact-dup delta above skips
+    val nearDelta = deltaDocs.withColumn("text", concat(col("text"), lit(" zzz")))
+    var nearOut: DataFrame = null
+    (1 to 3).foreach { i =>
+      timed(s"dedup index PROBE (near-shaped delta, zero exact) run$i") {
+        nearOut = ops.Dedup.dedupIndexProbe(nearDelta, "text", "doc_id",
+          "graft_rehearse_dedup")
+        Bench.exec(nearOut)
+      }
+    }
+    nearOut.groupBy("status").count().orderBy("status").collect()
+      .foreach(r => println(s"[rehearse] near-probe status ${r.get(0)}: ${r.get(1)}"))
 
     // ---- IVFADC index ----
     val corpusEmb = spark.read.parquet(s"$corpusDir/embeddings.parquet")

@@ -1164,8 +1164,13 @@ object Dedup {
       .withColumn("pb", pmod(hash(col("rep_id")), lit(numParts)))
       .write.mode("overwrite").partitionBy("pb").format("parquet")
       .saveAsTable(tableName)
+    // n_fp (the rep's DISTINCT fp count) is denormalized onto every posting
+    // so the probe can compute exact Jaccard from intersection counts alone
+    // — J = inter/(n_fp_a + n_fp_b - inter) — without re-fetching the rep's
+    // shingle array in a second corpus-sized join
     reps
-      .select(col("rep_id"), explode(col("shl")).as("fp"))
+      .select(col("rep_id"), size(col("shl")).as("n_fp"),
+        explode(col("shl")).as("fp"))
       .withColumn("fb", pmod(hash(col("fp")), lit(numParts)))
       .write.mode("overwrite").partitionBy("fb").format("parquet")
       .saveAsTable(s"${tableName}_fps")
@@ -1184,12 +1189,19 @@ object Dedup {
     *   - `new`  : else — the doc is admissible.
     *
     * EXACT output (not approximate): candidacy via the shared-shingle
-    * inverted index has recall 1, and every candidate is verified with the
-    * one-merge-pass sorted-fp Jaccard kernel. The delta is canonicalized to
-    * distinct contents before probing (verify work per distinct content,
-    * not per doc — the §9.3 symmetry rule) and every join against the index
-    * broadcasts the delta side: the corpus-sized tables are scanned
-    * partition-pruned, never shuffled.
+    * inverted index has recall 1, and verification is exact — the fp
+    * equi-join's per-pair hit count IS |A∩B| (fp lists are distinct), so
+    * J = inter/(|A|+|B|-inter) equals the sorted-fp merge kernel's value
+    * without ever materializing the candidate pair set or re-joining the
+    * corpus for shingle arrays (the pair set scales with shingle
+    * co-occurrence, not delta size — it must stay inside one aggregation).
+    * Delta reps that match exactly are excluded from near candidacy up
+    * front: exact dominates near in the output and a re-crawl delta is
+    * mostly exact dups. The delta is canonicalized to distinct contents
+    * before probing (verify work per distinct content, not per doc — the
+    * §9.3 symmetry rule) and every join against the index broadcasts the
+    * delta side: the corpus-sized tables are scanned partition-pruned,
+    * never shuffled.
     *
     * SIZE GUARD: broadcasting is only correct while the delta is small.
     * The dominant broadcast is the exploded (fb, fp, d_rep) frame — one
@@ -1214,6 +1226,9 @@ object Dedup {
     val (n, numParts) = (meta.getInt(0), meta.getInt(1))
     val reps = spark.table(tableName)
     val fpsIdx = spark.table(s"${tableName}_fps")
+    require(fpsIdx.columns.contains("n_fp"),
+      s"$tableName was built by an older dedupIndexBuild (no n_fp in " +
+        s"${tableName}_fps) — rebuild the index before probing")
 
     val docs = delta
       .where(col(textCol).isNotNull)
@@ -1237,29 +1252,43 @@ object Dedup {
     def deltaSide(df: DataFrame): DataFrame = if (bcastDelta) broadcast(df) else df
 
     // exact: content-key equi-join, delta keys broadcast; the scan reads
-    // (rep_id, content_key) only, and rep_id IS min(corpus id | content)
+    // (rep_id, content_key) only, and rep_id IS min(corpus id | content).
+    // Checkpointed (delta-sized) because it is consumed twice: the final
+    // status join AND the near-candidacy exclusion below.
     val exactM = reps
       .join(deltaSide(dSh.select(col("d_rep"), col("d_key").as("content_key"))),
         Seq("content_key"))
       .groupBy("d_rep").agg(min(col("rep_id")).as("exact_match"))
+      .localCheckpoint(eager = true)
 
-    // candidacy: delta fps broadcast against the inverted index — the fb
-    // column rides along so the scan partition-prunes on the delta's fp
-    // hash buckets; recall 1 (a J>=t>0 pair shares a shingle fp)
-    val dFps = dSh
-      .select(col("d_rep"), explode(col("d_shl")).as("fp"))
+    // candidacy + verify in ONE fp-join pass. Two structural decisions from
+    // the 10x rehearsal (a re-crawl delta against a dense-shingle corpus):
+    //  1. Exact-matched delta reps are excluded up front — exact dominates
+    //     near in the output, and a re-crawl delta is MOSTLY exact dups, so
+    //     their candidacy fan-out (the dominant probe cost) is pure waste.
+    //  2. Jaccard comes straight from the fp equi-join as an intersection
+    //     COUNT: shingle fp lists are distinct (shingleFpsSorted), so the
+    //     per-pair join-hit count is |A∩B| and, with both sides' distinct-fp
+    //     counts at hand, J = inter/(|A|+|B|-inter) — the same value
+    //     jaccardSortedFps computes by array merge. The old shape
+    //     materialized the candidate PAIR set and re-joined it against the
+    //     corpus reps for their arrays; the pair set scales with shingle
+    //     co-occurrence (NOT with the delta), so broadcasting it blew up
+    //     the very guard this probe carries (measured 23 s vs 5 s at 10x).
+    //     Candidates now exist only inside one aggregation — never
+    //     broadcast, never joined back, shuffled once as partially
+    //     aggregated (pair, count) rows; recall stays exactly 1.
+    val dNear = dSh.join(deltaSide(exactM.select(col("d_rep"))), Seq("d_rep"), "left_anti")
+    val dFps = dNear
+      .select(col("d_rep"), size(col("d_shl")).as("d_nfp"),
+        explode(col("d_shl")).as("fp"))
       .withColumn("fb", pmod(hash(col("fp")), lit(numParts)))
-    val cand = fpsIdx
+    val nearM = fpsIdx
       .join(deltaSide(dFps), Seq("fb", "fp"))
-      .select("d_rep", "rep_id")
-      .dropDuplicates("d_rep", "rep_id")
-
-    // verify: fetch candidate rep rows (pb pruning), one-merge-pass Jaccard
-    val nearM = reps
-      .join(deltaSide(cand.withColumn("pb", pmod(hash(col("rep_id")), lit(numParts)))),
-        Seq("pb", "rep_id"))
-      .join(deltaSide(dSh), Seq("d_rep"))
-      .withColumn("__jraw", gf.jaccardSortedFps(col("d_shl"), col("shl")))
+      .groupBy(col("d_rep"), col("rep_id"), col("d_nfp"), col("n_fp"))
+      .agg(count(lit(1)).as("__inter"))
+      .withColumn("__jraw", col("__inter").cast("double") /
+        (col("d_nfp").cast("long") + col("n_fp") - col("__inter")).cast("double"))
       .where(col("__jraw") >= threshold)
       .groupBy("d_rep")
       // min over (rep_id, score) structs = the min-id match AND its score
