@@ -115,6 +115,26 @@ object RehearseIndex {
           "graft_rehearse_ivfpq", k = 10, nprobe = 4, rerank = 50))
       }
     }
+
+    // ---- BM25 search index (the third persistent-index family member) ----
+    timed("bm25 index BUILD (10x corpus)") {
+      ops.Search.bm25IndexBuild(corpusDocs, "text", "doc_id", "graft_rehearse_bm25")
+    }
+    tableBytes(spark, Seq("graft_rehearse_bm25", "graft_rehearse_bm25_terms",
+      "graft_rehearse_bm25_meta"))
+    (1 to 3).foreach { i =>
+      timed(s"bm25 index QUERY (3 terms, k=20) run$i") {
+        Bench.exec(ops.Search.bm25IndexQuery(spark, "graft_rehearse_bm25",
+          Seq("data", "vector", "query"), k = 20))
+      }
+    }
+    // the per-query direct scan it amortizes away, for the ratio
+    (1 to 3).foreach { i =>
+      timed(s"bm25 DIRECT scan (3 terms, k=20) run$i") {
+        Bench.exec(ops.Search.bm25(corpusDocs, "text", "doc_id",
+          Seq("data", "vector", "query"), k = 20))
+      }
+    }
     spark.stop()
   }
 }

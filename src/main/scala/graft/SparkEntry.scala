@@ -562,6 +562,26 @@ object SparkEntry {
     Search.bm25IndexQuery(s, table, Seq("data", "vector", "query"), k = 20)
   }
 
+  private val searchAppendIndexFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The daily-crawl increment for the search index: build on 90% of the
+    * corpus, append the remaining 10%, query — postings/dfs/stats after the
+    * append are exactly the full-build ones, so the SAME whole-corpus BM25
+    * oracle checks the entire append path. */
+  private def textSearchIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val table = searchAppendIndexFor.computeIfAbsent(dir, d => {
+      val name = ("graft_search_app_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase(java.util.Locale.ROOT)
+      Search.bm25IndexBuild(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "text", "doc_id", name)
+      Search.bm25IndexAppend(docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "text", "doc_id", name)
+      name
+    })
+    Search.bm25IndexQuery(s, table, Seq("table", "scan", "merge"), k = 20)
+  }
+
   /** Embedding clustering at the oracle-able iters=0 operating point
     * (md5-hash-order leader seeds, argmax cosine, k=8); the trained
     * iters>0 path is covered by DedupSpec. */
@@ -981,6 +1001,7 @@ object SparkEntry {
     "corpus_top_frac" -> (corpusTopFrac _),
     "text_search" -> (textSearch _),
     "text_search_indexed" -> (textSearchIndexed _),
+    "text_search_index_append" -> (textSearchIndexAppend _),
     "text_compression" -> (textCompression _),
     "q_salted_join" -> (qSaltedJoin _),
     "infer_render" -> (inferRender _),
@@ -2088,6 +2109,33 @@ object SparkEntry {
         |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'data')) AS tf0,
         |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'vector')) AS tf1,
         |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'query')) AS tf2
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM s),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |      ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM s, g)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // append path: index = 90% build + 10% append, but postings/dfs/stats
+    // end up exactly the full-corpus ones — the whole-corpus CTE checks it
+    "text_search_index_append" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dl,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'table')) AS tf0,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'scan')) AS tf1,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'merge')) AS tf2
         |  FROM documents WHERE text IS NOT NULL),
         |g AS (
         |  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,

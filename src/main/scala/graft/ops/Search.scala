@@ -82,7 +82,8 @@ object Search {
     *    statically partition-pruned to |distinct term buckets| directories —
     *    the corpus-sized table is never fully scanned at query time.
     *  - `<name>_terms`  — per-term document frequency, same layout.
-    *  - `<name>_meta`   — one row: (n_docs, avgdl, num_parts).
+    *  - `<name>_meta`   — one row: (n_docs, sum_dl, num_parts); avgdl is
+    *    derived at query time so appends stay exact-integer.
     *
     * dl is denormalized onto every posting so scoring never joins a
     * doc-length table. Postings dedupe to one row per (term, doc): tf
@@ -116,9 +117,68 @@ object Search {
       .groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("tb").format("parquet")
       .saveAsTable(s"${tableName}_terms")
+    // sum_dl as an exact integer (not a precomputed double avgdl) so
+    // bm25IndexAppend can increment corpus stats without float drift —
+    // avgdl is derived at query time as sum_dl/n_docs
     toks
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .withColumn("num_parts", lit(numParts))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+  }
+
+  /** Append a delta of NEW documents to a [[bm25IndexBuild]] index — the
+    * daily-crawl increment, completing the build-once/append-daily/
+    * query-many contract the persistent dedup and IVFADC indexes follow.
+    * Cost scales with the delta: new postings route through the existing
+    * term-bucket partitioning via position-based insertInto; per-term dfs
+    * merge the (vocab-sized) terms table with the delta's term counts —
+    * the corpus-sized postings table is never rescanned; corpus stats
+    * increment by exact integers. Appending an id already indexed is the
+    * caller's bug (postings would double-count); run the delta through the
+    * dedup-index probe first — that is the intake pipeline's job. */
+  def bm25IndexAppend(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      tableName: String): Unit = {
+    Dedup.requireLongId(docs, idCol)
+    val spark = docs.sparkSession
+    val meta = spark.table(s"${tableName}_meta").head()
+    val (nDocs, sumDl) = (meta.getAs[Long]("n_docs"), meta.getAs[Long]("sum_dl"))
+    val numParts = meta.getAs[Int]("num_parts")
+    val toks = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(numParts)))
+      .localCheckpoint(eager = true) // consumed twice: postings + df merge
+    postings
+      .select(spark.table(tableName).schema.fieldNames.map(col).toSeq: _*)
+      .write.mode("append").insertInto(tableName)
+    // merge dfs: full outer on (term, tb) — a delta term may be new to the
+    // vocab. The old terms table must be materialized before overwriting
+    // the table it was read from.
+    val oldTerms = spark.table(s"${tableName}_terms")
+      .localCheckpoint(eager = true)
+    val deltaDf = postings.groupBy(col("term"), col("tb"))
+      .agg(count(lit(1)).as("__ddf"))
+    oldTerms
+      .join(deltaDf, Seq("term", "tb"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L))).as("df"),
+        col("tb"))
+      .write.mode("overwrite").partitionBy("tb").format("parquet")
+      .saveAsTable(s"${tableName}_terms")
+    val st = toks.agg(count(lit(1)).as("c"), sum(col("dl").cast("long")).as("s")).head()
+    val (dN, dSum) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    spark.range(1)
+      .select(lit(nDocs + dN).as("n_docs"), lit(sumDl + dSum).as("sum_dl"),
+        lit(numParts).as("num_parts"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
   }
 
@@ -144,7 +204,8 @@ object Search {
     require(terms.nonEmpty, "bm25IndexQuery needs at least one query term")
     val meta = spark.table(s"${tableName}_meta").head()
     val nDocs = meta.getAs[Long]("n_docs")
-    val avgdl = math.max(meta.getAs[Double]("avgdl"), 1e-9)
+    val avgdl = math.max(
+      if (nDocs == 0) 0.0 else meta.getAs[Long]("sum_dl").toDouble / nDocs, 1e-9)
     val numParts = meta.getAs[Int]("num_parts")
     val lower = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray
     // bucket literals via a local 1-row plan: the exact murmur3+pmod the

@@ -82,6 +82,26 @@ class SearchSpec extends SparkSpec {
       s"term predicate not pushed to the scan:\n$scanLine")
   }
 
+  test("bm25 index append: build+append answers exactly like a full build") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_full")
+    Search.bm25IndexBuild(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+      "text", "doc_id", "graft_search_idx_app")
+    Search.bm25IndexAppend(docs.where(pmod(col("doc_id"), lit(10)) === 0),
+      "text", "doc_id", "graft_search_idx_app")
+    // identical meta (exact-integer increments), identical query results
+    assert(spark.table("graft_search_idx_app_meta").head() ===
+      spark.table("graft_search_idx_full_meta").head())
+    for (terms <- Seq(Seq("spark", "join", "window"), Seq("data", "scan"))) {
+      val full = Search.bm25IndexQuery(spark, "graft_search_idx_full", terms, k = 25)
+        .collect().toSeq
+      val app = Search.bm25IndexQuery(spark, "graft_search_idx_app", terms, k = 25)
+        .collect().toSeq
+      assert(app === full, s"terms=$terms")
+    }
+  }
+
   test("bm25 index: unknown terms score nothing; empty terms rejected") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
     Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_edge")
