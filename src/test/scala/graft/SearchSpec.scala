@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Search
+import org.apache.spark.sql.functions.col
 
 /** BM25 keyword retrieval. */
 class SearchSpec extends SparkSpec {
@@ -100,6 +101,22 @@ class SearchSpec extends SparkSpec {
         .collect().toSeq
       assert(app === full, s"terms=$terms")
     }
+  }
+
+  test("bm25 index append: empty and null-text deltas leave the index unchanged") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta delta")).toDF("doc_id", "text")
+    Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_empty")
+    val before = Search.bm25IndexQuery(spark, "graft_search_idx_empty",
+      Seq("beta"), k = 5).collect().toSeq
+    val metaBefore = spark.table("graft_search_idx_empty_meta").head()
+    Search.bm25IndexAppend(docs.where(col("doc_id") < 0), "text", "doc_id",
+      "graft_search_idx_empty")
+    Search.bm25IndexAppend(
+      Seq((9L, null: String)).toDF("doc_id", "text"), "text", "doc_id",
+      "graft_search_idx_empty")
+    assert(spark.table("graft_search_idx_empty_meta").head() === metaBefore)
+    assert(Search.bm25IndexQuery(spark, "graft_search_idx_empty",
+      Seq("beta"), k = 5).collect().toSeq === before)
   }
 
   test("bm25 index: unknown terms score nothing; empty terms rejected") {
