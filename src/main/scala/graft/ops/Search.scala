@@ -84,6 +84,8 @@ object Search {
     *  - `<name>_terms`  — per-term document frequency, same layout.
     *  - `<name>_meta`   — one row: (n_docs, sum_dl, num_parts); avgdl is
     *    derived at query time so appends stay exact-integer.
+    *  - `<name>_tombstones` — (doc_id, dl) of removed docs (empty at
+    *    build); see [[bm25IndexRemove]].
     *
     * dl is denormalized onto every posting so scoring never joins a
     * doc-length table. Postings dedupe to one row per (term, doc): tf
@@ -97,7 +99,8 @@ object Search {
     Dedup.requireLongId(docs, idCol)
     val spark = docs.sparkSession
     Warehouse.dropTables(spark,
-      Seq(tableName, s"${tableName}_terms", s"${tableName}_meta"))
+      Seq(tableName, s"${tableName}_terms", s"${tableName}_meta",
+        s"${tableName}_tombstones"))
     // tokenizer contract shared with bm25/termFreqs and the SQL oracle:
     // lowercase, split on \s+, drop empty tokens
     val toks = docs
@@ -124,6 +127,43 @@ object Search {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .withColumn("num_parts", lit(numParts))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+    spark.range(0)
+      .select(col("id").as("doc_id"), col("id").cast("int").as("dl"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tableName}_tombstones")
+  }
+
+  /** Remove documents from a [[bm25IndexBuild]] index WITHOUT touching the
+    * corpus-sized postings table — the takedown / contamination-purge
+    * shape: at 100 TB a removal must cost O(removed), not a table rewrite.
+    *
+    * Removal appends (doc_id, dl) tombstones (dl recomputed from the
+    * passed text with the shared tokenizer — no corpus scan); every
+    * correction happens lazily at query time with EXACT integers:
+    * n_docs/sum_dl by subtraction, each query term's df by counting its
+    * (partition-pruned) postings that hit a tombstone, and matched
+    * postings anti-joined against the broadcast tombstone set. Query
+    * results are bit-identical to a fresh build on the retained corpus
+    * (spec-asserted). When tombstones stop being small relative to the
+    * corpus, rebuild the index — that IS the compaction.
+    *
+    * Removing an id that was never indexed (or removing it twice) is the
+    * caller's bug, exactly like appending a duplicate id. */
+  def bm25IndexRemove(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      tableName: String): Unit = {
+    Dedup.requireLongId(docs, idCol)
+    val spark = docs.sparkSession
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(filter(split(lower(col(textCol)), "\\s+"), w => w =!= ""))
+          .cast("int").as("dl"))
+      .select(spark.table(s"${tableName}_tombstones")
+        .schema.fieldNames.map(col).toSeq: _*)
+      .write.mode("append").insertInto(s"${tableName}_tombstones")
   }
 
   /** Append a delta of NEW documents to a [[bm25IndexBuild]] index — the
@@ -203,27 +243,48 @@ object Search {
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25IndexQuery needs at least one query term")
     val meta = spark.table(s"${tableName}_meta").head()
-    val nDocs = meta.getAs[Long]("n_docs")
-    val avgdl = math.max(
-      if (nDocs == 0) 0.0 else meta.getAs[Long]("sum_dl").toDouble / nDocs, 1e-9)
     val numParts = meta.getAs[Int]("num_parts")
+    // tombstone corrections ([[bm25IndexRemove]]) are exact integers:
+    // n_docs/sum_dl by subtraction; per-term df by counting the removed
+    // docs' postings for THIS query's terms (a partition-pruned scan —
+    // O(matched postings), never the corpus); matched postings anti-joined
+    // below. All of it skipped on the common no-tombstones path.
+    val tomb = spark.table(s"${tableName}_tombstones")
+    val tombStats = tomb
+      .agg(count(lit(1)).as("c"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("s")).head()
+    val (nTomb, dlTomb) = (tombStats.getLong(0), tombStats.getLong(1))
+    val nDocs = meta.getAs[Long]("n_docs") - nTomb
+    val avgdl = math.max(
+      if (nDocs <= 0) 0.0
+      else (meta.getAs[Long]("sum_dl") - dlTomb).toDouble / nDocs, 1e-9)
     val lower = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.toArray
     // bucket literals via a local 1-row plan: the exact murmur3+pmod the
     // build partitioned by, without reimplementing the hash on the driver
     val buckets = spark.range(1)
       .select(lower.map(t => pmod(hash(lit(t)), lit(numParts))): _*)
       .head().toSeq.map(_.asInstanceOf[Int]).distinct
+    val postsAll = spark.table(tableName)
+      .where(col("tb").isin(buckets: _*) && col("term").isin(lower.toSeq: _*))
+    val removedDfs =
+      if (nTomb == 0) Map.empty[String, Long]
+      else postsAll
+        .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"))
+        .groupBy(col("term")).agg(count(lit(1)).as("rdf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val dfs = spark.table(s"${tableName}_terms")
       .where(col("tb").isin(buckets: _*) && col("term").isin(lower.toSeq: _*))
       .select(col("term"), col("df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> (r.getLong(1) - removedDfs.getOrElse(r.getString(0), 0L)))
+      .toMap
     // java.lang.Math.log — the same function Spark's log expression codegens
     val idf = lower.map { t =>
       val df = dfs.getOrElse(t, 0L).toDouble
       math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
     }
-    val posts = spark.table(tableName)
-      .where(col("tb").isin(buckets: _*) && col("term").isin(lower.toSeq: _*))
+    val posts =
+      if (nTomb == 0) postsAll
+      else postsAll.join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti")
     // one partial sum per term: each doc group holds at most one row per
     // term, every other row contributes exactly +0.0, so the per-term sum
     // is order-insensitive and the final fixed-order (c_0 + c_1 + ...) add

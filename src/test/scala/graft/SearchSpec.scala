@@ -119,6 +119,28 @@ class SearchSpec extends SparkSpec {
       Seq("beta"), k = 5).collect().toSeq === before)
   }
 
+  test("bm25 index remove: tombstones answer exactly like a retained-only build") {
+    import org.apache.spark.sql.functions.{pmod, lit}
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    Search.bm25IndexBuild(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+      "text", "doc_id", "graft_search_idx_kept")
+    Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_rm")
+    Search.bm25IndexRemove(docs.where(pmod(col("doc_id"), lit(10)) === 0),
+      "text", "doc_id", "graft_search_idx_rm")
+    for (terms <- Seq(Seq("spark", "join", "window"), Seq("data", "scan"))) {
+      val kept = Search.bm25IndexQuery(spark, "graft_search_idx_kept", terms, k = 25)
+        .collect().toSeq
+      val rm = Search.bm25IndexQuery(spark, "graft_search_idx_rm", terms, k = 25)
+        .collect().toSeq
+      assert(rm === kept, s"terms=$terms")
+    }
+    // removing everything yields an empty result, not NaN scores
+    Search.bm25IndexRemove(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+      "text", "doc_id", "graft_search_idx_rm")
+    assert(Search.bm25IndexQuery(spark, "graft_search_idx_rm",
+      Seq("spark"), k = 5).collect().isEmpty)
+  }
+
   test("bm25 index: unknown terms score nothing; empty terms rejected") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
     Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_edge")
