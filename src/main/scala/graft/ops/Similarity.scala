@@ -428,13 +428,18 @@ object Similarity {
     Dedup.requireLongId(corpus, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
-    dropIndexTables(spark, Seq(tableName, s"${tableName}_centroids", s"${tableName}_pq"))
+    dropIndexTables(spark,
+      Seq(tableName, s"${tableName}_centroids", s"${tableName}_pq",
+        s"${tableName}_tombstones"))
     val (centroids, codebooks) = trainIvfpq(corpus, idCol, vecCol, nlist, m, ksub, sampleSize, seed)
     encodeIvfpq(corpus, idCol, vecCol, centroids, codebooks, m, ksub)
       .write.mode("overwrite")
       .partitionBy("cell")
       .format("parquet")
       .saveAsTable(tableName)
+    spark.range(0).select(col("id").as("vec_id"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tableName}_tombstones")
     centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -478,6 +483,22 @@ object Similarity {
   }
 
   /** Query a persistent IVFADC index built by [[ivfpqBuildIndex]]. */
+  /** Remove vectors from a [[ivfpqBuildIndex]] index at O(removed) cost —
+    * the takedown twin of [[ivfpqAppendIndex]], with the same
+    * frozen-quantizer contract (FAISS remove_ids does not retrain):
+    * removal appends vec_id tombstones; queries anti-join the cell scan
+    * against the broadcast tombstone set (skipped while empty), so results
+    * equal querying the original index restricted to the retained ids.
+    * When tombstones stop being small, rebuild — that is the compaction. */
+  def ivfpqRemoveIndex(
+      vecs: DataFrame,
+      idCol: String,
+      tableName: String): Unit = {
+    Dedup.requireLongId(vecs, idCol)
+    vecs.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode("append").insertInto(s"${tableName}_tombstones")
+  }
+
   def ivfpqQueryIndex(
       queries: DataFrame,
       idCol: String,
@@ -494,7 +515,12 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     val meta = spark.table(s"${tableName}_pq").head()
     val codebooks = meta.getSeq[Double](2).toArray
-    queryIvfpq(spark.table(tableName), queries, idCol, vecCol, centroids, codebooks,
+    val tomb = spark.table(s"${tableName}_tombstones")
+    val index =
+      if (tomb.head(1).isEmpty) spark.table(tableName)
+      else spark.table(tableName).join(broadcast(tomb),
+        col("neighbor_id") === col("vec_id"), "left_anti")
+    queryIvfpq(index, queries, idCol, vecCol, centroids, codebooks,
       k, nprobe, meta.getInt(0), meta.getInt(1), rerank)
   }
 

@@ -228,4 +228,27 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("query_id", "rank").collect()
     assert(viaIndex.sameElements(bf))
   }
+
+  test("ivfpqRemoveIndex: tombstoned vectors invisible; exhaustive probe = retained brute force; DPP survives") {
+    val queries = emb.where(col("vec_id") < 10)
+    val n = emb.count().toInt
+    Similarity.ivfpqBuildIndex(emb, "vec_id", "embedding", "graft_ivfpq_rmv",
+      nlist = 16, m = 8, ksub = 16)
+    Similarity.ivfpqRemoveIndex(emb.where(col("vec_id") % 5 === 0),
+      "vec_id", "graft_ivfpq_rmv")
+    val probe = Similarity.ivfpqQueryIndex(queries, "vec_id", "embedding",
+      "graft_ivfpq_rmv", k = 5, nprobe = 16, rerank = n)
+    val viaIndex = probe.select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank").collect()
+    assert(viaIndex.forall(_.getLong(1) % 5 != 0), "a tombstoned vector surfaced")
+    val bf = Similarity.bruteForceTopK(emb.where(col("vec_id") % 5 =!= 0),
+        queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank").collect()
+    assert(viaIndex.sameElements(bf))
+    // the anti-join must not cost the scan its dynamic partition pruning
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"tombstone anti-join broke DPP on the index scan:\n${plan.take(3000)}")
+  }
 }
