@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.llm.{EchoModel, Elo, HashEmbedder, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
-import graft.ops.{Corpus, Dedup, LangModel, Multimodal, Search, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Fuzzy, LangModel, Multimodal, Search, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — the operator catalog from SURVEY.md §2.
   *
@@ -79,6 +79,43 @@ object SparkEntry {
       .filter(col("l_discount").between(0.05, 0.07))
       .filter(col("l_quantity") < 24)
       .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"))
+
+  /** ROLLUP aggregate (subtotals + grand total in one pass): Catalyst
+    * expands the grouping sets map-side (Expand), then ONE shuffle with
+    * partial aggregation — no per-level re-scan. Grouping nulls surfaced
+    * as 'ALL' so the marker is engine-neutral. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("sum_disc_price"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Edit-distance fuzzy join over the distinct part-name dictionary
+    * ([[graft.ops.Fuzzy.fuzzyJoin]]: df-ranked q-gram prefix signatures,
+    * recall exactly 1, verified by threshold levenshtein — never
+    * all-pairs). The oracle recomputes the same pair set brute-force. */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    Fuzzy.fuzzyJoin(
+        t(s, dir, "part").select(col("p_name")).distinct(),
+        "p_name", "p_name", tau = 2, q = 2)
+      .select(col("a_str").as("name_a"), col("b_str").as("name_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("name_a", "name_b")
+
+  /** Per-label embedding centroids ([[graft.ops.Similarity.groupCentroids]]):
+    * decimal-exact sums, one partial-aggregated shuffle. */
+  private def corpusCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+      .select(col("grp").as("label"), col("pos").cast("long").as("pos"),
+        col("mean_x"), col("n"))
+      .orderBy("label", "pos")
 
   /** ASOF join: each event matched to the user's most recent purchase
     * at-or-before its timestamp (union + carry-forward window — no
@@ -998,6 +1035,9 @@ object SparkEntry {
     "q3_join_topk" -> (q3JoinTopk _),
     "q5_multijoin" -> (q5Multijoin _),
     "q6_filter" -> (q6Filter _),
+    "q_rollup" -> (qRollup _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
+    "corpus_centroids" -> (corpusCentroids _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_window" -> (qWindow _),
@@ -1173,6 +1213,42 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // brute-force twin of the prefix-filtered fuzzy join: the signature
+    // equi-join's recall-1 guarantee means the candidate pruning must be
+    // invisible — identical pair set, identical distances
+    "q_fuzzy_join" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM d a JOIN d b ON a.p_name < b.p_name
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    // the VARCHAR hop replicates Spark's double->decimal semantics
+    // EXACTLY: Spark's Cast goes through BigDecimal(Double.toString(d))
+    // — the shortest round-trip decimal repr — then HALF_UP at scale 10,
+    // while DuckDB's direct cast rounds the exact binary value; the two
+    // differ at the 10th decimal on ~1/1000 elements. Both engines print
+    // doubles as shortest round-trip, so casting that string matches.
+    "corpus_centroids" ->
+      """SELECT label, pos - 1 AS pos,
+        |  CAST(sum(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(25,10))) AS DOUBLE)
+        |    / count(*) AS mean_x,
+        |  count(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings WHERE embedding IS NOT NULL)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
     "q3_join_topk" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

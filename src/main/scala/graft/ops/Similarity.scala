@@ -717,4 +717,22 @@ object Similarity {
       .where(col("rk") === 1)
       .select(col("query_id"), col("n_label").as("pred_label"), col("votes"))
   }
+
+  /** Per-group mean embedding — the class-centroid primitive behind
+    * SemDeDup-style cluster diagnostics, per-language/source drift checks,
+    * and nearest-centroid routing. One posexplode (xdim fan-out) into a
+    * single partial-aggregated shuffle on (group, pos): the shuffle moves
+    * at most groups x dim partial sums per map task, never the vectors.
+    * Cross-engine exact: elements are summed as decimals (float -> double
+    * widening is exact; decimal addition is order-independent), and only
+    * the final mean is one double division. Output: (group, pos, mean_x,
+    * n) with pos 0-based. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(
+        (sum(col("x").cast("double").cast("decimal(25,10)")).cast("double") /
+          count(lit(1))).as("mean_x"),
+        count(lit(1)).as("n"))
 }

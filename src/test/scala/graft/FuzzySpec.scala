@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Fuzzy
+import org.apache.spark.sql.functions._
+
+/** Edit-distance fuzzy join: the prefix-filtered plan's contract is exact
+  * equality with the brute-force all-pairs twin (recall 1 by the
+  * prefix-filter lemma — candidate pruning must be invisible). */
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(String, String, Int)] =
+    df.select("a_str", "b_str", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  test("fuzzyJoin finds known near-matches and respects the threshold") {
+    val df = Seq(
+      (1L, "kitten"), (2L, "sitting"), (3L, "mitten"), (4L, "kitchen"),
+      (5L, "apple"), (6L, "apples")).toDF("id", "s")
+    val got = pairs(Fuzzy.fuzzyJoin(df, "id", "s", tau = 2))
+    assert(got.contains(("kitten", "mitten", 1)))   // substitution
+    assert(got.contains(("apple", "apples", 1)))    // insertion
+    assert(got.contains(("kitten", "kitchen", 2)))  // two edits
+    // kitten->sitting is distance 3: past tau, must be absent
+    assert(!got.exists(p => p._1 == "kitten" && p._2 == "sitting"))
+  }
+
+  test("prefix-filtered join equals brute force on the part dictionary") {
+    val names = graft.io.Tables.table(spark, sfDir, "part")
+      .select(col("p_name")).distinct()
+    val fast = pairs(Fuzzy.fuzzyJoin(names, "p_name", "p_name", tau = 2))
+    val exact = pairs(Fuzzy.fuzzyJoinExact(names, "p_name", "p_name", tau = 2))
+    assert(fast === exact)
+    assert(exact.nonEmpty) // the color-word dictionary has near-pairs
+  }
+
+  test("short strings (below the prefix guarantee) are still matched") {
+    // length <= q*(tau+1)-1 = 5 at q=2, tau=2 — including zero-gram 1-char
+    val df = Seq((1L, "ab"), (2L, "cd"), (3L, "abc"), (4L, "a"), (5L, "xbc"))
+      .toDF("id", "s")
+    val got = pairs(Fuzzy.fuzzyJoin(df, "id", "s", tau = 2))
+    val exact = pairs(Fuzzy.fuzzyJoinExact(df, "id", "s", tau = 2))
+    assert(got === exact)
+    assert(got.contains(("ab", "cd", 2)))  // no shared gram at all
+    assert(got.contains(("abc", "xbc", 1)))
+    assert(got.contains(("abc", "a", 2)))  // zero-gram string matched (id 3 < 4)
+  }
+
+  test("fuzzyJoin validates parameters and ignores null strings") {
+    val df = Seq((1L, "abc"), (2L, null: String)).toDF("id", "s")
+    intercept[IllegalArgumentException] { Fuzzy.fuzzyJoin(df, "id", "s", tau = 0) }
+    intercept[IllegalArgumentException] { Fuzzy.fuzzyJoin(df, "id", "s", tau = 1, q = 1) }
+    assert(Fuzzy.fuzzyJoin(df, "id", "s", tau = 2).count() === 0L)
+  }
+}

@@ -251,4 +251,18 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"tombstone anti-join broke DPP on the index scan:\n${plan.take(3000)}")
   }
+  test("groupCentroids: exact per-group per-position means") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), "a"),
+      (2L, Array(3.0f, 6.0f), "a"),
+      (3L, Array(10.0f, 20.0f), "b"),
+      (4L, null.asInstanceOf[Array[Float]], "b")).toDF("id", "v", "g")
+    val got = Similarity.groupCentroids(df, "g", "v")
+      .orderBy("grp", "pos")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("a", 0, 2.0, 2L), ("a", 1, 4.0, 2L),
+      ("b", 0, 10.0, 1L), ("b", 1, 20.0, 1L)))
+  }
 }
