@@ -117,6 +117,39 @@ object SparkEntry {
         col("mean_x"), col("n"))
       .orderBy("label", "pos")
 
+  /** PIVOT (rows -> columns): order counts per priority x status.
+    * Spark expands pivot to conditional aggregates — ONE shuffle with
+    * partial aggregation, no row explosion; the fixed value list keeps
+    * the output schema deterministic (never scan-dependent). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Nearest-centroid routing over per-label centroids
+    * ([[graft.ops.Similarity.assignToCentroids]]): centroids from
+    * decimal-exact sums, assignment a narrow codegen map. */
+  private def corpusAssign(s: SparkSession, dir: String): DataFrame =
+    Similarity.assignToCentroids(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      .orderBy("vec_id")
+
+  /** Embedding-space decontamination at the n-gram family's operating
+    * point (eval = vec_id % 10 == 0): semantic leakage the shingle
+    * variants can't see ([[graft.ops.Dedup.decontaminateEmbeddings]]). */
+  private def dedupDecontaminateEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Dedup.decontaminateEmbeddings(
+        emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
+        emb.where(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding", minCos = 0.4)
+      .orderBy("vec_id")
+  }
+
   /** ASOF join: each event matched to the user's most recent purchase
     * at-or-before its timestamp (union + carry-forward window — no
     * inequality join). */
@@ -1036,8 +1069,11 @@ object SparkEntry {
     "q5_multijoin" -> (q5Multijoin _),
     "q6_filter" -> (q6Filter _),
     "q_rollup" -> (qRollup _),
+    "q_pivot" -> (qPivot _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "corpus_centroids" -> (corpusCentroids _),
+    "corpus_assign" -> (corpusAssign _),
+    "dedup_decontaminate_embedding" -> (dedupDecontaminateEmbedding _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_window" -> (qWindow _),
@@ -1249,6 +1285,54 @@ object SparkEntry {
         |      FROM embeddings WHERE embedding IS NOT NULL)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // centroid lists rebuilt with the same decimal-exact sums (VARCHAR
+    // hop, see corpus_centroids), cosine against them via DuckDB's
+    // double-accumulating list_cosine_similarity (order-matching: the
+    // dedup_semantic precedent), argmax ties -> lowest label — exactly
+    // the nearestCos kernel contract
+    "corpus_assign" ->
+      """WITH cent AS (
+        |  SELECT label, list(mean_x ORDER BY pos) AS c FROM (
+        |    SELECT label, pos,
+        |      CAST(sum(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(25,10))) AS DOUBLE)
+        |        / count(*) AS mean_x
+        |    FROM (SELECT label, unnest(embedding) AS x,
+        |            generate_subscripts(embedding, 1) AS pos
+        |          FROM embeddings WHERE embedding IS NOT NULL)
+        |    GROUP BY label, pos)
+        |  GROUP BY label),
+        |asg AS (
+        |  SELECT e.vec_id, e.label, cent.label AS assigned,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cent.c) DESC,
+        |        cent.label ASC) AS rn
+        |  FROM embeddings e CROSS JOIN cent
+        |  WHERE e.embedding IS NOT NULL)
+        |SELECT vec_id, label, assigned FROM asg WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+    "dedup_decontaminate_embedding" ->
+      """WITH ev AS (
+        |  SELECT embedding FROM embeddings
+        |  WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
+        |hits AS (
+        |  SELECT c.vec_id, count(*) AS n_hits
+        |  FROM embeddings c CROSS JOIN ev
+        |  WHERE c.vec_id % 10 <> 0 AND c.embedding IS NOT NULL
+        |    AND list_cosine_similarity(c.embedding, ev.embedding) >= 0.4
+        |  GROUP BY c.vec_id)
+        |SELECT c.vec_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) = 0 AS keep
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0) c
+        |LEFT JOIN hits h ON c.vec_id = h.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
     "q3_join_topk" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

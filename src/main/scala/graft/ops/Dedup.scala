@@ -968,6 +968,35 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Embedding-space decontamination: drop corpus vectors whose cosine to
+    * ANY eval vector reaches minCos — the semantic complement of the
+    * n-gram decontaminate family (catches paraphrased/reworded benchmark
+    * leakage that shingle overlap misses; Yang et al. 2023 "Rethinking
+    * Benchmark and Contamination" shape).
+    *
+    * Scale shape: the eval battery is small by nature (benchmarks), so it
+    * broadcasts and the check is a NARROW pass over the corpus — no
+    * shuffle on the corpus side; per-row cost |eval| x dim fused in the
+    * codegen cosine. Rows with null vectors are kept (no evidence).
+    * Output: one row per corpus row — (idCol, n_hits, keep). */
+  def decontaminateEmbeddings(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double): DataFrame = {
+    val e = evalSet.filter(col(vecCol).isNotNull).select(col(vecCol).as("__ev"))
+    val hits = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(e))
+      .where(gf.cosine(col("__v"), col("__ev")) >= minCos)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) === 0).as("keep"))
+  }
+
   /** LSH-bucketed embedding near-dup pairs — the scale path for
     * [[embeddingPairs]]: candidates meet in a random-hyperplane bucket in
     * any of `tables` hash tables (high-cosine pairs collide with

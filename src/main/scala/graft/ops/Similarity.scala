@@ -735,4 +735,41 @@ object Similarity {
         (sum(col("x").cast("double").cast("decimal(25,10)")).cast("double") /
           count(lit(1))).as("mean_x"),
         count(lit(1)).as("n"))
+
+  /** Spherical nearest-centroid assignment: route every vector to the
+    * max-cosine group centroid (ties -> lowest centroid index = lowest
+    * group value). The k-means assignment step, and the router behind
+    * SemDeDup cluster scoping and nearest-centroid classification.
+    *
+    * Scale shape: centroids are a groups x dim driver-side constant
+    * (the codebook-load pattern) baked into one codegen expression
+    * ([[graft.functions.gf.nearestCos]]), so assignment is a NARROW map
+    * over the corpus — no join, no shuffle; only the centroid computation
+    * itself shuffles (partial-aggregated, <= groups x dim rows/task).
+    * Output: (idCol, groupCol, assigned). */
+  def assignToCentroids(
+      df: DataFrame, idCol: String, vecCol: String, groupCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val cents = groupCentroids(df, groupCol, vecCol)
+      .groupBy("grp")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_x")))).as("pm"))
+      .select(col("grp"), transform(col("pm"), p => p.getField("mean_x")).as("centroid"))
+      .orderBy("grp")
+      .collect() // groups x dim doubles — bounded driver-side constant
+    val centroids = cents.map(_.getSeq[Double](1).toArray)
+    val grpField = df.schema(groupCol)
+    val mapping = spark.createDataFrame(
+      cents.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.get(0)) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cidx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        grpField.copy(name = "assigned"))))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        gf.nearestCos(col(vecCol), centroids).as("__cidx"))
+      .join(broadcast(mapping), "__cidx")
+      .select(col(idCol), col(groupCol), col("assigned"))
+  }
 }

@@ -449,4 +449,16 @@ class DedupSpec extends SparkSpec {
     assert(out(30L) === ("new", -1L))
     assert(out(40L) === ("new", -1L))
   }
+  test("decontaminateEmbeddings drops only near-eval vectors; nulls kept") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),          // cos 1.0 vs eval -> dropped
+      (2L, Array(0.0f, 1.0f)),          // orthogonal -> kept
+      (3L, null.asInstanceOf[Array[Float]])) // no evidence -> kept
+      .toDF("id", "v")
+    val evalSet = Seq((100L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val got = Dedup.decontaminateEmbeddings(corpus, evalSet, "id", "v", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set((1L, 1L, false), (2L, 0L, true), (3L, 0L, true)))
+  }
 }

@@ -265,4 +265,21 @@ class SimilaritySpec extends SparkSpec {
       ("a", 0, 2.0, 2L), ("a", 1, 4.0, 2L),
       ("b", 0, 10.0, 1L), ("b", 1, 20.0, 1L)))
   }
+
+  test("assignToCentroids routes separated clusters home; ties go to the lowest label") {
+    import spark.implicits._
+    // two orthogonal clusters -> every member reassigned to its own label
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 7), (2L, Array(0.9f, 0.1f), 7),
+      (3L, Array(0.0f, 1.0f), 9), (4L, Array(0.1f, 0.9f), 9)).toDF("id", "v", "g")
+    val got = Similarity.assignToCentroids(df, "id", "v", "g")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got === Map(1L -> 7, 2L -> 7, 3L -> 9, 4L -> 9))
+    // identical centroids -> cosine tie -> lowest label wins
+    val tie = Seq((1L, Array(1.0f, 1.0f), 5), (2L, Array(1.0f, 1.0f), 3))
+      .toDF("id", "v", "g")
+    val gotTie = Similarity.assignToCentroids(tie, "id", "v", "g")
+      .collect().map(r => r.getInt(2)).toSet
+    assert(gotTie === Set(3))
+  }
 }
