@@ -1029,6 +1029,13 @@ object SparkEntry {
     graft.streaming.Streams.cleanFilterAvailableNow(s, dir)
       .orderBy("doc_id")
 
+  /** Streaming embedding drift monitor: bounded labels x dim running-sum
+    * state, drift verdict vs static baseline centroids
+    * ([[graft.streaming.Streams.driftMonitorAvailableNow]]). */
+  private def streamDrift(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.driftMonitorAvailableNow(s, dir)
+      .orderBy("label")
+
   /** Streaming sessionization (flatMapGroupsWithState) — same semantics as
     * the batch q_sessionize, so it shares that oracle's shape. */
   private def streamSessionize(s: SparkSession, dir: String): DataFrame =
@@ -1161,7 +1168,8 @@ object SparkEntry {
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_dedup_exact" -> (streamDedupExact _),
     "stream_decontaminate" -> (streamDecontaminate _),
-    "stream_clean" -> (streamClean _)
+    "stream_clean" -> (streamClean _),
+    "stream_drift" -> (streamDrift _)
   )
 
   /** sf0.01-trained PQ codebooks (m=8, ksub=16, dsub=8 -> 1024 doubles),
@@ -2436,6 +2444,40 @@ object SparkEntry {
     // streaming intake filter: stateless per-row decision, so the
     // AvailableNow run is identical to batch corpus_filter - same oracle
     "stream_clean" -> corpusFilterOracleSql,
+    // drift monitor: both centroid sets via the §4 VARCHAR-hop decimal
+    // sums (bit-exact doubles), cosine as LEFT i-ascending list_reduce
+    // folds matching Spark's zip_with+aggregate fold order exactly
+    "stream_drift" ->
+      """WITH el AS (
+        |  SELECT label, vec_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |sm AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(25,10))) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM el WHERE vec_id % 10 <> 0 GROUP BY label, pos),
+        |bm AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(25,10))) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM el WHERE vec_id % 10 = 0 GROUP BY label, pos),
+        |nv AS (
+        |  SELECT label, count(DISTINCT vec_id) AS n_vecs
+        |  FROM el WHERE vec_id % 10 <> 0 GROUP BY label),
+        |smv AS (SELECT label, list(m ORDER BY pos) AS v FROM sm GROUP BY label),
+        |bmv AS (SELECT label, list(m ORDER BY pos) AS v FROM bm GROUP BY label),
+        |c AS (
+        |  SELECT s.label, nv.n_vecs,
+        |    list_reduce(list_transform(range(1, len(s.v) + 1), i -> s.v[i] * b.v[i]),
+        |      (x, y) -> x + y) AS dot,
+        |    list_reduce(list_transform(s.v, x -> x * x), (x, y) -> x + y) AS na,
+        |    list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y) AS nb
+        |  FROM smv s JOIN bmv b ON s.label = b.label JOIN nv ON s.label = nv.label)
+        |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r,
+        |  dot / (sqrt(na) * sqrt(nb)) < 0.1 AS drifted
+        |FROM c ORDER BY label""".stripMargin,
     // composed pipeline: the corpus_filter decision CTEs (on the corpus
     // slice), then exact dedup, exact-Jaccard closure (recall-1 stand-in
     // for verified LSH), and decontamination — each on the previous

@@ -629,4 +629,65 @@ object Streams {
       }
     runToMemory(updates.toDF(), "graft_stream_sessions", "append")
   }
+
+  /** Streaming embedding drift monitor: per-label running centroids of an
+    * embedding ingest stream, compared against a STATIC baseline centroid
+    * set — the data-distribution-shift alarm for a continuously-fed
+    * training corpus (a source going off-distribution shows up as the
+    * stream centroid rotating away from the baseline).
+    *
+    * State is the per-(label, position) decimal running sum + count:
+    * exactly labels x dim rows FOREVER — no watermark needed, the monitor
+    * runs indefinitely in bounded memory, and the decimal sums make the
+    * state layout-/retry-independent (same property as the batch
+    * [[graft.ops.Similarity.groupCentroids]], which this shares its
+    * numeric definition with — streaming and batch centroids can never
+    * disagree). The drift verdict is a driver-scale reduce over the final
+    * state snapshot: mean vectors via one double division per element,
+    * cosine vs baseline as LEFT i-ascending folds (zip_with + aggregate —
+    * the cross-engine-reproducible order, bit-matching DuckDB's
+    * list_reduce), drifted = cos < minCos.
+    *
+    * Here the baseline is the eval split (vec_id % 10 == 0) and the
+    * stream the rest; a deployment would bake yesterday's centroids. */
+  def driftMonitorAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      minCos: Double = 0.1): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val baseline = graft.ops.Similarity
+      .groupCentroids(emb.where(pmod(col("vec_id"), lit(10)) === 0), "label", "embedding")
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean_x")))).as("pm"))
+      .select(col("grp").as("label"),
+        transform(col("pm"), p => p.getField("mean_x")).as("bm"))
+    val running = streamTable(spark, sfDir, "embeddings.parquet")
+      .where(pmod(col("vec_id"), lit(10)) =!= 0)
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x").cast("double").cast("decimal(25,10)")).as("s"),
+        count(lit(1)).as("n"))
+    val state = runToMemory(running, "graft_stream_drift", "complete")
+    val streamMeans = state.groupBy("label")
+      .agg(
+        sort_array(collect_list(struct(col("pos"),
+          struct(col("s").as("s"), col("n").as("n")).as("sn")))).as("pm"),
+        max(col("n")).as("n_vecs"))
+      .select(col("label"),
+        transform(col("pm"),
+          p => p.getField("sn").getField("s").cast("double") /
+            p.getField("sn").getField("n")).as("sm"),
+        col("n_vecs"))
+    val cosExpr = col("dot") / (sqrt(col("na")) * sqrt(col("nb")))
+    streamMeans.join(baseline, "label")
+      .withColumn("dot", aggregate(
+        zip_with(col("sm"), col("bm"), (x, y) => x * y), lit(0.0), (a, v) => a + v))
+      .withColumn("na", aggregate(
+        transform(col("sm"), x => x * x), lit(0.0), (a, v) => a + v))
+      .withColumn("nb", aggregate(
+        transform(col("bm"), x => x * x), lit(0.0), (a, v) => a + v))
+      .select(col("label"), col("n_vecs"),
+        round(cosExpr, 6).as("cos_r"), (cosExpr < minCos).as("drifted"))
+  }
 }

@@ -218,4 +218,38 @@ class StreamingSpec extends SparkSpec {
     put(ks(1))
     assert(builds === 6)
   }
+  test("driftMonitor: stream centroids bit-match batch; verdict mix is sane") {
+    val got = Streams.driftMonitorAvailableNow(spark, sfDir)
+      .orderBy("label").collect()
+    assert(got.length > 0)
+    // the streaming state's per-label means must equal the batch
+    // groupCentroids means EXACTLY (decimal sums on both paths): recompute
+    // the same verdict batch-side and compare whole rows
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def cent(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.groupCentroids(df, "label", "embedding")
+        .groupBy("grp")
+        .agg(sort_array(collect_list(struct(col("pos"), col("mean_x")))).as("pm"),
+          max(col("n")).as("n_vecs"))
+        .select(col("grp").as("label"),
+          transform(col("pm"), p => p.getField("mean_x")).as("v"), col("n_vecs"))
+    val s = cent(emb.where(pmod(col("vec_id"), lit(10)) =!= 0))
+      .withColumnRenamed("v", "sm")
+    val b = cent(emb.where(pmod(col("vec_id"), lit(10)) === 0))
+      .select(col("label"), col("v").as("bm"))
+    val cosE = col("dot") / (sqrt(col("na")) * sqrt(col("nb")))
+    val want = s.join(b, "label")
+      .withColumn("dot", aggregate(zip_with(col("sm"), col("bm"), (x, y) => x * y),
+        lit(0.0), (a, v) => a + v))
+      .withColumn("na", aggregate(transform(col("sm"), x => x * x), lit(0.0), (a, v) => a + v))
+      .withColumn("nb", aggregate(transform(col("bm"), x => x * x), lit(0.0), (a, v) => a + v))
+      .select(col("label"), col("n_vecs"), round(cosE, 6).as("cos_r"), (cosE < 0.1).as("drifted"))
+      .orderBy("label").collect()
+    assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq)
+    // synthetic labels are random -> near-orthogonal centroid splits: at
+    // least one drifted row, and verdicts consistent with cos_r
+    assert(got.exists(_.getBoolean(3)))
+    got.foreach(r => assert(r.getBoolean(3) === (r.getDouble(2) < 0.1)))
+  }
 }
