@@ -710,6 +710,38 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Radius search, exact baseline: all neighbors with cos >= 0.3 per
+    * query ([[graft.ops.Similarity.rangeSearch]]). */
+  private def annRange(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", minCos = 0.3)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** LSH radius search at a full-recall operating point (48 tables at 3
+    * bits: per-pair miss probability ~1e-5 at cos 0.3, zero misses here —
+    * driver-checked), so the exact range oracle applies verbatim. */
+  private def annRangeLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.rangeSearchLsh(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", minCos = 0.3, bits = 3, tables = 48)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Exact media dedup over the synthesized binary column. The oracle
+    * groups by (doc_id % 4, text) instead of payload bytes: the container
+    * is a pure function of (format = doc_id % 4, body = utf8(text)) with
+    * the body embedded verbatim, so payload equality holds exactly when
+    * (format, body) match — byte-level grouping and (format, body)
+    * grouping are the same partition of the corpus. */
+  private def multimodalDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.exactDedup(
+        Multimodal.withBinaryPayload(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id")
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy("keeper_id")
+
   /** LSH ANN at its full-recall operating point (bits=3, tables=48
     * recovers the exact top-5 for every query here), so the brute-force
     * ANN oracle applies verbatim; raise bits for bigger corpora. */
@@ -1145,6 +1177,9 @@ object SparkEntry {
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "ann_bruteforce" -> (annBruteforce _),
+    "ann_range" -> (annRange _),
+    "ann_range_lsh" -> (annRangeLsh _),
+    "multimodal_dedup" -> (multimodalDedup _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_full" -> (annIvfFull _),
@@ -1177,6 +1212,13 @@ object SparkEntry {
     * regenerate via [[graft.ops.Similarity.pqCodebooks]] if it changes. */
   private val pqCodebookLiteral: String =
     "0.06868264141182105,-0.004119942249316309,0.05689722439274192,0.0371019489183608,0.03584599608762397,-0.012365372541050116,0.22579730633232328,-0.03730716668845465,-0.08231185963377356,0.030208949698135257,-8.433453117807706E-4,0.10921409158036113,-0.027966590660313765,-0.030410407413728534,0.10054261504362026,0.13079694428791602,0.04180737880661207,-0.09899217394344947,0.044915322789593655,-0.07951222631313346,0.060059746891698414,-0.027022475369877237,-0.06687912201125394,-0.2271961955463185,-0.054732589765863364,0.004549392212052332,0.1231528264037225,0.038186635849131054,-0.006449112311265496,-0.14367577469864384,0.01913659592960463,-0.06025477231555987,-0.028218159545212985,-0.028341140348597298,-0.06265069346409291,0.04274764056982738,0.14355909693986177,-0.09948917229194194,-0.11572591086317385,0.04826007536279836,0.06852756906300783,-0.17003614102539263,-0.05657304360188151,-0.051887379371021926,-0.02683810590717353,-0.16272547720980488,0.05741891677347379,0.09600385383237153,0.03718636476831442,0.005792840047635966,0.13430777068155025,-0.08462259459688708,0.13921551130436086,-0.04118203740842916,-0.08332215306452578,0.14189689252870502,0.0814192306314563,0.12099634945906441,-0.1389538966890039,-0.011584812983998964,0.022409910520795603,0.056980250322998596,-0.02455417812071291,0.15356891310035153,0.056223964178934695,-0.0013950630091130733,-0.006281131928387497,0.08102970612235368,0.048049315570720605,0.10635732654482126,-0.205926128583295,-0.07738255105380501,-0.02699913052033241,0.16005815973039716,0.10060150579144982,-0.005532600935303459,-0.013760103145614266,0.12718029417048551,-0.03096127215968935,-0.03151896890669473,-0.0403595008505767,-0.026552265134847,0.055102441335394464,-0.1652123760432005,0.09350243382828517,0.06692953198540232,0.010095954724723319,-0.01351991830031491,-0.07465353823925663,0.030822514958123153,-0.01915071175217901,-0.02690676832003746,-0.1985990456873324,0.01865315482747264,-0.06772408495577643,0.01073319408701869,0.19968494845013465,0.01599733286627358,0.03064631169000941,-0.05427835657141141,-0.0652687014531224,-0.07550820756624753,-0.034553890101491444,0.06133329591924144,-0.11502203295204902,-0.02312178776782909,-0.15351477808982247,-0.05764640012586659,0.08685749115873918,0.08781933722396691,0.09916034118611027,-0.02093482483178377,-0.011551877374408721,-0.15829091909818532,0.029396102957501325,0.04535171414566476,-0.020028446440403237,0.10992943787402133,-0.06824050047264503,0.07721433631235325,0.0714669368678221,-0.023912330020081113,-0.1226927307865548,0.06036476687909777,-0.03355246164870483,0.03325918118503911,0.0530702298231147,-0.16340023056707448,-0.08129585846499712,-0.11619375383964291,-0.035570837229628255,-0.005085012720276912,-0.05759015792002039,-0.038138008745456184,-0.04982733429857978,-0.20600908842903595,0.023806518419673118,-0.022293106984922335,-0.04518639393534292,0.11310535382397253,0.08387728268280625,0.006964396390899578,0.07990296524675454,0.1509116763687309,0.06246004048389969,-0.1594432171917072,-0.011463904546366798,-0.16174167204924203,-0.009299079818582093,0.12196929514822033,0.0205221118543435,-0.0030753763944462494,-0.08919731768615105,0.042903689037570185,0.16678256563404026,-0.08397279368021854,0.03836303224157104,-0.10810774018960621,-0.031682775753057175,0.04205409044345074,0.11342924674972892,0.07998573940712958,0.02516432477714261,-0.04009774381993338,0.04422999055095715,0.15623055645228306,0.0722181309829466,0.06596947857178748,-0.04690776258707047,0.02630661744624376,0.099094182215631,0.0012008286640048027,-0.025874120788648723,0.09019685987383128,-0.16203824259340763,-0.07386390209197997,-0.0819214174633089,0.165862279915018,-0.03287691508594435,-0.0356570317002479,0.08139263596385718,-0.0724921214277856,0.05844862184021622,-0.027397722050955052,-0.0355747164649074,-0.038039251587179024,0.09047051903326064,-0.04525481793098152,-0.13320197640859988,-0.010189640408498235,0.12370296410517767,-0.04866663660504855,0.05399568590025107,0.056403556698933245,-0.06326832117823263,-0.07845482431973021,-0.15929852152864138,-0.04872480064320068,-0.09166490312976142,-0.06410407971125096,-0.04608771387275363,0.12098389958812143,-1.9976317279917353E-4,0.18054197494433644,-0.10482051928856355,0.025860965854543096,-0.06651142542250454,0.026851496618131503,0.02454056355636567,-0.058799058529548344,0.14657541017979384,0.10734496673569083,0.10179391055367887,0.030588375753723085,0.06998095335438848,-0.08557150119100697,-0.04993837221211704,0.05203492653423122,-0.17452287482696452,0.11309198183672768,0.06786368448436926,0.09233674747104358,-0.014354482134097322,-0.026400158614186302,0.0989565771445632,0.0011890308931469917,-0.10594206467270852,0.016524774990975856,-0.003012733981013298,-0.14501464039087295,0.1679403179883957,-0.019186725877225398,-0.1422547961194669,-0.15131503782205044,-0.01011114321168392,0.030099306187983,-0.04809003491179958,0.07406449008304926,-0.006100632505671632,0.0921306096302766,0.12310662848624186,-0.05118519094629356,0.03536056427177615,0.03538957104543582,-0.025687169570189256,-0.11340660472901967,-0.014526985925980486,-0.039781589849063985,0.04847638836751381,-0.06291754036058028,0.010940925750349249,-0.05386105902670395,0.055633392390085475,-0.037277957148728,-0.14423064131378419,0.15350554345197798,-0.039050000101061806,-0.09224667293019592,-0.008808372688612768,0.019167634432337113,-0.1116207507971142,-0.05398280242058848,0.06442986420754876,0.16046402816261565,0.07100333916263052,-0.07037424421458341,0.09313205994583447,0.06885535423369969,0.03361057585639441,-0.042966499280951476,0.1274300146409694,-0.09482324985540747,-0.06967424800426796,-0.12381253931029089,0.10484508665856616,-0.033051737985605824,0.08518987669256227,-0.06084724377583841,-0.11727525392579365,0.0012499046479833536,0.0585950290750167,0.09436718327924609,-0.06461145014717902,0.08324024879668908,-0.036818426806570555,-0.11802559662837445,0.037461377549689354,-0.0737189123940813,-0.1310865099852284,-0.041871985668937364,-0.10305580880376511,-0.008629327810679873,-0.07954723457805812,-0.041677547215173645,-0.06557463991145293,-0.09386255651091537,-0.024664938916935678,-0.13710056305959975,-0.1581250705445806,0.0010860840144838828,0.047340513823049456,0.06981032158849605,-0.05173920240809417,-0.012465556882994456,-0.015022479893209843,0.12821317920819497,0.05738907911402818,-0.06660050927446438,0.1275801960952007,0.10334815484328339,-0.028929434806251757,-0.0658953134686901,-0.021741630521435767,0.1327931723700693,0.03006680404098752,0.023706568130411398,-0.14186376340400714,0.11198518918946576,-0.0024049987013523397,-0.06408320816281514,-0.059284546948038044,0.04433287191204727,0.020146966038737446,-0.1172715124906972,0.10031202654354274,0.002944407961331308,0.14640077095245943,-0.23797755278646945,-0.10650206670503724,0.06664285967197044,-0.017780529927801002,0.08137481876253856,0.10691669723900939,-0.05334998612560219,-0.026269821779957663,0.05283968954234186,0.04885479049698915,0.002904170243709814,-0.06352135512861423,0.14012491970788687,0.031048778095282614,0.12057778908638284,0.07635511873741052,0.0809083764324896,-0.04141599755698385,-0.00196294159664271,0.13716178985599142,-0.06689510206342675,-0.026531301367168244,0.15075432794849172,0.019961204348454394,0.15085404452223045,0.14063612856261898,-0.05933404198731296,-0.045828608475858346,-0.09426524661830626,-0.10205365327419713,0.003066273799049668,-0.054537272022571415,-0.09817228009706014,0.14636003728418684,-0.012468876715642042,-0.11054998607589649,-0.10937912267847703,0.05535230036968222,-0.009568815155384632,0.06346336734266235,0.09168922000278074,-0.043225497082208415,0.19926051822091853,0.054720480618665794,-0.12752244591579906,-0.02230951055285654,-0.07213765218122196,0.03224427194800228,-0.005544558184088341,0.10349283605870424,-0.016634905054657298,0.12418541823739582,0.07644565533282179,-0.01835784078998999,-0.03388686791401018,-0.11496416485699062,0.044280412211788425,-0.005675039756377893,-0.05841679654217192,-0.016136778039591654,0.06566816149279475,0.019713303366942065,-0.1339421977688159,-0.13604123576411178,-0.06374650930187532,0.12028916630773775,0.11420671262538,-0.010201825039281,-0.05419754348094425,0.006645412281936695,0.0926255008821646,0.13314457541151392,-0.05637575354757569,0.03690641659611304,-0.13634858493294036,0.07519751085533893,-0.010897383821429685,0.09187201201649649,-0.053591760380991865,0.10469878214810575,-0.017731890062402403,0.05275133722170722,-0.1287575088790618,-0.11654904799343058,0.011365105106960982,-0.07900337683531689,0.046383654149394715,0.10083355469396338,0.058494715183769586,-0.10505388781247246,0.06670522146547835,-0.14273035620701396,0.03097313447182791,0.013988229708047584,0.08751699431902832,-0.06469726381409499,0.07558588497340679,-0.011992447595629428,0.12490112217212165,0.016388208087947633,0.08674954590215175,-0.17279403856783002,0.029284829385923566,-0.10768147990866392,-0.014598460678287127,-0.026480568799888714,-0.009436863870359958,-0.0475527408067137,0.08484524650654444,-0.15607062115256365,-0.06689663594588638,0.12293327879160643,-0.11110967709028045,0.14934900846371116,0.0534322414593286,0.060842314191783466,-0.008422254007503701,-0.01508421404772283,-0.01046426782462125,-0.04838504584040493,0.1279444478083557,-0.11525442687875162,-0.01884651288855821,-0.07039683997237052,-0.11297021757882948,0.1377300563483284,0.005704205724983835,-0.04781112777821433,-0.15320294701422638,-0.08895600231517165,-0.08084436690114671,0.03969120455440134,-0.10781618845066987,-0.11372126900096191,0.036412506975466385,-0.05964922015846241,0.02101300557842478,-0.029086805259188015,-0.014049875949110304,0.2102148500936372,-0.005166603407512109,0.01054033940835368,0.1378749915498442,-0.013362587562629155,-0.13034174045242253,-0.09793395564891398,0.014399752430617809,-0.05466016569174826,-0.1517162425071001,0.02553413382265717,-0.04613972804043442,0.12005254197865725,-0.0024337437003850936,0.13218631437330536,0.05095238863864462,-0.07836788513161468,0.11903027783740651,0.07161088888956742,0.07224578134518003,-0.05777261490143384,-0.057457201394506476,-0.05333626173342054,0.1317712249001488,0.14172000589314848,0.001609423970876378,0.07726573139370885,-0.004130033521505538,-0.034276057696843054,0.12688215039634088,-0.0336234504934039,0.18678148861589103,-0.01716078745887679,0.020062249635571038,-0.0024441007709387562,-0.17362707011915487,0.08454473477242322,-0.06620815926199329,-0.08936486152067248,-0.09133416409271636,0.015824456216900477,0.17291819068902572,0.06577194599334948,0.02496177262738846,0.0499597966845613,0.02003636091415371,-0.09325202143351946,0.07637453463061579,-0.05833549892829199,0.020591007425848927,0.04269163844042591,-0.043819451666370565,0.03396753283533534,-0.127621754125825,0.016799807781353593,-0.0880824166815728,-0.0925591839865471,-0.11705677079347272,0.05055845381381611,-0.15007958483571807,-0.0783765491602632,0.12594584623972574,-0.06644266573208812,0.0803464007991794,-0.061858291863589675,-0.0805468843633158,-0.10836133542722343,0.10670874958757211,-0.07370115856866578,-0.010546401331855639,-0.08745853864372923,0.013102753320708871,0.04632468066679744,-0.06354084854515699,0.019850283592509534,0.06670763485957511,-0.0892374891286286,0.1470438979852658,0.061880198918515816,-0.13562533457297832,-0.10320717685390264,0.03577448812429793,0.025051947112660854,0.08823223829385825,-0.042702875996474175,0.08183423174778,0.06743443570105062,-0.018660922069102526,-0.06368522965269884,0.16384460487064312,0.07865019788203592,-0.04562892199663276,0.08620627824811064,-0.01459246197084047,0.11770494596234389,0.14573933593928814,0.04994921369943768,0.04249898359578635,0.04897441595260586,-0.11928201408258506,-0.11855129317513534,-0.04665346180887094,-0.02637229221207755,0.022320912846009292,0.03187127446844464,0.15921576234645077,-0.1624894007330849,-0.05619400127657822,-0.026998067969023914,0.14455894682378995,0.06986227259039879,-0.014044075680430979,-0.024214743341872236,-0.12205295273452066,-0.11436098153353669,-0.06500880460890812,0.16442520698183216,-0.014280939554737415,-0.001798531642028441,-0.04626389554080864,0.0518049325425333,0.0027006747429065094,0.1437480312306434,0.1300890847511861,-0.1163700850835691,-0.08102182302597309,0.06962748080129838,0.1446037846908439,0.07896216524144013,2.562291661484374E-4,0.0100605716320893,0.04464906735423332,0.09815621215420833,0.11275604714561875,-0.11620420505488782,-0.06216504863512359,0.13068843565538132,0.06734592835786507,0.0043675485434696865,-0.040277834491510144,0.058652377613869155,0.010962852984544282,-0.06545202790099817,-0.046594334028971694,0.08264128452477355,-0.039153689499168344,-0.07575519879659016,-5.863637973864874E-4,-0.21012931565443674,-0.14800856177074215,0.0016141621823850517,-0.08846714105960485,0.024905462648618867,-0.12743512620343952,-0.01300449002332784,-0.12432579235551325,-0.040109304833930694,-0.04646420597123939,-0.07350504823293506,-0.1280120756963025,0.006273205108616663,0.05823507349249785,-0.17414146402607794,0.06543176823660084,0.029179419137780434,-0.10549861555109205,0.1357071384166678,-0.028912709406641725,0.05843009564301206,-0.02898688415168888,0.011955714448251657,0.12424702457469215,0.08307123945188424,-0.07627966158906929,-0.06403257586167786,0.1301244888878004,-0.17014832599935206,0.034991330625912684,-0.08959171103990891,-0.013228397752920335,0.0873160323720764,0.06452529414937916,0.010793658184064995,-0.008836479131354108,0.1585765168545636,0.05129708296624899,-0.11722115203294725,0.06347521337946611,-0.1090035056709201,-0.08884301180729554,-0.05314850941209531,-0.03154599337580205,-0.10543509388751374,0.08798103444931302,-0.0019610869334783496,0.059317867598132935,0.04973893775888605,-0.09787889750583506,-0.04056339915749911,-0.03061558651786886,-0.0650508797016779,-0.16604302889716469,-0.10013736032047554,-0.024356382961789342,-0.06254207215725298,-0.04615880648826102,-0.07186628984183902,-0.03669468554451467,-0.0965904987598252,-0.053109876979659826,0.10357515433699721,0.041899973649479866,-0.10872995254531917,0.10048630476618807,0.07324830778507573,-0.028245792117421373,0.1819922190272447,-0.0945372652667257,0.020297101077934105,0.021071933626169055,0.06645843444504973,-0.028088878480378877,0.05786675551518846,0.12539536520389133,-0.040057188815212454,-0.05624273824023789,0.05063017430426232,-0.05228446652020874,-0.1121527348727325,-0.029480548623692374,0.12933102764117604,-0.10970080955303274,-0.01898722736950731,0.023178123705572665,-0.01050741024216852,0.11130102867117295,-0.01111389740029923,0.08089818637325571,0.08944478951362443,0.028898160920703207,0.002118583897064472,0.17489552896084457,0.006114055675550781,-0.0866827446212671,0.016036416219290476,0.022500029369658822,0.0812211451544003,0.010142784015360203,-0.04842220162126151,0.0839236161925576,-0.21389931372620843,0.1424530768259005,0.1578664897136729,-0.108028285946189,0.028036811160854994,0.07265577685087919,-0.024320627031847834,-0.1128039701583475,-0.03690804960206151,-0.03469280318357051,0.03687875403091311,0.1708362478762865,0.14310925654493845,0.15398730163892302,0.09370266545850497,-0.013865794538735198,-0.04467195544678431,-0.011504958741939984,0.093375005830939,-0.18675273857437646,-0.08506564397364855,0.022739253118634225,0.027016580533236266,-0.02854879543185234,-0.03608951322501525,-0.22579607158899306,-0.05279433662304655,0.06258449736982584,-0.08071306197061426,0.14920697360122132,0.06506275101786568,0.017799460772602332,0.16346972417973338,0.013844470981331099,0.093321721468653,0.08370789626081075,-0.14005755698093234,-0.09260444245908571,0.0471551453380886,0.08649094925899788,-0.046180163314681485,0.039740444996151265,-8.107905817704033E-4,0.08198809944113473,-0.005783535942837999,-0.15785566827508848,-0.018775480881182326,-0.045389682325106616,0.0803224943402047,-0.07974288046573969,0.08937664445791696,-0.09241936032383426,0.01083580863529018,-0.06123832512114729,-0.05707170272778187,0.20529492912547928,0.02414103549505983,-0.05073862852794783,-0.0036027803351836546,0.03177770593735788,0.1339825552493108,0.048781361882433746,-0.11299263790362712,-0.04213252306737669,0.015653419257212205,0.08591275474508152,0.09424279170167266,0.046555426246909934,2.588453996730478E-4,-0.006353210398964093,-0.0380920219222868,-0.20424853422139821,0.007220308627247026,-0.023988252894732318,0.0502249182103888,-0.09666523010788583,-0.10286562290099083,-0.05504254232668741,-0.11957126201102228,-0.013888802940279922,0.031906775678649094,-0.008739679501476612,-0.11376071169577313,0.07805480163854857,0.027754209055494743,0.021881789850974172,0.17490015969131933,0.05842347084685708,-0.023638821178765007,0.015841836145034795,-0.057740025532742344,0.06340197656148423,-0.08930369009936436,-0.022871566341362067,-0.043460730385656156,-0.0026887829266747255,0.10628919645852067,0.08958799108060905,0.07724687864538282,-0.08592723530212727,0.1456587652621024,-0.16196662960026195,0.05731036313056179,-0.054826068678213394,0.0028802547877764,0.03599608278668979,-0.03624892180018565,0.07675102863269036,-0.05161725047219079,-0.06420434015835154,0.08841287049240079,-0.0692447447418717,0.1625860594213009,-0.019940257527541062,-0.08210151086978872,-0.05776889386169355,-0.08845522081920583,-0.08423153534654136,0.04890287122505374,0.01931677221268489,-0.0824721187144812,0.13270058754929587,0.06332268328773544,0.08765975148171971,-0.09456632050892545,-0.12515250784862372,0.07057999462510149,-0.03600111903829707,-0.1459088408931469,-0.1696044740577539,-0.05857577547430992,-0.014535151603114273,-0.05039730525512079,0.07082472279540855,0.04873426897154952,0.035631159061185,0.11035742564126849,-0.10963251559032043,0.05933387071656233,0.08202978746690363,0.10345260551548563,0.14848351174441632,0.0752463642093062,-0.059508831836865284,0.04081862681050552,-0.015876366654993035,-0.09231000984436832,-0.07176570287992945,-0.10582966505385497,0.07382771909675177,-0.07358625961590887,0.05807418148855076,-0.19701522347681663,0.004861959968419636,0.01462955168886658,-0.11477336725767921,0.11640689952210301,-0.013255723663384006,-0.09334996151959613,0.03281079946706692,-0.030823627714112047,-0.17392770023573012,-0.021957090257533958,-0.06845988472923636,-0.03767810895553102,-0.011806538045082403,0.052392127852805934,0.02306139052076184,-0.09340262080988158,0.07200664307152771,-0.11842065589482208,-0.21297557068907697,0.011951356327626854,0.04123237270861864,0.03511303998529911,0.05506747353356332,-0.08535067901015282,0.010005230298265815,0.20916817903518678,-0.010807068180292844,0.06304566065305249,-0.04911415151597813,0.03832656091594316,0.1421471104432056,-0.10071208933368325,-0.07303228838266458,0.031029694498159944,-0.019580542419521892,0.0719769967365123,0.03792550887668594,-0.02157834288664162,0.015576296031386369,0.06156290997751057,-0.03975580673709157,-0.01703678521638115,0.16974662993812845,0.041414887849609124,-0.030095387329837603,-0.044237440908833185,0.020703814752203852,0.05319661312540503,0.2033366874644631,0.09102737279241219,-0.007159295056848542,-0.17021198570728302,0.07282063877210021,0.034320124156822986,-0.054376280299038626,-0.050478957659964054,0.0030174108396749943,-0.08108058016348098,0.05597325757012835,0.16037869691434833,0.07495499686855409,0.03781959444232699,-0.05690232413730377,0.12661282423262796,-0.10680876372821836,0.03865247080102563,-0.16669573883215585,0.04418988579085895,0.11578964106073338,0.0440051375834238,-0.09930109914525279,-0.1715261141902634,-0.025395644159289077,-0.0011638773971104196,-0.047933545728613226,-0.01727235394840439,-0.10188320757758144,-0.19161645897353688,-0.010767235207216194,-0.009089613178124031,-0.13640471320013603,0.025660705907891195,-0.06462069682311267,-0.016919886651025576,-0.03528864158910106,-0.03136139762831259,0.1249063723212616,0.14637267640368504,-0.023390047760172325,-0.09601002132165543,-0.053073227281195366,0.002855984196283443,-6.54524265312005E-4,-0.025783555001442776,0.022503869488921968,-0.06360569947930851,0.1285632292260849,-0.1022489395122542,-0.11581273619518724,-7.259835614737623E-4,-0.16821642660694877,-0.023088211511693348,-0.10738812342694984,0.0028498496451392404,0.03167523539670539,0.008763495866754433,0.066149088701733,4.923650302697677E-4,0.03270303378057842,-0.11369296290433488,-0.17505968966194102,0.08775685321086564,-0.037063797382084096,0.0020034922714773063,-0.06560199817869107,-0.08384729518244664,0.04749910780228674,0.05009221957686047,-0.005884858751960565,0.004959991661598906,-0.09464845496889514,0.18377765851716202,0.031180801917798817,0.10543164414619761,0.06941042871247712,0.16633690148591995,-0.04910396545061043,-6.33944191836885E-4,0.11163270759529301,-0.1063638990079718,0.0030723523814231157,-0.03993633966176556,0.1080939568256816,-0.20990597026852462,0.05989640406691111,-0.0643877865603337,0.002034287219150708,0.01258754932608169,0.06499894593770687,-0.07591401221445547,-0.08490711150135702,0.1131963552630996,-0.034611480932933494,0.021745716579831563,-0.003034949160885448,0.008687166115030264,-0.13911839532785308,-0.032596816308796406,0.0069645388672749204,0.21369330916139814,0.17907567624934018,0.10966474562883377,0.05985205496350924,-0.10176697249213855,0.03701021411042246"
+
+  private val annRangeOracleSql: String =
+    """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |WHERE q.vec_id < 10
+      |  AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3
+      |ORDER BY query_id, neighbor_id""".stripMargin
 
   private val corpusFilterOracleSql: String =
     """WITH w0 AS (
@@ -1728,6 +1770,16 @@ object SparkEntry {
         |  FROM adc)
         |SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INTEGER) AS "rank"
         |FROM rk WHERE rnk <= 50 ORDER BY query_id, rnk""").stripMargin,
+    "ann_range" -> annRangeOracleSql,
+    // full-recall operating point: the exact radius oracle verbatim
+    "ann_range_lsh" -> annRangeOracleSql,
+    // payload bytes are a pure function of (doc_id % 4, utf8(text)) with
+    // the body embedded verbatim, so byte-equality groups == these groups
+    "multimodal_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY doc_id % 4, text
+        |ORDER BY keeper_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

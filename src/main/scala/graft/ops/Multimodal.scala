@@ -126,4 +126,17 @@ object Multimodal {
     df.withColumn("resized_width", floor(col("width") * scale).cast("int"))
       .withColumn("resized_height", floor(col("height") * scale).cast("int"))
   }
+
+  /** Exact media dedup: group binary payloads by content hash (the
+    * "same file re-uploaded" shape — dedup before any decode work), one
+    * row per distinct payload with the min-id keeper. Identical to
+    * [[graft.ops.Dedup.exact]] but keyed on the raw BYTES of an opaque
+    * binary column: one map-combined groupBy on a 16-byte key — the
+    * payloads themselves never shuffle. */
+  def exactDedup(withPayload: DataFrame, idCol: String,
+      payloadCol: String = "payload"): DataFrame =
+    withPayload
+      .where(col(payloadCol).isNotNull)
+      .groupBy(md5(col(payloadCol)).as("payload_key"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 }

@@ -76,6 +76,22 @@ object Similarity {
       tables: Int = 8): DataFrame = {
     Dedup.requireLongId(corpus, idCol)
     Dedup.requireLongId(queries, idCol)
+    rankTopK(lshCandidates(corpus, queries, idCol, vecCol, bits, tables), k)
+  }
+
+  /** (query_id, neighbor_id, cos_sim) candidate pairs meeting in any LSH
+    * table's bucket, deduped — shared by [[lshTopK]] and
+    * [[rangeSearchLsh]]. Scoring sits in the join projection so the dedup
+    * shuffle moves (long, long, double) rows, not two vector payloads per
+    * candidate; a pair colliding in several tables scores identically each
+    * time, so dropDuplicates after scoring is sound. */
+  private def lshCandidates(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      tables: Int): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String) = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("table"), gf.hyperplaneBucket(col(vec), bits, seed = 0x9e3779b9L * (t + 1)).as("bucket"))): _*)
@@ -84,16 +100,54 @@ object Similarity {
     }
     val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")), "query_id", "q_vec")
     val c = bucketed(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")), "neighbor_id", "c_vec")
-    // score in the join projection so the dedup + ranking shuffles move
-    // (long, long, double) rows, not two vector payloads per candidate;
-    // a pair colliding in several tables scores identically each time, so
-    // dropDuplicates after scoring is sound
-    val candidates = c.join(q, Seq("table", "bucket"))
+    c.join(q, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         gf.cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
       .dropDuplicates("query_id", "neighbor_id")
-    rankTopK(candidates, k)
+  }
+
+  /** Radius (range) search — FAISS range_search parity: ALL corpus
+    * vectors within the cosine radius of each query, not a fixed k (the
+    * retrieval shape for "everything this similar", e.g. recall-oriented
+    * takedown sweeps or near-dup audits seeded by a query set). Exact
+    * baseline: broadcast the query side, threshold fused in the codegen
+    * cosine — narrow corpus pass, output bounded by the true result size.
+    * Pairs only (no float emit — the cross-engine float convention). */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double): DataFrame = {
+    Dedup.requireLongId(corpus, idCol)
+    Dedup.requireLongId(queries, idCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .where(gf.cosine(col("q_vec"), col("c_vec")) >= minCos)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** LSH-bucketed radius search — the scale path for [[rangeSearch]]:
+    * candidates meet in an LSH bucket (pair space bounded by bucket
+    * occupancy, never |queries| x |corpus|), exact cosine verifies. At a
+    * full-recall operating point (enough tables for the radius) the exact
+    * oracle applies verbatim. */
+  def rangeSearchLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      bits: Int = 12,
+      tables: Int = 8): DataFrame = {
+    Dedup.requireLongId(corpus, idCol)
+    Dedup.requireLongId(queries, idCol)
+    lshCandidates(corpus, queries, idCol, vecCol, bits, tables)
+      .where(col("cos_sim") >= minCos)
+      .select(col("query_id"), col("neighbor_id"))
   }
 
   /** The hyperplane-bit count that keeps expected LSH bucket occupancy

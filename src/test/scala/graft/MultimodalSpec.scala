@@ -126,4 +126,16 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions === 7)
     assert(out.count() === 100)
   }
+  test("exactDedup groups identical payloads only (same format AND same body)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ids 0 and 4 share format (id % 4 = 0) and text -> one group of 2;
+    // ids 1 and 2 share text but differ in format -> separate groups
+    val docs = Seq((0L, "same"), (4L, "same"), (1L, "also"), (2L, "also"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Multimodal.exactDedup(
+        graft.ops.Multimodal.withBinaryPayload(docs, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((0L, 2L), (1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }

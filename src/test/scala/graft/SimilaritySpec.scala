@@ -282,4 +282,19 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getInt(2)).toSet
     assert(gotTie === Set(3))
   }
+  test("rangeSearch: LSH twin at full recall equals the exact radius result") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.rangeSearch(emb, queries, "vec_id", "embedding", 0.3))
+    val lsh = pairs(Similarity.rangeSearchLsh(emb, queries, "vec_id", "embedding", 0.3,
+      bits = 3, tables = 48))
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+    // radius monotonicity: a tighter radius returns a subset
+    val tight = pairs(Similarity.rangeSearch(emb, queries, "vec_id", "embedding", 0.5))
+    assert(tight.subsetOf(exact))
+  }
 }
