@@ -150,6 +150,14 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Temperature resampling at alpha = 0.5 over languages
+    * ([[graft.ops.Corpus.temperatureSample]]): the mC4/XLM-R multilingual
+    * rebalancing recipe, deterministic md5 acceptance. */
+  private def corpusTemperatureSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.temperatureSample(t(s, dir, "documents"), "doc_id", "lang", budgetPct = 50)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** ASOF join: each event matched to the user's most recent purchase
     * at-or-before its timestamp (union + carry-forward window — no
     * inequality join). */
@@ -1136,6 +1144,7 @@ object SparkEntry {
     "corpus_ngrams" -> (corpusNgrams _),
     "corpus_cooccurrence" -> (corpusCooccurrence _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
+    "corpus_temperature_sample" -> (corpusTemperatureSample _),
     "corpus_quantiles" -> (corpusQuantiles _),
     "corpus_dupe_profile" -> (corpusDupeProfile _),
     "corpus_filter" -> (corpusFilter _),
@@ -1977,6 +1986,26 @@ object SparkEntry {
         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
     // weighted sampling: 2^32 md5 bucket in [0,10000) accepted below
     // quality*100 — all-integer, so the same rows survive on any engine
+    // thresholds recomputed with the IDENTICAL double-op sequence (sqrt
+    // correctly rounded IEEE on both engines; Z folds in lang sort order;
+    // left-assoc divides), then integer md5-bucket acceptance — exact
+    "corpus_temperature_sample" ->
+      """WITH cnt AS (
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+        |      (x, y) -> x + y) AS z
+        |  FROM cnt),
+        |thr AS (
+        |  SELECT lang,
+        |    CAST(floor(least(1.0,
+        |      (0.5 * nn) * sqrt(CAST(n AS DOUBLE)) / z / n) * 4294967296.0) AS BIGINT) AS t
+        |  FROM cnt, tot)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr.t
+        |ORDER BY d.doc_id""".stripMargin,
     "corpus_weighted_sample" ->
       """WITH q AS (
         |  SELECT doc_id, lang, CAST(greatest(0, least(100,

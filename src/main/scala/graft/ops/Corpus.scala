@@ -65,6 +65,50 @@ object Corpus {
     df.where(b < col(weightCol))
   }
 
+  /** Temperature-based group resampling — the multilingual rebalancing
+    * recipe (mC4 / XLM-R: sample groups proportional to (n_g/N)^alpha at
+    * alpha = 0.5, so head languages shrink and tail languages keep more
+    * of their data). Target count per group t_g = B * sqrt(n_g) / Σ_h
+    * sqrt(n_h) with budget B = budgetPct% of N; each row is kept iff its
+    * 32-bit md5 bucket < floor(min(1, t_g/n_g) * 2^32) — the
+    * deterministic-acceptance property of [[weightedSample]] with
+    * per-group thresholds derived from the data itself.
+    *
+    * Cross-engine exact: the per-group counts are integers, the threshold
+    * arithmetic is a FIXED sequence of IEEE double ops (sqrt is correctly
+    * rounded; Σ folds in group sort order), and acceptance compares
+    * integers — an oracle repeating the same expression order reproduces
+    * every threshold bit-for-bit. Scale shape: counts are one
+    * map-combined groupBy collected driver-side (one row per group — the
+    * bounded-constant pattern), thresholds broadcast back; the accept
+    * pass is a narrow map. */
+  def temperatureSample(
+      df: DataFrame, idCol: String, groupCol: String, budgetPct: Int = 50): DataFrame = {
+    require(budgetPct > 0 && budgetPct <= 100, s"budgetPct in (0,100], got $budgetPct")
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .orderBy(groupCol).collect() // one row per group — bounded constant
+      .map(r => (r.get(0), r.getLong(1)))
+    val nn = counts.map(_._2).sum
+    val z = counts.map(c => math.sqrt(c._2.toDouble)).sum // fold in group order
+    val bf = budgetPct / 100.0
+    val thrRows = counts.map { case (g, n) =>
+      val q = math.min(1.0, (bf * nn) * math.sqrt(n.toDouble) / z / n)
+      org.apache.spark.sql.Row(g, math.floor(q * 4294967296.0).toLong)
+    }
+    val thrDf = spark.createDataFrame(thrRows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(groupCol),
+        org.apache.spark.sql.types.StructField("__thr",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val bucket = conv(substring(sampleHash(col(idCol)), 1, 8), 16, 10).cast("long")
+    df.join(broadcast(thrDf), Seq(groupCol))
+      .where(bucket < col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic train/val/test split — the engine-reproducible
     * alternative to randomSplit: assignment is a pure function of the id
     * (the same md5 bucket as [[deterministicSample]]), so the same row

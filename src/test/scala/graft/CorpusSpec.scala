@@ -293,4 +293,29 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
     assert(again === out)
   }
+  test("temperatureSample flattens the group distribution toward the tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 425).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val kept = graft.ops.Corpus.temperatureSample(df, "doc_id", "lang", budgetPct = 50)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigRate = kept.getOrElse("big", 0L).toDouble / 400
+    val smallRate = kept.getOrElse("small", 0L).toDouble / 25
+    // alpha = 0.5: the tail group's keep rate must exceed the head's
+    assert(smallRate > bigRate,
+      s"small rate $smallRate should exceed big rate $bigRate")
+    // budget is approximate (per-row md5 acceptance) but must be in range
+    val total = kept.values.sum
+    assert(total > 100 && total < 350, s"total $total far from the 212 target")
+    // determinism: identical keep set on a different partition layout
+    val again = graft.ops.Corpus.temperatureSample(df.repartition(7), "doc_id", "lang", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = graft.ops.Corpus.temperatureSample(df, "doc_id", "lang", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === first)
+    intercept[IllegalArgumentException] {
+      graft.ops.Corpus.temperatureSample(df, "doc_id", "lang", 0)
+    }
+  }
 }
