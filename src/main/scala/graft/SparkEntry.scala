@@ -117,6 +117,22 @@ object SparkEntry {
         col("mean_x"), col("n"))
       .orderBy("label", "pos")
 
+  /** Semi/anti join (EXISTS / NOT EXISTS): customers partitioned by
+    * whether they have any high-value order. left_semi/left_anti move
+    * ONLY the left side's columns through the join (no payload from the
+    * probe side, no row multiplication from duplicate matches) — the
+    * correct plan shape for existence checks at scale. */
+  private def qExists(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey"))
+    val has = cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_big_order"))
+    val hasNot = cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_big_order"))
+    has.union(hasNot).orderBy("c_custkey")
+  }
+
   /** PIVOT (rows -> columns): order counts per priority x status.
     * Spark expands pivot to conditional aggregates — ONE shuffle with
     * partial aggregation, no row explosion; the fixed value list keeps
@@ -1117,6 +1133,7 @@ object SparkEntry {
     "q6_filter" -> (q6Filter _),
     "q_rollup" -> (qRollup _),
     "q_pivot" -> (qPivot _),
+    "q_exists" -> (qExists _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "corpus_centroids" -> (corpusCentroids _),
     "corpus_assign" -> (corpusAssign _),
@@ -1344,6 +1361,13 @@ object SparkEntry {
         |      FROM embeddings WHERE embedding IS NOT NULL)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+    "q_exists" ->
+      """SELECT c_custkey,
+        |  EXISTS (SELECT 1 FROM orders
+        |          WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |    AS has_big_order
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

@@ -46,6 +46,27 @@ class FuzzySpec extends SparkSpec {
     assert(got.contains(("abc", "a", 2)))  // zero-gram string matched (id 3 < 4)
   }
 
+  test("prefix filter equals brute force on seeded random small-alphabet strings") {
+    // dense near-miss space: alphabet of 3, lengths 1..9 straddle the
+    // short-string bound (5 at q=2,tau=2), many true pairs at every edge
+    // class (prefix-vs-short, insert/delete/substitute)
+    val rnd = new scala.util.Random(42)
+    val strings = (1L to 150L).map { i =>
+      val len = 1 + rnd.nextInt(9)
+      (i, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val df = spark.createDataFrame(strings).toDF("id", "s")
+    def idPairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("a_id", "b_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (tau <- Seq(1, 2)) {
+      val fast = idPairs(Fuzzy.fuzzyJoin(df, "id", "s", tau))
+      val exact = idPairs(Fuzzy.fuzzyJoinExact(df, "id", "s", tau))
+      assert(fast === exact, s"prefix filter diverged from brute force at tau=$tau")
+      assert(exact.nonEmpty)
+    }
+  }
+
   test("fuzzyJoin validates parameters and ignores null strings") {
     val df = Seq((1L, "abc"), (2L, null: String)).toDF("id", "s")
     intercept[IllegalArgumentException] { Fuzzy.fuzzyJoin(df, "id", "s", tau = 0) }
