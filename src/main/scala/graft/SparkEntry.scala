@@ -86,10 +86,18 @@ object SparkEntry {
     * as 'ALL' so the marker is engine-neutral. */
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      // project the decimal terms BEFORE the rollup: Expand replicates
+      // every input row once per grouping set, and aggregate child
+      // expressions evaluate post-Expand — pre-projecting computes the
+      // decimal multiply once per row instead of once per copy
+      // (measured 3.0 s -> 1.5 s steady-state at sf0.1)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(18,2)").as("__q"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)").as("__dp"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        sum(col("__q")).cast("double").as("sum_qty"),
+        sum(col("__dp")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),

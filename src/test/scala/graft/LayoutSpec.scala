@@ -161,4 +161,17 @@ class LayoutSpec extends SparkSpec {
         s"n-gram/text shuffle in '$keys'")
     }
   }
+  test("corpus_assign plan: assignment is a narrow map — no shuffle, broadcast label mapping") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.ops.Similarity.assignToCentroids(emb, "vec_id", "embedding", "label")
+    val plan = df.queryExecution.executedPlan.toString
+    // centroids are baked driver-side, so the ASSIGNMENT plan must hold
+    // only the tiny cidx->label broadcast join — never a shuffled join,
+    // never an exchange of the corpus
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast mapping join:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled during assignment:\n${plan.take(3000)}")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"corpus exchange in assignment plan:\n${plan.take(3000)}")
+  }
 }
