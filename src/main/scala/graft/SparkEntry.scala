@@ -117,6 +117,21 @@ object SparkEntry {
         col("dist").cast("long").as("dist"))
       .orderBy("name_a", "name_b")
 
+  /** Two-sided fuzzy match: a probe subset of the part-name dictionary
+    * matched against the full dictionary
+    * ([[graft.ops.Fuzzy.fuzzyJoinAgainst]] — the entity-resolution
+    * deployment shape; identical strings match at dist 0). */
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val dict = t(s, dir, "part").select(col("p_name")).distinct()
+    val probes = t(s, dir, "part")
+      .filter(pmod(col("p_partkey"), lit(7)) === 0)
+      .select(col("p_name")).distinct()
+    Fuzzy.fuzzyJoinAgainst(dict, probes, "p_name", "p_name", tau = 2)
+      .select(col("probe_str").as("probe"), col("dict_str").as("name"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("probe", "name")
+  }
+
   /** Per-label embedding centroids ([[graft.ops.Similarity.groupCentroids]]):
     * decimal-exact sums, one partial-aggregated shuffle. */
   private def corpusCentroids(s: SparkSession, dir: String): DataFrame =
@@ -1143,6 +1158,7 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "q_exists" -> (qExists _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
     "corpus_centroids" -> (corpusCentroids _),
     "corpus_assign" -> (corpusAssign _),
     "dedup_decontaminate_embedding" -> (dedupDecontaminateEmbedding _),
@@ -1359,6 +1375,14 @@ object SparkEntry {
     // while DuckDB's direct cast rounds the exact binary value; the two
     // differ at the 10th decimal on ~1/1000 elements. Both engines print
     // doubles as shortest round-trip, so casting that string matches.
+    "q_fuzzy_match" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part),
+        |p AS (SELECT DISTINCT p_name FROM part WHERE p_partkey % 7 = 0)
+        |SELECT p.p_name AS probe, d.p_name AS name,
+        |  levenshtein(p.p_name, d.p_name) AS dist
+        |FROM p JOIN d ON abs(length(p.p_name) - length(d.p_name)) <= 2
+        |WHERE levenshtein(p.p_name, d.p_name) <= 2
+        |ORDER BY probe, name""".stripMargin,
     "corpus_centroids" ->
       """SELECT label, pos - 1 AS pos,
         |  CAST(sum(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(25,10))) AS DOUBLE)

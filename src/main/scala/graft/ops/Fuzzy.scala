@@ -88,6 +88,62 @@ object Fuzzy {
       col("__as").as("a_str"), col("__bs").as("b_str"), col("dist"))
   }
 
+  /** Two-sided fuzzy match — the entity-resolution deployment shape:
+    * match each PROBE string (an incoming batch) against a canonical
+    * DICTIONARY within edit distance tau. Same prefix-filter machinery as
+    * [[fuzzyJoin]]; gram frequencies rank over the UNION of both sides so
+    * one global order covers cross pairs and the recall-1 lemma applies
+    * unchanged (a short probe against a long dictionary entry is still
+    * caught by the signature join — the short side's signature is its
+    * whole gram set; only short-short cross pairs need the fallback
+    * bucket). Identical strings match at dist 0 (matching IS the point —
+    * no self-exclusion across tables). Output:
+    * (probe_id, dict_id, probe_str, dict_str, dist). */
+  def fuzzyJoinAgainst(
+      dict: DataFrame, probes: DataFrame, idCol: String, strCol: String,
+      tau: Int, q: Int = 2): DataFrame = {
+    require(tau >= 1, s"tau must be >= 1, got $tau")
+    require(q >= 2, s"q must be >= 2, got $q")
+    def strings(df: DataFrame) =
+      df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+        .filter(col("__s").isNotNull)
+    val d = strings(dict)
+    val p = strings(probes)
+    val sigLen = q * tau + 1
+    val shortMax = q * (tau + 1) - 1
+
+    def grams(side: DataFrame) = side
+      .filter(length(col("__s")) >= q)
+      .select(col("__id"), explode(array_distinct(
+        transform(sequence(lit(0), length(col("__s")) - q),
+          i => col("__s").substr(i + lit(1), lit(q))))).as("gram"))
+    val dG = grams(d)
+    val pG = grams(p)
+    // one global rarest-first order over BOTH sides' grams
+    val gramDf = dG.union(pG).groupBy("gram").agg(count(lit(1)).as("__df"))
+    def sig(g: DataFrame) = g.join(gramDf, "gram")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("gram"))))
+      .filter(col("__rn") <= sigLen).select(col("__id"), col("gram"))
+
+    val candLong = sig(pG).as("p").join(sig(dG).as("d"), Seq("gram"))
+      .select(col("p.__id").as("__pid"), col("d.__id").as("__did"))
+      .distinct()
+    val candShort = p.filter(length(col("__s")) <= shortMax).as("p")
+      .join(d.filter(length(col("__s")) <= shortMax).as("d"),
+        abs(length(col("p.__s")) - length(col("d.__s"))) <= tau)
+      .select(col("p.__id").as("__pid"), col("d.__id").as("__did"))
+
+    candLong.union(candShort).distinct()
+      .join(p.select(col("__id").as("__pid"), col("__s").as("__ps")), "__pid")
+      .join(d.select(col("__id").as("__did"), col("__s").as("__ds")), "__did")
+      .filter(abs(length(col("__ps")) - length(col("__ds"))) <= tau)
+      .withColumn("dist", levenshtein(col("__ps"), col("__ds"), tau))
+      .filter(col("dist") >= 0)
+      .select(col("__pid").as("probe_id"), col("__did").as("dict_id"),
+        col("__ps").as("probe_str"), col("__ds").as("dict_str"), col("dist"))
+  }
+
   /** Brute-force twin (all pairs + levenshtein) — the oracle shape; for
     * recall tests and tiny dictionaries only. */
   def fuzzyJoinExact(df: DataFrame, idCol: String, strCol: String, tau: Int): DataFrame = {

@@ -67,6 +67,41 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
+  test("fuzzyJoinAgainst matches probes to the dictionary, dist 0 included") {
+    import spark.implicits._
+    val dict = Seq((1L, "kitten"), (2L, "mitten"), (3L, "ab"), (4L, "zzzzzz"))
+      .toDF("id", "s")
+    val probes = Seq((100L, "kitten"), (101L, "cd"), (102L, "sitting"))
+      .toDF("id", "s")
+    val got = Fuzzy.fuzzyJoinAgainst(dict, probes, "id", "s", tau = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got === Set(
+      (100L, 1L, 0), // exact dictionary hit
+      (100L, 2L, 1), // near dictionary hit
+      (101L, 3L, 2))) // short-short cross pair, no shared gram
+  }
+
+  test("fuzzyJoinAgainst equals the brute-force cross twin on random strings") {
+    val rnd = new scala.util.Random(7)
+    def gen(n: Int, base: Long) = (1 to n).map { i =>
+      val len = 1 + rnd.nextInt(8)
+      (base + i, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    }
+    val dict = spark.createDataFrame(gen(80, 0L)).toDF("id", "s")
+    val probes = spark.createDataFrame(gen(40, 1000L)).toDF("id", "s")
+    val got = Fuzzy.fuzzyJoinAgainst(dict, probes, "id", "s", tau = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    import org.apache.spark.sql.functions._
+    val want = probes.as("p").join(dict.as("d"),
+        abs(length(col("p.s")) - length(col("d.s"))) <= 2)
+      .withColumn("dist", levenshtein(col("p.s"), col("d.s"), 2))
+      .filter(col("dist") >= 0)
+      .select(col("p.id"), col("d.id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("fuzzyJoin validates parameters and ignores null strings") {
     val df = Seq((1L, "abc"), (2L, null: String)).toDF("id", "s")
     intercept[IllegalArgumentException] { Fuzzy.fuzzyJoin(df, "id", "s", tau = 0) }
