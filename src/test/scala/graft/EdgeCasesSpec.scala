@@ -59,4 +59,36 @@ class EdgeCasesSpec extends SparkSpec {
       Dedup.ngramJaccardPairs(strDocs, "text", "doc_id", 3, 0.5))
     assert(ex.getMessage.contains("integral"))
   }
+  test("round-8 operators on empty and degenerate inputs") {
+    // fuzzy join: empty frame and all-null strings -> empty, no crash
+    val emptyS = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(graft.ops.Fuzzy.fuzzyJoin(emptyS, "id", "s", 2).count() === 0L)
+    assert(graft.ops.Fuzzy.fuzzyJoinAgainst(emptyS, emptyS, "id", "s", 2).count() === 0L)
+    val oneSided = Seq((1L, "abc")).toDF("id", "s")
+    assert(graft.ops.Fuzzy.fuzzyJoinAgainst(oneSided, emptyS, "id", "s", 2).count() === 0L)
+    assert(graft.ops.Fuzzy.fuzzyJoinAgainst(emptyS, oneSided, "id", "s", 2).count() === 0L)
+    // centroids/assignment: empty and all-null-vector frames -> empty
+    val emb2 = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(Similarity.groupCentroids(emb2, "label", "embedding").count() === 0L)
+    assert(Similarity.assignToCentroids(emb2, "vec_id", "embedding", "label").count() === 0L)
+    val nullVecs = Seq((1L, null.asInstanceOf[Array[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.groupCentroids(nullVecs, "label", "embedding").count() === 0L)
+    // range search: empty queries -> empty
+    val someEmb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.rangeSearch(someEmb, emptyEmb, "vec_id", "embedding", 0.3).count() === 0L)
+    // temperature sample: empty corpus and all-null groups -> empty
+    assert(Corpus.temperatureSample(emptyDocs, "doc_id", "lang", 50).count() === 0L)
+    val nullLang = Seq((1L, "t", null.asInstanceOf[String], "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Corpus.temperatureSample(nullLang, "doc_id", "lang", 50).count() === 0L)
+    // media dedup: null payloads dropped
+    val nullPay = Seq((1L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    assert(graft.ops.Multimodal.exactDedup(nullPay, "doc_id").count() === 0L)
+    // embedding decontamination: empty eval set keeps everything
+    val kept = Dedup.decontaminateEmbeddings(someEmb, emptyEmb, "vec_id", "embedding", 0.4)
+      .collect()
+    assert(kept.length === 1 && kept(0).getBoolean(2))
+  }
 }
