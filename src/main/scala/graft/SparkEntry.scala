@@ -105,6 +105,44 @@ object SparkEntry {
         col("sum_qty"), col("sum_disc_price"), col("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** CUBE aggregate (every grouping-set combination in ONE pass): same
+    * Expand + single partial-aggregated shuffle shape as [[qRollup]], with
+    * 2^n grouping sets instead of n+1 — the OLAP cross-tab primitive. The
+    * pre-Expand projection rule applies doubly here (each input row is
+    * replicated once per grouping set). */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(18,2)").as("__q"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)").as("__dp"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("__q")).cast("double").as("sum_qty"),
+        sum(col("__dp")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("sum_disc_price"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Event-time RANGE-frame window: per-user 10-minute trailing sum/count
+    * over event seconds — the moving-aggregate monitoring shape. The frame
+    * sum is an exact decimal (order-independent), so no float-accumulation
+    * rounding is needed cross-engine. Scale: one shuffle on user_id; the
+    * range frame is evaluated by a single in-partition sort, never a
+    * self-join. */
+  private def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("sec")).rangeBetween(-600, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("sec"), col("value"))
+      .withColumn("mv_sum", sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("mv_n", count(lit(1)).over(w))
+      .select("event_id", "user_id", "sec", "mv_sum", "mv_n")
+  }
+
   /** Edit-distance fuzzy join over the distinct part-name dictionary
     * ([[graft.ops.Fuzzy.fuzzyJoin]]: df-ranked q-gram prefix signatures,
     * recall exactly 1, verified by threshold levenshtein — never
@@ -344,6 +382,29 @@ object SparkEntry {
     * oracle rebuilds the same page and applies the same RE2-safe
     * regexes, checking the whole strip/decode/collapse chain verbatim on
     * 500 distinct bodies. */
+  /** Unicode normalization (the multilingual-pipeline first step: NFC
+    * canonical composition + accent folding). The ASCII corpus gets
+    * decomposed accents injected deterministically on BOTH engines
+    * (every 'a' -> 'a'+U+0301, every 'n' -> 'n'+U+0303 — the multimodal
+    * convention: structurally real input, real kernels), then NFC
+    * composes them ('á', 'ñ') and strip-accents folds back to the
+    * original text — the `roundtrip` column proves it row-by-row. Both
+    * kernels are narrow codegen maps; the oracle runs DuckDB's own
+    * nfc_normalize/strip_accents over the identically-injected input. */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val gfc = graft.functions.gf
+    val inj = regexp_replace(regexp_replace(col("text"), "a", "a\u0301"), "n", "n\u0303")
+    t(s, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), inj.as("__inj"))
+      .select(col("doc_id"),
+        gfc.nfcNormalize(col("__inj")).as("nfc"),
+        gfc.stripAccents(col("__inj")).as("stripped"),
+        (length(col("__inj")) - length(gfc.nfcNormalize(col("__inj")))).cast("long").as("n_marks"),
+        (gfc.stripAccents(col("__inj")) === col("text")).as("roundtrip"))
+      .orderBy("doc_id")
+  }
+
   private def textExtract(s: SparkSession, dir: String): DataFrame = {
     val html = concat(
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
@@ -454,6 +515,68 @@ object SparkEntry {
   private def corpusCooccurrence(s: SparkSession, dir: String): DataFrame =
     Corpus.cooccurrencePmi(t(s, dir, "documents"), "text", k = 50, minCount = 3L)
       .orderBy(col("pmi").desc, col("bigram").asc)
+
+  /** BPE merge training, 10 merges over the corpus word-frequency
+    * vocabulary ([[graft.ops.Corpus.bpeTrain]] — the tokenizer-vocab
+    * construction step; iterations run over the vocab, not the corpus).
+    * The oracle unrolls the identical 10 iterations as a DuckDB CTE
+    * chain ([[bpeOracle]]). */
+  private def corpusBpe(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Corpus.bpeTrain(t(s, dir, "documents"), "text", merges = 10)
+      .orderBy("step")
+
+  /** Generates the unrolled BPE oracle: v0 = the double-spaced symbol
+    * vocabulary, then per step i a pair-count CTE, an argmax CTE, and the
+    * merged vocabulary — the same (count desc, pair asc) tie-break and
+    * the same left-to-right non-overlapping replace semantics as the
+    * engine. Multiply-referenced CTEs are MATERIALIZED so the 10-level
+    * chain does not inline exponentially. */
+  private def bpeOracle(steps: Int): String = {
+    val head = Seq(
+      """WITH words AS MATERIALIZED (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin,
+      """v0 AS MATERIALIZED (
+        |  SELECT ' ' || trim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS r, count(*) AS cnt
+        |  FROM words GROUP BY 1)""".stripMargin)
+    val stages = (1 to steps).flatMap { i =>
+      Seq(
+        s"""p$i AS (SELECT pair, sum(cnt) AS c FROM (
+           |  SELECT sy[i] || ' ' || sy[i+1] AS pair, cnt FROM
+           |    (SELECT string_split(trim(r), '  ') AS sy, cnt FROM v${i - 1}), unnest(generate_series(1, len(sy)-1)) s(i))
+           |  GROUP BY pair)""".stripMargin,
+        s"b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1)",
+        s"""v$i AS MATERIALIZED (SELECT replace(r, ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ', ' ' || replace(pair, ' ', '') || ' ') AS r, cnt FROM v${i - 1}, b$i)""")
+    }
+    val union = (1 to steps)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt FROM b$i")
+      .mkString(" UNION ALL ")
+    (head ++ stages).mkString(",\n") + s"\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  /** Bounded-memory heavy hitters (Misra–Gries typed aggregate): top-25
+    * words with capacity 256 — far above the corpus vocabulary, so the
+    * counts are exact and the plain word-count oracle applies verbatim.
+    * The under-capacity approximate regime (the open-key-domain scale
+    * path: shuffle carries <= capacity entries per partition regardless
+    * of distinct keys) is spec-verified against the n/(capacity+1)
+    * bound. */
+  private def corpusHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Corpus.heavyHitters(t(s, dir, "documents"), "text", capacity = 256, k = 25)
+      .orderBy(col("cnt").desc, col("word").asc)
+
+  /** Corpus-overlap profile between two overlapping doc_id slices (even
+    * ids vs ids divisible by 3 — shared contents ~ ids divisible by 6):
+    * exact distinct-content Jaccard + the k=64 MinHash estimate, both
+    * cross-engine exact (the estimate's permutation hashes are md5-derived
+    * integers both engines compute bit-identically). */
+  private def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Corpus.overlap(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      docs.where(pmod(col("doc_id"), lit(3)) === 0),
+      "text", k = 64)
+  }
 
   /** Exact per-language quantiles of document length (linear
     * interpolation; the approx_percentile twin is the sketch scale path,
@@ -1108,6 +1231,15 @@ object SparkEntry {
     graft.streaming.Streams.cleanFilterAvailableNow(s, dir)
       .orderBy("doc_id")
 
+  /** Streaming heavy hitters: Misra–Gries summary over the ingest stream
+    * — same kernel as corpus_heavy_hitters, O(capacity) state forever
+    * ([[graft.streaming.Streams.heavyHittersAvailableNow]]); at the
+    * capacity >= vocabulary operating point it equals the batch answer,
+    * so it shares that oracle verbatim. */
+  private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.heavyHittersAvailableNow(s, dir, capacity = 256, k = 25)
+      .orderBy(col("cnt").desc, col("word").asc)
+
   /** Streaming embedding drift monitor: bounded labels x dim running-sum
     * state, drift verdict vs static baseline centroids
     * ([[graft.streaming.Streams.driftMonitorAvailableNow]]). */
@@ -1155,6 +1287,8 @@ object SparkEntry {
     "q5_multijoin" -> (q5Multijoin _),
     "q6_filter" -> (q6Filter _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_window_range" -> (qWindowRange _),
     "q_pivot" -> (qPivot _),
     "q_exists" -> (qExists _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
@@ -1174,6 +1308,7 @@ object SparkEntry {
     "text_repetition" -> (textRepetition _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_extract" -> (textExtract _),
+    "text_normalize" -> (textNormalize _),
     "text_perplexity" -> (textPerplexity _),
     "dedup_lines" -> (dedupLines _),
     "corpus_stats" -> (corpusStats _),
@@ -1184,6 +1319,9 @@ object SparkEntry {
     "corpus_mix" -> (corpusMix _),
     "corpus_ngrams" -> (corpusNgrams _),
     "corpus_cooccurrence" -> (corpusCooccurrence _),
+    "corpus_bpe" -> (corpusBpe _),
+    "corpus_heavy_hitters" -> (corpusHeavyHitters _),
+    "corpus_overlap" -> (corpusOverlap _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
     "corpus_temperature_sample" -> (corpusTemperatureSample _),
     "corpus_quantiles" -> (corpusQuantiles _),
@@ -1254,6 +1392,7 @@ object SparkEntry {
     "stream_dedup_exact" -> (streamDedupExact _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "stream_clean" -> (streamClean _),
+    "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_drift" -> (streamDrift _)
   )
 
@@ -1358,6 +1497,31 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // RANGE frame over floored epoch seconds: peers (same second, same
+    // user) are identical sets on both engines, and the frame sum is an
+    // exact decimal — no float-accumulation order to align
+    "q_window_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec, value
+        |  FROM events)
+        |SELECT event_id, user_id, sec,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv_sum,
+        |  count(*) OVER (
+        |    PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS mv_n
+        |FROM e""".stripMargin,
     // brute-force twin of the prefix-filtered fuzzy join: the signature
     // equi-join's recall-1 guarantee means the candidate pruning must be
     // invisible — identical pair set, identical distances
@@ -1643,6 +1807,18 @@ object SparkEntry {
         |SELECT doc_id, regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
         |  clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars
         |FROM c ORDER BY doc_id""".stripMargin,
+    // the same decomposed-accent injection, then DuckDB's OWN
+    // nfc_normalize/strip_accents — two independent UAX #15
+    // implementations must agree byte-for-byte
+    "text_normalize" ->
+      """WITH i AS (
+        |  SELECT doc_id, text,
+        |    replace(replace(text, 'a', 'a' || chr(769)), 'n', 'n' || chr(771)) AS inj
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, nfc_normalize(inj) AS nfc, strip_accents(inj) AS stripped,
+        |  CAST(length(inj) - length(nfc_normalize(inj)) AS BIGINT) AS n_marks,
+        |  (strip_accents(inj) = text) AS roundtrip
+        |FROM i ORDER BY doc_id""".stripMargin,
     // bigram counts recomputed globally in SQL; per-doc score = left-fold
     // of count*ln(smoothed P) over ASCENDING codes (list ORDER BY code +
     // list_reduce), mirroring the kernel's accumulation order exactly;
@@ -2040,6 +2216,59 @@ object SparkEntry {
         |  FROM w0, unnest(generate_series(1, greatest(len(w)-2, 0))) AS s(i))
         |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
         |ORDER BY cnt DESC, ngram LIMIT 50""".stripMargin,
+    // the 10 BPE iterations unrolled as a CTE chain — same argmax
+    // tie-break, same replace scan semantics (see bpeOracle)
+    "corpus_bpe" -> bpeOracle(10),
+    // Misra-Gries at capacity >= vocabulary is exact, so the plain
+    // word-count top-k IS the oracle (same tokenization as corpus_ngrams)
+    "corpus_heavy_hitters" ->
+      """WITH w0 AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT w[i] AS word
+        |  FROM w0, unnest(generate_series(1, len(w))) AS s(i))
+        |SELECT word, count(*) AS cnt FROM g GROUP BY word
+        |ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+    // the streaming twin runs the identical MG aggregate at the same
+    // exact operating point — the batch oracle applies verbatim
+    "stream_heavy_hitters" ->
+      """WITH w0 AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT w[i] AS word
+        |  FROM w0, unnest(generate_series(1, len(w))) AS s(i))
+        |SELECT word, count(*) AS cnt FROM g GROUP BY word
+        |ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+    // both the exact Jaccard AND the MinHash estimate are recomputed:
+    // permutation i's hash is the first 15 hex chars of md5(i || ':' ||
+    // key) — identical integers on both engines, so min-agreement is
+    // bit-exact, not statistically close
+    "corpus_overlap" ->
+      """WITH ka AS (
+        |  SELECT DISTINCT md5(text) AS key FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |kb AS (
+        |  SELECT DISTINCT md5(text) AS key FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 3 = 0),
+        |c AS (
+        |  SELECT CAST((SELECT count(*) FROM ka) AS BIGINT) AS n_a,
+        |    CAST((SELECT count(*) FROM kb) AS BIGINT) AS n_b,
+        |    CAST((SELECT count(*) FROM ka JOIN kb USING (key)) AS BIGINT) AS n_inter),
+        |ma AS (
+        |  SELECT i, min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key), 1, 15)) AS BIGINT)) AS ha
+        |  FROM ka, unnest(generate_series(0, 63)) AS s(i) GROUP BY i),
+        |mb AS (
+        |  SELECT i, min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || key), 1, 15)) AS BIGINT)) AS hb
+        |  FROM kb, unnest(generate_series(0, 63)) AS s(i) GROUP BY i),
+        |e AS (
+        |  SELECT round(CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS DOUBLE) / 64.0, 6) AS jaccard_est
+        |  FROM ma JOIN mb USING (i))
+        |SELECT n_a, n_b, n_inter,
+        |  round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard_exact,
+        |  jaccard_est
+        |FROM c, e""".stripMargin,
     // weighted sampling: 2^32 md5 bucket in [0,10000) accepted below
     // quality*100 — all-integer, so the same rows survive on any engine
     // thresholds recomputed with the IDENTICAL double-op sequence (sqrt

@@ -523,6 +523,30 @@ case class TermFreqsExpr(child: Expression, terms: Array[String]) extends UnaryE
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition). */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.nfcNormalize(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nfcNormalize($c)")
+  override def prettyName: String = "nfc_normalize"
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+/** Accent stripping: NFD then drop non-spacing marks (category Mn). */
+case class StripAccentsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.stripAccents(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.stripAccents($c)")
+  override def prettyName: String = "strip_accents"
+  override protected def withNewChildInternal(newChild: Expression): StripAccentsExpr =
+    copy(child = newChild)
+}
+
 /** Column-typed API over the custom expressions. */
 object gf {
   private def u(c: Column)(f: Expression => Expression): Column =
@@ -580,6 +604,12 @@ object gf {
 
   /** Regroup words into k-word lines (deterministic line derivation). */
   def regroupLines(text: Column, k: Int): Column = u(text)(RegroupLinesExpr(_, k))
+
+  /** Unicode NFC normalization. */
+  def nfcNormalize(text: Column): Column = u(text)(NfcNormalizeExpr(_))
+
+  /** Accent stripping (NFD + drop combining marks). */
+  def stripAccents(text: Column): Column = u(text)(StripAccentsExpr(_))
 
   /** FNV-1a 64 fingerprints of normalized nonempty lines. */
   def lineFps(text: Column): Column = u(text)(LineFpsExpr(_))

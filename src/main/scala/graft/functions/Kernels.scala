@@ -1305,4 +1305,40 @@ object Kernels {
     while (i < terms.length) { out(i + 1) = tf(i); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Unicode NFC normalization (canonical composition): decomposed
+    * sequences like 'e' + U+0301 become the precomposed 'é'. Matches
+    * DuckDB's nfc_normalize (both implement UAX #15), which is what makes
+    * the text_normalize oracle cross-engine. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Accent stripping: canonical decomposition (NFD) then drop every
+    * non-spacing combining mark (Unicode category Mn) — 'é'/'ñ'/'ü' fold
+    * to 'e'/'n'/'u'; characters without a canonical decomposition (ø, ß)
+    * pass through, matching DuckDB strip_accents' conservative utf8proc
+    * behavior on the same set. */
+  def stripAccents(text: UTF8String): UTF8String = {
+    val d = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFD)
+    var hasMark = false
+    var i = 0
+    while (i < d.length && !hasMark) {
+      if (Character.getType(d.charAt(i)) == Character.NON_SPACING_MARK) hasMark = true
+      i += 1
+    }
+    if (!hasMark) return text
+    val sb = new java.lang.StringBuilder(d.length)
+    i = 0
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(sb.toString,
+      java.text.Normalizer.Form.NFC))
+  }
 }

@@ -532,4 +532,137 @@ object Corpus {
     filterDrop.unionByName(exactDrop).unionByName(nearDrop)
       .unionByName(contaminatedDrop).unionByName(kept)
   }
+
+  /** Bounded-memory top-k heavy hitters over the corpus word stream
+    * (Misra–Gries summary as a typed aggregate).
+    *
+    * The scale contrast with [[topNgrams]]: a groupBy keeps a partial
+    * counter per DISTINCT key per task and shuffles all of them — fine for
+    * a bounded vocabulary, unbounded for open key domains (URLs, hosts,
+    * templates, license strings). Here each map task keeps ONE
+    * capacity-bounded summary, the shuffle moves at most `capacity`
+    * entries per partition, and the reduce merges summaries — memory and
+    * network are O(capacity) regardless of how many distinct keys 100 TB
+    * holds. At capacity >= distinct-items the counts are exact and
+    * layout-independent (the catalog operating point); below it every
+    * count under-estimates by at most n/(capacity+1). */
+  def heavyHitters(docs: DataFrame, textCol: String, capacity: Int, k: Int): DataFrame = {
+    require(capacity > 0 && k > 0, "need capacity > 0 and k > 0")
+    docs
+      .where(col(textCol).isNotNull)
+      .select(explode(graft.functions.gf.ngramsAll(col(textCol), 1)).as("w"))
+      .agg(graft.functions.MisraGriesAgg.summary(col("w"), capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("word"), col("e.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(k)
+  }
+
+  /** BPE merge training (Sennrich 2016) at corpus scale — the
+    * tokenizer-vocabulary construction step of an LLM data pipeline.
+    *
+    * The scale-critical move: the corpus reduces ONCE to the word-frequency
+    * vocabulary (word, cnt) — one map-side-combined groupBy — and every
+    * merge iteration runs over the VOCABULARY, which is orders of magnitude
+    * smaller than the corpus and shrinks further as merges fuse symbols.
+    * Per iteration: adjacent-symbol-pair counts weighted by word frequency
+    * (one partial-aggregated groupBy over vocab rows), argmax by
+    * (count desc, pair asc) — a 1-row driver constant, the codebook-load
+    * pattern — then the merge applied as a narrow literal-replace map.
+    *
+    * Words are DOUBLE-spaced symbol strings (' h  e  l  l  o '): merging
+    * pair (a,b) replaces ' a  b ' with ' ab '. The double separator is
+    * what makes plain left-to-right non-overlapping replacement equal TRUE
+    * greedy BPE merging: each match consumes one space from either side,
+    * leaving one for the neighboring match, so ' a  b  a  b ' merges BOTH
+    * occurrences and ' l  l  l ' merges greedily left (' ll  l ') —
+    * single-space separators would silently skip alternate occurrences.
+    * DuckDB's replace() has the identical scan semantics, which is what
+    * makes the unrolled SQL oracle exact.
+    *
+    * Returns the merge table: (step, pair, merged, cnt), step 1..merges —
+    * the artifact a tokenizer builds its vocab from. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges > 0, "need merges > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .where(col(textCol).isNotNull)
+      .select(explode(graft.functions.gf.ngramsAll(col(textCol), 1)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")).as("r"),
+        col("cnt"))
+      .localCheckpoint(eager = true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = vocab
+        .select(split(trim(col("r")), "  ").as("w"), col("cnt"))
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (x, y) -> concat(x, ' ', y))"))
+          .as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val c = best(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        out += ((step, pair, merged, c))
+        val Array(a, b) = pair.split(" ", 2)
+        val pat = java.util.regex.Pattern.quote(s" $a  $b ")
+        val rep = java.util.regex.Matcher.quoteReplacement(s" $merged ")
+        vocab = vocab
+          .select(regexp_replace(col("r"), pat, rep).as("r"), col("cnt"))
+          .localCheckpoint(eager = true)
+        step += 1
+      }
+    }
+    out.toSeq.toDF("step", "pair", "merged", "cnt")
+      .select(col("step").cast("long").as("step"), col("pair"), col("merged"), col("cnt"))
+  }
+
+  /** Corpus-overlap profile between two corpora (train/val leakage triage
+    * at corpus granularity, the pre-decontamination sanity check): exact
+    * distinct-content Jaccard plus a k-permutation MinHash estimate of the
+    * same quantity, in one row.
+    *
+    * The estimate is the scale path: each side reduces to k 64-bit minima
+    * (one narrow pass over distinct keys + a map-side-combined min per
+    * permutation — the shuffle carries k rows per partition), so two
+    * corpora can be compared without ever joining them. Permutation i's
+    * hash is a md5-derived 60-bit integer — pure string arithmetic both
+    * engines compute bit-identically, so even the ESTIMATE is
+    * cross-engine exact, not just statistically close. The exact
+    * inter/union counts (one distinct-key semi-join) are the verify twin
+    * the estimate is judged against. */
+  def overlap(a: DataFrame, b: DataFrame, textCol: String, k: Int = 64): DataFrame = {
+    require(k > 0, "need k > 0")
+    def keys(df: DataFrame): DataFrame =
+      df.where(col(textCol).isNotNull).select(md5(col(textCol)).as("key")).distinct()
+    val ka = keys(a).localCheckpoint(eager = true)
+    val kb = keys(b).localCheckpoint(eager = true)
+    def mins(keysDf: DataFrame, out: String): DataFrame =
+      keysDf
+        .select(explode(sequence(lit(0), lit(k - 1))).as("i"), col("key"))
+        .select(col("i"),
+          conv(substring(md5(concat(col("i").cast("string"), lit(":"), col("key"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("i").agg(min(col("h")).as(out))
+    val est = mins(ka, "ha").join(mins(kb, "hb"), Seq("i"))
+      .agg(round(sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).cast("double") / lit(k.toDouble), 6)
+        .as("jaccard_est"))
+    val counts = ka.agg(count(lit(1)).as("n_a"))
+      .crossJoin(kb.agg(count(lit(1)).as("n_b")))
+      .crossJoin(ka.join(kb, Seq("key"), "left_semi").agg(count(lit(1)).as("n_inter")))
+    counts.crossJoin(est)
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6)
+          .as("jaccard_exact"),
+        col("jaccard_est"))
+  }
 }

@@ -462,6 +462,34 @@ object Streams {
     runToMemory(decided, "graft_stream_clean", "append")
   }
 
+  /** Streaming heavy hitters: the corpus word-frequency summary maintained
+    * continuously over the document ingest stream — the SAME Misra–Gries
+    * typed aggregate as the batch `corpus_heavy_hitters`, so streaming and
+    * batch frequency profiles can never disagree (at capacity >=
+    * distinct-items both are exact; the driver oracle point). State is ONE
+    * capacity-bounded summary buffer held by the streaming aggregation's
+    * state store — O(capacity) rows forever, no matter how many distinct
+    * keys or documents the stream carries: the open-key-domain monitoring
+    * shape ("top templates/URLs right now" over an unbounded ingest) where
+    * per-key streaming word-count state would grow without bound. Complete
+    * output mode re-emits the summary each micro-batch. */
+  def heavyHittersAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      capacity: Int = 256,
+      k: Int = 25): DataFrame = {
+    val words = streamTable(spark, sfDir, "documents.parquet")
+      .where(col("text").isNotNull)
+      .select(explode(graft.functions.gf.ngramsAll(col("text"), 1)).as("w"))
+    val summary = words
+      .agg(graft.functions.MisraGriesAgg.summary(col("w"), capacity).as("hh"))
+    runToMemory(summary, "graft_stream_hh", "complete")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("word"), col("e.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(k)
+  }
+
   /** Streaming contamination monitor: a document ingest stream checked
     * against a STATIC eval battery — the intake-pipeline alerting shape
     * (flag eval-contaminated documents as they arrive, before they land

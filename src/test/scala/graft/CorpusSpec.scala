@@ -318,4 +318,79 @@ class CorpusSpec extends SparkSpec {
       graft.ops.Corpus.temperatureSample(df, "doc_id", "lang", 0)
     }
   }
+
+  test("bpeTrain: hand-computed merges, greedy-left grouping, early exhaustion") {
+    import spark.implicits._
+    // words: "abab" x2, "ab" x1 -> pair (a,b) count 5, then (ab,ab) count 2
+    val df = Seq("abab abab", "ab").toDF("text")
+    val got = Corpus.bpeTrain(df, "text", merges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, "a b", "ab", 5L), (2L, "ab ab", "abab", 2L)))
+    // greedy-left: 'aaa' merges (a,a) twice -> 'aa a', then (aa,a)
+    val g = Corpus.bpeTrain(Seq("aaa").toDF("text"), "text", merges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(g === Seq((1L, "a a", "aa", 2L), (2L, "aa a", "aaa", 1L)))
+    // layout independence
+    val a = Corpus.bpeTrain(docs, "text", merges = 4).collect().map(_.toSeq).toSeq
+    val b = Corpus.bpeTrain(docs.repartition(9), "text", merges = 4).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("heavyHitters: exact at capacity >= vocab, layout-independent") {
+    val exact = docs.where(col("text").isNotNull)
+      .select(explode(graft.functions.gf.ngramsAll(col("text"), 1)).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hh = Corpus.heavyHitters(docs, "text", capacity = 256, k = exact.size + 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh === exact)
+    val hh2 = Corpus.heavyHitters(docs.repartition(11), "text", capacity = 256, k = exact.size + 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh2 === exact)
+  }
+
+  test("heavyHitters: under capacity every count under-estimates by <= n/(c+1)") {
+    val exact = docs.where(col("text").isNotNull)
+      .select(explode(graft.functions.gf.ngramsAll(col("text"), 1)).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val cap = 8 // vocabulary is 31 words — forces the decrement path
+    val hh = Corpus.heavyHitters(docs, "text", capacity = cap, k = cap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.nonEmpty && hh.size <= cap)
+    val bound = n / (cap + 1)
+    hh.foreach { case (w, est) =>
+      val truth = exact.getOrElse(w, 0L)
+      assert(est <= truth, s"$w: est $est exceeds true $truth")
+      assert(est >= truth - bound, s"$w: est $est below true $truth - bound $bound")
+    }
+    // any item with true count above the bound is guaranteed present
+    exact.filter(_._2 > bound).keys.foreach { w =>
+      assert(hh.contains(w), s"guaranteed heavy hitter $w missing")
+    }
+  }
+
+  test("overlap: exact counts and estimate on a constructed corpus") {
+    // A = {1..60}, B = {41..100}: inter 20, union 100, J = 0.2
+    val a = (1 to 60).map(i => (i.toLong, s"content-$i")).toDF("doc_id", "text")
+    val b = (41 to 100).map(i => (i.toLong, s"content-$i")).toDF("doc_id", "text")
+    val r = Corpus.overlap(a, b, "text", k = 64).collect().head
+    assert(r.getAs[Long]("n_a") === 60L)
+    assert(r.getAs[Long]("n_b") === 60L)
+    assert(r.getAs[Long]("n_inter") === 20L)
+    assert(r.getAs[Double]("jaccard_exact") === 0.2)
+    val est = r.getAs[Double]("jaccard_est")
+    // k=64 MinHash: std ~ sqrt(J(1-J)/k) ~ 0.05; allow 4 sigma
+    assert(math.abs(est - 0.2) < 0.2, s"estimate $est far from 0.2")
+    // layout independence: the estimate is md5-deterministic
+    val r2 = Corpus.overlap(a.repartition(7), b.repartition(3), "text", k = 64).collect().head
+    assert(r2.getAs[Double]("jaccard_est") === est)
+    // disjoint corpora: zero everywhere
+    val d = Corpus.overlap(a, a.withColumn("text", concat(col("text"), lit("-x"))), "text", 32)
+      .collect().head
+    assert(d.getAs[Long]("n_inter") === 0L)
+    assert(d.getAs[Double]("jaccard_exact") === 0.0)
+    assert(d.getAs[Double]("jaccard_est") === 0.0)
+  }
 }

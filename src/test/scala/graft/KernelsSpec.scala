@@ -126,6 +126,41 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.jaccardSortedFps(a, b) === 0.5)
   }
 
+  test("nfcNormalize composes decomposed sequences; stripAccents folds marks only") {
+    // e + combining acute -> precomposed é
+    assert(Kernels.nfcNormalize(u("é")).toString === "é")
+    // already-NFC input passes through unchanged (same object, no copy)
+    val composed = u("café")
+    assert(Kernels.nfcNormalize(composed) eq composed)
+    assert(Kernels.stripAccents(u("é")).toString === "e")
+    assert(Kernels.stripAccents(u("café niño über")).toString === "cafe nino uber")
+    // characters WITHOUT a canonical decomposition pass through (the
+    // conservative contract DuckDB's strip_accents shares)
+    assert(Kernels.stripAccents(u("øß")).toString === "øß")
+    // pure ASCII short-circuits untouched
+    val ascii = u("plain ascii")
+    assert(Kernels.stripAccents(ascii) eq ascii)
+  }
+
+  test("MGSummary: merge over capacity keeps the bound; weighted add decrements") {
+    import graft.functions.MGSummary
+    val a = new MGSummary(3)
+    Seq("x", "x", "x", "y", "y", "z").foreach(a.add(_, 1L))
+    val b = new MGSummary(3)
+    Seq("w", "w", "w", "w", "y", "q").foreach(b.add(_, 1L))
+    a.mergeFrom(b)
+    assert(a.counts.size <= 3)
+    // x(3) and w(4) dominate; after the (c+1)-th-largest subtraction they
+    // must survive with under-estimates
+    assert(a.counts.containsKey("x") && a.counts.containsKey("w"))
+    assert(a.counts.get("x") <= 3L && a.counts.get("w") <= 4L)
+    // full decrement path: inserting into a full summary with a large min
+    val c = new MGSummary(2)
+    c.add("a", 5L); c.add("b", 5L)
+    c.add("c", 1L) // decrements both by 1, c not inserted
+    assert(c.counts.get("a") === 4L && c.counts.get("b") === 4L && !c.counts.containsKey("c"))
+  }
+
   test("termFreqs: dl and per-term token-equality counts in one pass") {
     val out = Kernels.termFreqs(u("Spark spark JOIN sparkle  join spark"), Array("spark", "join"))
       .toLongArray()

@@ -252,4 +252,15 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_.getBoolean(3)))
     got.foreach(r => assert(r.getBoolean(3) === (r.getDouble(2) < 0.1)))
   }
+
+  test("streaming heavy hitters equals the batch Misra-Gries summary at the exact point") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.heavyHittersAvailableNow(spark, sfDir, capacity = 256, k = 25)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val batch = graft.ops.Corpus.heavyHitters(
+        graft.io.Tables.table(spark, sfDir, "documents"), "text", capacity = 256, k = 25)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
