@@ -525,6 +525,13 @@ object SparkEntry {
     graft.ops.Corpus.bpeTrain(t(s, dir, "documents"), "text", merges = 10)
       .orderBy("step")
 
+  /** BPE tokenization (the apply step: train once on the vocab, tokenize
+    * the corpus through a broadcast word->symbol-count join): per-doc
+    * word and BPE token counts under the same 10 trained merges. */
+  private def corpusBpeTokenize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Corpus.bpeTokenize(t(s, dir, "documents"), "text", "doc_id", merges = 10)
+      .orderBy("doc_id")
+
   /** Generates the unrolled BPE oracle: v0 = the double-spaced symbol
     * vocabulary, then per step i a pair-count CTE, an argmax CTE, and the
     * merged vocabulary — the same (count desc, pair asc) tie-break and
@@ -532,6 +539,15 @@ object SparkEntry {
     * engine. Multiply-referenced CTEs are MATERIALIZED so the 10-level
     * chain does not inline exponentially. */
   private def bpeOracle(steps: Int): String = {
+    val union = (1 to steps)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt FROM b$i")
+      .mkString(" UNION ALL ")
+    bpeChain(steps) + s"\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  /** The shared WITH-chain prefix of the BPE oracles (words, v0, then
+    * p_i/b_i/v_i per step). */
+  private def bpeChain(steps: Int): String = {
     val head = Seq(
       """WITH words AS MATERIALIZED (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
@@ -548,11 +564,21 @@ object SparkEntry {
         s"b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1)",
         s"""v$i AS MATERIALIZED (SELECT replace(r, ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ', ' ' || replace(pair, ' ', '') || ' ') AS r, cnt FROM v${i - 1}, b$i)""")
     }
-    val union = (1 to steps)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS cnt FROM b$i")
-      .mkString(" UNION ALL ")
-    (head ++ stages).mkString(",\n") + s"\nSELECT * FROM ($union) ORDER BY step"
+    (head ++ stages).mkString(",\n")
   }
+
+  /** BPE tokenization oracle: the same merge chain, then the post-merge
+    * vocabulary (word -> symbol count) joined back to the corpus word
+    * stream. */
+  private def bpeTokenizeOracle(steps: Int): String =
+    bpeChain(steps) +
+      s""",
+         |ws AS (SELECT replace(r, ' ', '') AS word, len(string_split(trim(r), '  ')) AS n_sym FROM v$steps),
+         |dw AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN ws USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Bounded-memory heavy hitters (Misra–Gries typed aggregate): top-25
     * words with capacity 256 — far above the corpus vocabulary, so the
@@ -911,6 +937,14 @@ object SparkEntry {
         "doc_id")
       .select(col("keeper_id"), col("n_copies"))
       .orderBy("keeper_id")
+
+  /** Pixel-tier 2x2 average-pool resize over synthetic rasters
+    * ([[graft.ops.Multimodal.poolRasters]]): the pool kernel reads dims
+    * from the payload header BYTES; the oracle recomputes pooled values
+    * from the pixel formula without ever seeing bytes. */
+  private def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.poolRasters(t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      .orderBy("doc_id")
 
   /** LSH ANN at its full-recall operating point (bits=3, tables=48
     * recovers the exact top-5 for every query here), so the brute-force
@@ -1320,6 +1354,7 @@ object SparkEntry {
     "corpus_ngrams" -> (corpusNgrams _),
     "corpus_cooccurrence" -> (corpusCooccurrence _),
     "corpus_bpe" -> (corpusBpe _),
+    "corpus_bpe_tokenize" -> (corpusBpeTokenize _),
     "corpus_heavy_hitters" -> (corpusHeavyHitters _),
     "corpus_overlap" -> (corpusOverlap _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
@@ -1368,6 +1403,7 @@ object SparkEntry {
     "ann_range" -> (annRange _),
     "ann_range_lsh" -> (annRangeLsh _),
     "multimodal_dedup" -> (multimodalDedup _),
+    "multimodal_resize" -> (multimodalResize _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_full" -> (annIvfFull _),
@@ -2021,6 +2057,24 @@ object SparkEntry {
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY doc_id % 4, text
         |ORDER BY keeper_id""".stripMargin,
+    // pooled values recomputed from the pixel formula
+    // p(x,y) = (x*31 + y*17 + doc_id*13) mod 256 — the engine's kernel
+    // must parse the same dims from header bytes and pool identically
+    "multimodal_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id, (8 + doc_id % 5) // 2 AS ow, (6 + doc_id % 3) // 2 AS oh
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, ow, oh, x, y,
+        |    (((2*x)*31   + (2*y)*17   + doc_id*13) % 256
+        |   + ((2*x+1)*31 + (2*y)*17   + doc_id*13) % 256
+        |   + ((2*x)*31   + (2*y+1)*17 + doc_id*13) % 256
+        |   + ((2*x+1)*31 + (2*y+1)*17 + doc_id*13) % 256) // 4 AS pooled
+        |  FROM g, unnest(generate_series(0, ow - 1)) sx(x),
+        |    unnest(generate_series(0, oh - 1)) sy(y))
+        |SELECT doc_id, CAST(max(ow) AS BIGINT) AS out_w, CAST(max(oh) AS BIGINT) AS out_h,
+        |  CAST(sum(pooled * (1 + x + y * ow)) AS BIGINT) AS pool_checksum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2219,6 +2273,7 @@ object SparkEntry {
     // the 10 BPE iterations unrolled as a CTE chain — same argmax
     // tie-break, same replace scan semantics (see bpeOracle)
     "corpus_bpe" -> bpeOracle(10),
+    "corpus_bpe_tokenize" -> bpeTokenizeOracle(10),
     // Misra-Gries at capacity >= vocabulary is exact, so the plain
     // word-count top-k IS the oracle (same tokenization as corpus_ngrams)
     "corpus_heavy_hitters" ->

@@ -370,6 +370,38 @@ case class MediaContainerExpr(left: Expression, right: Expression) extends Binar
     copy(left = l, right = r)
 }
 
+/** Synthetic grayscale raster payload from a doc id (formulaic pixels —
+  * the SQL-verifiable stand-in for a decoded image plane). */
+case class RasterContainerExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(docId: Any): Any =
+    Kernels.rasterContainer(docId.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.rasterContainer($c)")
+  override def prettyName: String = "raster_container"
+  override protected def withNewChildInternal(newChild: Expression): RasterContainerExpr =
+    copy(child = newChild)
+}
+
+/** 2x2 integer average-pool over a raster payload:
+  * [out_w, out_h, position-weighted checksum]; null on malformed header. */
+case class RasterPool2x2Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(payload: Any): Any =
+    Kernels.rasterPool2x2(payload.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.Kernels.rasterPool2x2($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  override def prettyName: String = "raster_pool_2x2"
+  override protected def withNewChildInternal(newChild: Expression): RasterPool2x2Expr =
+    copy(child = newChild)
+}
+
 /** Real media header decode (PNG IHDR / JPEG SOF / WAV fmt / GIF LSD):
   * struct(format, width, height, sample_rate, channels, bit_depth). */
 case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
@@ -690,4 +722,10 @@ object gf {
   /** Decode a media header: struct(format, width, height, sample_rate,
     * channels, bit_depth); unparseable bytes -> ("unknown", 0...). */
   def mediaHeader(bytes: Column): Column = u(bytes)(MediaHeaderExpr(_))
+
+  /** Synthetic raster payload from a doc id. */
+  def rasterContainer(docId: Column): Column = u(docId)(RasterContainerExpr(_))
+
+  /** 2x2 average-pool of a raster payload: [out_w, out_h, checksum]. */
+  def rasterPool2x2(bytes: Column): Column = u(bytes)(RasterPool2x2Expr(_))
 }

@@ -1306,6 +1306,59 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Synthetic grayscale raster: 4-byte header ('G','8', width, height —
+    * dims 8..12 x 6..8 derived from the doc id) followed by row-major
+    * pixel bytes p(x,y) = (x*31 + y*17 + docId*13) mod 256. The
+    * deterministic stand-in for a decoded image plane: formulaic pixels
+    * let a SQL oracle verify pixel arithmetic end-to-end without a codec. */
+  def rasterContainer(docId: Long): Array[Byte] = {
+    val w = (8 + (docId % 5)).toInt
+    val h = (6 + (docId % 3)).toInt
+    val out = new Array[Byte](4 + w * h)
+    out(0) = 'G'; out(1) = '8'; out(2) = w.toByte; out(3) = h.toByte
+    var y = 0
+    var i = 4
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(i) = ((x * 31 + y * 17 + docId * 13) % 256).toByte
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real 2x2 average-pool over a raster payload (the resize kernel's
+    * integer core): parses dims from the header bytes, floor-truncates odd
+    * edges, pools with integer floor division, and returns
+    * [out_w, out_h, checksum] where checksum position-weights each pooled
+    * value (Σ pooled(x,y) * (1 + x + y*out_w)) so a transposed or shifted
+    * pool cannot collide. Returns null on a malformed header. */
+  def rasterPool2x2(payload: Array[Byte]): ArrayData = {
+    if (payload.length < 4 || payload(0) != 'G' || payload(1) != '8') return null
+    val w = payload(2) & 0xff
+    val h = payload(3) & 0xff
+    if (payload.length < 4 + w * h) return null
+    val ow = w / 2
+    val oh = h / 2
+    var checksum = 0L
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val base = 4 + 2 * y * w + 2 * x
+        val s = (payload(base) & 0xff) + (payload(base + 1) & 0xff) +
+          (payload(base + w) & 0xff) + (payload(base + w + 1) & 0xff)
+        checksum += (s / 4).toLong * (1L + x + y.toLong * ow)
+        x += 1
+      }
+      y += 1
+    }
+    new GenericArrayData(Array[Long](ow.toLong, oh.toLong, checksum))
+  }
+
   /** Unicode NFC normalization (canonical composition): decomposed
     * sequences like 'e' + U+0301 become the precomposed 'é'. Matches
     * DuckDB's nfc_normalize (both implement UAX #15), which is what makes

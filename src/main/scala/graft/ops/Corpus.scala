@@ -582,7 +582,16 @@ object Corpus {
     *
     * Returns the merge table: (step, pair, merged, cnt), step 1..merges —
     * the artifact a tokenizer builds its vocab from. */
-  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame =
+    bpeTrainImpl(docs, textCol, merges)._1
+
+  /** [[bpeTrain]] plus the post-merge vocabulary state: one row per
+    * distinct word with its double-spaced symbol representation after all
+    * merges — what [[bpeTokenize]] joins against. */
+  private def bpeTrainImpl(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int): (DataFrame, DataFrame) = {
     require(merges > 0, "need merges > 0")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -622,8 +631,37 @@ object Corpus {
         step += 1
       }
     }
-    out.toSeq.toDF("step", "pair", "merged", "cnt")
+    val mergeTable = out.toSeq.toDF("step", "pair", "merged", "cnt")
       .select(col("step").cast("long").as("step"), col("pair"), col("merged"), col("cnt"))
+    (mergeTable, vocab)
+  }
+
+  /** BPE tokenization — the APPLY step (train once, tokenize the whole
+    * corpus): per document, the word count and the BPE token count under
+    * `merges` trained merges.
+    *
+    * The deployment-scale shape: merges train on the vocabulary
+    * ([[bpeTrain]]), the post-merge vocabulary (word -> symbol count) is
+    * a VOCAB-sized table broadcast against the corpus word stream, and
+    * the per-doc rollup is one partial-aggregated groupBy on doc id — the
+    * corpus is scanned once and never shuffled beyond (id, counts). This
+    * is how a 100 TB corpus gets token-budgeted for training without
+    * running the merge loop anywhere near corpus scale. */
+  def bpeTokenize(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Int): DataFrame = {
+    val (_, vocab) = bpeTrainImpl(docs, textCol, merges)
+    val wordSyms = vocab.select(
+      regexp_replace(col("r"), " ", "").as("word"),
+      size(split(trim(col("r")), "  ")).cast("long").as("n_sym"))
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), explode(graft.functions.gf.ngramsAll(col(textCol), 1)).as("word"))
+      .join(broadcast(wordSyms), Seq("word"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
   }
 
   /** Corpus-overlap profile between two corpora (train/val leakage triage

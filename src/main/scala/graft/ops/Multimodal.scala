@@ -127,6 +127,24 @@ object Multimodal {
       .withColumn("resized_height", floor(col("height") * scale).cast("int"))
   }
 
+  /** Pixel-tier 2x2 average-pool resize over raster payloads — the
+    * integer core of an image-downsample stage, run for real: the payload
+    * is a synthetic grayscale plane (formulaic pixels, [[graft.functions
+    * .Kernels.rasterContainer]]), the pool kernel parses dims from the
+    * header BYTES and floor-pools 2x2 blocks ([[graft.functions.Kernels
+    * .rasterPool2x2]]). One narrow codegen map — the plan shape a
+    * codec-backed decode+resize keeps unchanged. The position-weighted
+    * checksum pins every pooled value to its coordinate, so the SQL
+    * oracle (recomputing from the pixel formula, never seeing bytes)
+    * verifies parse + pooling arithmetic end-to-end. */
+  def poolRasters(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+        gf.rasterPool2x2(gf.rasterContainer(col(idCol).cast("long"))).as("p"))
+      .select(col(idCol),
+        element_at(col("p"), 1).as("out_w"),
+        element_at(col("p"), 2).as("out_h"),
+        element_at(col("p"), 3).as("pool_checksum"))
+
   /** Exact media dedup: group binary payloads by content hash (the
     * "same file re-uploaded" shape — dedup before any decode work), one
     * row per distinct payload with the min-id keeper. Identical to

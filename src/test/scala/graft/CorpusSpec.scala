@@ -336,6 +336,21 @@ class CorpusSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bpeTokenize: per-doc counts under trained merges on a hand corpus") {
+    import spark.implicits._
+    // merges learned: (a,b)->ab then (ab,ab)->abab; both words collapse
+    // to single symbols, so token count = word count
+    val df = Seq((1L, "abab abab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = Corpus.bpeTokenize(df, "text", "doc_id", merges = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 2L), (2L, 1L, 1L)))
+    // one merge only: "abab" = [ab, a, b] -> wait, greedy merges BOTH (a,b)
+    // pairs: [ab, ab] = 2 symbols; "ab" = 1
+    val one = Corpus.bpeTokenize(df, "text", "doc_id", merges = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one === Set((1L, 2L, 4L), (2L, 1L, 1L)))
+  }
+
   test("heavyHitters: exact at capacity >= vocab, layout-independent") {
     val exact = docs.where(col("text").isNotNull)
       .select(explode(graft.functions.gf.ngramsAll(col("text"), 1)).as("w"))

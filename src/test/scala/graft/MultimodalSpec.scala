@@ -126,6 +126,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions === 7)
     assert(out.count() === 100)
   }
+  test("rasterPool2x2: hand-computed pool, odd-edge truncation, malformed -> null") {
+    import graft.functions.Kernels
+    // doc_id 0: w=8, h=6 -> out 4x3; pixel p(x,y) = (x*31 + y*17) % 256
+    val payload = Kernels.rasterContainer(0L)
+    assert(payload(0) === 'G'.toByte && payload(2) === 8.toByte && payload(3) === 6.toByte)
+    val pooled = Kernels.rasterPool2x2(payload).toLongArray()
+    assert(pooled(0) === 4L && pooled(1) === 3L)
+    def p(x: Int, y: Int): Long = (x * 31 + y * 17) % 256
+    var want = 0L
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val s = p(2 * x, 2 * y) + p(2 * x + 1, 2 * y) + p(2 * x, 2 * y + 1) + p(2 * x + 1, 2 * y + 1)
+      want += (s / 4) * (1L + x + y * 4)
+    }
+    assert(pooled(2) === want)
+    // odd width (doc_id 1 -> w=9, h=7): floor-truncated to 4x3
+    val odd = Kernels.rasterPool2x2(Kernels.rasterContainer(1L)).toLongArray()
+    assert(odd(0) === 4L && odd(1) === 3L)
+    // malformed headers decode as null, not garbage
+    assert(Kernels.rasterPool2x2(Array[Byte]('X', '8', 2, 2)) === null)
+    assert(Kernels.rasterPool2x2(Array[Byte]('G', '8', 100, 100, 0)) === null)
+    assert(Kernels.rasterPool2x2(Array[Byte]('G')) === null)
+  }
+
   test("exactDedup groups identical payloads only (same format AND same body)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
