@@ -938,6 +938,43 @@ object SparkEntry {
       .select(col("keeper_id"), col("n_copies"))
       .orderBy("keeper_id")
 
+  /** UNPIVOT (wide metrics -> long key/value rows — the melt step feeding
+    * metric stores and per-metric aggregation): Catalyst Expand replicates
+    * each row once per value column map-side — no join, no shuffle; the
+    * inverse of q_pivot. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .unpivot(Array(col("doc_id")), Array(col("n_chars"), col("n_tokens")), "metric", "value")
+      .orderBy("doc_id", "metric")
+
+  /** URL dedup over deterministically synthesized crawl URLs (the
+    * multimodal convention: structurally real inputs, real kernel). Each
+    * doc gets a URL with scheme-case / default-port / trailing-slash /
+    * param-order / utm-tracking variants driven by doc_id residues;
+    * [[graft.ops.Dedup.urlDedup]] must collapse all variants of the same
+    * resource. The oracle derives the canonical form INDEPENDENTLY from
+    * the residue formula — it never parses the URL, so the kernel's
+    * parse + normalize chain is verified end-to-end. */
+  private def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val scheme = when(pmod(id, lit(2)) === 0, lit("https")).otherwise(lit("HTTPS"))
+    val port = when(pmod(id, lit(11)) === 0, lit(":443")).otherwise(lit(""))
+    val path = concat(lit("/p"), pmod(id, lit(7)).cast("string"),
+      when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")))
+    val ref = pmod(id, lit(7)).cast("string")
+    val query = when(pmod(id, lit(5)) === 0,
+      concat(lit("?ref="), ref, lit("&utm_source=feed")))
+      .otherwise(concat(lit("?utm_source=feed&ref="), ref))
+    val url = concat(scheme, lit("://"), col("source"), lit(".Example.COM"), port, path, query)
+    Dedup.urlDedup(
+        t(s, dir, "documents").select(id, col("source"), url.as("url")),
+        "url", "doc_id")
+      .orderBy("canonical_url")
+  }
+
   /** Pixel-tier 2x2 average-pool resize over synthetic rasters
     * ([[graft.ops.Multimodal.poolRasters]]): the pool kernel reads dims
     * from the payload header BYTES; the oracle recomputes pooled values
@@ -1324,6 +1361,7 @@ object SparkEntry {
     "q_cube" -> (qCube _),
     "q_window_range" -> (qWindowRange _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_exists" -> (qExists _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
@@ -1364,6 +1402,7 @@ object SparkEntry {
     "corpus_filter" -> (corpusFilter _),
     "corpus_clean" -> (corpusClean _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_url" -> (dedupUrl _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
@@ -1608,6 +1647,18 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // melt as UNION ALL — metric names match Spark's unpivot (the source
+    // column names), token count shares text_tokens' formulation
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, metric, value FROM (
+        |  SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM m
+        |  UNION ALL
+        |  SELECT doc_id, 'n_tokens' AS metric, n_tokens AS value FROM m)
+        |ORDER BY doc_id, metric""".stripMargin,
     // centroid lists rebuilt with the same decimal-exact sums (VARCHAR
     // hop, see corpus_centroids), cosine against them via DuckDB's
     // double-accumulating list_cosine_similarity (order-matching: the
@@ -1927,6 +1978,17 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key,
         |  min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
+    // the canonical form derived from the residue formula, never by
+    // parsing — scheme case, :443, trailing slash, param order, and utm_*
+    // must all vanish through the engine's kernel for the groups to match
+    "dedup_url" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/p' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH norm AS (
         |  SELECT doc_id AS id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w

@@ -370,6 +370,19 @@ case class MediaContainerExpr(left: Expression, right: Expression) extends Binar
     copy(left = l, right = r)
 }
 
+/** URL canonicalization: lowercase scheme/host, strip default ports and
+  * trailing slash, drop utm_* params, sort the rest. */
+case class CanonicalizeUrlExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.canonicalizeUrl(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.canonicalizeUrl($c)")
+  override def prettyName: String = "canonicalize_url"
+  override protected def withNewChildInternal(newChild: Expression): CanonicalizeUrlExpr =
+    copy(child = newChild)
+}
+
 /** Synthetic grayscale raster payload from a doc id (formulaic pixels —
   * the SQL-verifiable stand-in for a decoded image plane). */
 case class RasterContainerExpr(child: Expression) extends UnaryExpression {
@@ -722,6 +735,9 @@ object gf {
   /** Decode a media header: struct(format, width, height, sample_rate,
     * channels, bit_depth); unparseable bytes -> ("unknown", 0...). */
   def mediaHeader(bytes: Column): Column = u(bytes)(MediaHeaderExpr(_))
+
+  /** Canonical form of a URL column. */
+  def canonicalizeUrl(url: Column): Column = u(url)(CanonicalizeUrlExpr(_))
 
   /** Synthetic raster payload from a doc id. */
   def rasterContainer(docId: Column): Column = u(docId)(RasterContainerExpr(_))

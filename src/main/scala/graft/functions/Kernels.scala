@@ -1306,6 +1306,40 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** URL canonicalization (the crawl-frontier dedup key): lowercase scheme
+    * and host, strip default ports (:80/:443), strip a trailing slash from
+    * the path, drop utm_* tracking params, sort surviving query params by
+    * name (byte order), rebuild scheme://host/path?k=v&... One pass, no
+    * allocation beyond the parts; unparseable inputs (no "://") return
+    * unchanged. */
+  def canonicalizeUrl(url: UTF8String): UTF8String = {
+    val s = url.toString
+    val schemeEnd = s.indexOf("://")
+    if (schemeEnd < 0) return url
+    val scheme = s.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    val rest = s.substring(schemeEnd + 3)
+    val pathStart = {
+      val slash = rest.indexOf('/')
+      val q = rest.indexOf('?')
+      if (slash >= 0 && (q < 0 || slash < q)) slash else if (q >= 0) q else rest.length
+    }
+    var host = rest.substring(0, pathStart).toLowerCase(java.util.Locale.ROOT)
+    if (host.endsWith(":80") && scheme == "http") host = host.substring(0, host.length - 3)
+    if (host.endsWith(":443") && scheme == "https") host = host.substring(0, host.length - 4)
+    val afterHost = rest.substring(pathStart)
+    val qIdx = afterHost.indexOf('?')
+    var path = if (qIdx >= 0) afterHost.substring(0, qIdx) else afterHost
+    val query = if (qIdx >= 0) afterHost.substring(qIdx + 1) else ""
+    if (path.length > 1 && path.endsWith("/")) path = path.substring(0, path.length - 1)
+    if (path.isEmpty) path = "/"
+    val kept = query.split("&").filter { p =>
+      p.nonEmpty && !p.toLowerCase(java.util.Locale.ROOT).startsWith("utm_")
+    }
+    java.util.Arrays.sort(kept, java.util.Comparator.naturalOrder[String]())
+    val q = if (kept.isEmpty) "" else "?" + kept.mkString("&")
+    UTF8String.fromString(scheme + "://" + host + path + q)
+  }
+
   /** Synthetic grayscale raster: 4-byte header ('G','8', width, height —
     * dims 8..12 x 6..8 derived from the doc id) followed by row-major
     * pixel bytes p(x,y) = (x*31 + y*17 + docId*13) mod 256. The

@@ -30,6 +30,19 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("content_key"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** URL dedup — the crawl-frontier step that runs BEFORE any fetch: group
+    * by the canonical form of the URL ([[graft.functions.gf
+    * .canonicalizeUrl]] — lowercase scheme/host, default ports and
+    * trailing slash stripped, utm_* tracking params dropped, surviving
+    * params sorted) so scheme-case/port/slash/param-order/tracking
+    * variants of the same resource collapse to one fetch. The canonical
+    * key is computed map-side in one codegen pass; only (key, id) pairs
+    * shuffle — the URL strings never move twice. */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.where(col(urlCol).isNotNull)
+      .groupBy(graft.functions.gf.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   // ----- shared structure for the canonicalized near-dup paths -----
 
   /** Group a corpus by a canonical key, one row per group:

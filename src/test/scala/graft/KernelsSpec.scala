@@ -142,6 +142,25 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.stripAccents(ascii) eq ascii)
   }
 
+  test("canonicalizeUrl: case, ports, slash, utm params, param order") {
+    def c(s: String) = Kernels.canonicalizeUrl(u(s)).toString
+    assert(c("HTTPS://Host.Example.COM:443/Path/?utm_source=x&b=2&a=1") ===
+      "https://host.example.com/Path?a=1&b=2")
+    assert(c("http://h:80/") === "http://h/")
+    // non-default port kept; path case preserved
+    assert(c("http://h:8080/A") === "http://h:8080/A")
+    // https on :80 is NOT default — kept
+    assert(c("https://h:80/x") === "https://h:80/x")
+    // no query, no path
+    assert(c("HTTP://H") === "http://h/")
+    // only utm params -> query dropped entirely
+    assert(c("http://h/p?utm_a=1&utm_b=2") === "http://h/p")
+    // root slash is not a trailing slash
+    assert(c("http://h/?a=1") === "http://h/?a=1")
+    // unparseable passes through
+    assert(c("not a url") === "not a url")
+  }
+
   test("MGSummary: merge over capacity keeps the bound; weighted add decrements") {
     import graft.functions.MGSummary
     val a = new MGSummary(3)
