@@ -735,6 +735,32 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Incremental EMBEDDING dedup against the persistent LSH index
+    * ([[graft.ops.Dedup.embIndexBuild]]/[[graft.ops.Dedup.embIndexProbe]]
+    * — the embedding twin of `dedup_incremental`, 4th member of the
+    * persistent-index family). Corpus = 90% of vectors; delta = exact
+    * copies of the vec_id % 20 == 1 slice under shifted ids (the re-crawl
+    * shape) plus the held-out vec_id % 10 == 0 slice as genuinely new
+    * vectors. Runs at the full-recall LSH operating point (bits=3,
+    * tables=48 — ann_lsh's sizing), so the brute-force exact/cosine
+    * oracle applies verbatim. */
+  private val embIndexFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupEmbeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val table = embIndexFor.computeIfAbsent(dir, d => {
+      val name = ("graft_emb_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase(java.util.Locale.ROOT)
+      Dedup.embIndexBuild(corpus, "embedding", "vec_id", name, bits = 3, tables = 48)
+      name
+    })
+    val delta = emb.where(pmod(col("vec_id"), lit(20)) === 1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.where(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id"), col("embedding")))
+    Dedup.embIndexProbe(delta, "embedding", "vec_id", table, threshold = 0.4)
+      .orderBy("vec_id")
+  }
+
   /** Exact-substring duplicated spans (Lee-2022 shape): word-5-gram
     * fingerprints recurring anywhere in the corpus (>=2 occurrences,
     * self-repetition included) merged into maximal per-document spans. */
@@ -1411,6 +1437,7 @@ object SparkEntry {
     "dedup_decontaminate_bloom" -> (dedupDecontaminateBloom _),
     "dedup_decontaminate_report" -> (dedupDecontaminateReport _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_embedding_incremental" -> (dedupEmbeddingIncremental _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_apply" -> (dedupSubstringApply _),
     "corpus_split" -> (corpusSplit _),
@@ -2595,6 +2622,39 @@ object SparkEntry {
     // jaccard 1.0 by definition); near = exact word-3-gram Jaccard >= 0.5
     // (match = min such corpus id, that pair's rounded score); else new.
     // Shared-shingle candidacy has recall 1, so the exact SQL applies.
+    // brute-force exact/cosine twin of the persistent-embedding-index
+    // probe: the full-recall operating point (bits=3, tables=48) makes
+    // bucket candidacy invisible — a miss at cos >= 0.4 has probability
+    // ~1e-6 per pair; 'near' excludes exact-matched deltas as the probe
+    // does; status/match must agree row-for-row
+    "dedup_embedding_incremental" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 <> 0 AND embedding IS NOT NULL),
+        |delta AS (
+        |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 20 = 1 AND embedding IS NOT NULL
+        |  UNION ALL
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
+        |ex AS (
+        |  SELECT d.vec_id, min(c.vec_id) AS m
+        |  FROM delta d JOIN corpus c ON d.embedding = c.embedding
+        |  GROUP BY d.vec_id),
+        |nr AS (
+        |  SELECT d.vec_id, min(c.vec_id) AS m
+        |  FROM delta d JOIN corpus c
+        |    ON list_cosine_similarity(d.embedding, c.embedding) >= 0.4
+        |  WHERE d.vec_id NOT IN (SELECT vec_id FROM ex)
+        |  GROUP BY d.vec_id)
+        |SELECT d.vec_id,
+        |  CASE WHEN ex.m IS NOT NULL THEN 'exact'
+        |       WHEN nr.m IS NOT NULL THEN 'near' ELSE 'new' END AS status,
+        |  coalesce(ex.m, nr.m) AS match_id
+        |FROM delta d
+        |LEFT JOIN ex ON d.vec_id = ex.vec_id
+        |LEFT JOIN nr ON d.vec_id = nr.vec_id
+        |ORDER BY d.vec_id""".stripMargin,
     "dedup_incremental" ->
       """WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt,

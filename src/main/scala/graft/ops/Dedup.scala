@@ -1356,6 +1356,128 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, names: Seq[String]): Unit =
     Warehouse.dropTables(spark, names)
 
+  /** Persistent EMBEDDING near-dup index — the embedding-space twin of
+    * [[dedupIndexBuild]] (4th member of the persistent-index family):
+    * index the corpus vectors once, probe each arriving delta for exact
+    * and cosine-near duplicates without ever re-scanning vector pairs.
+    *
+    * Two tables: the payload (vec per row, hash-partitioned by id for
+    * append routing) and the LSH postings (one row per (table, bucket)
+    * assignment under `tables` hyperplane tables of `bits` bits — the
+    * same generator as the in-memory LSH family, so the full-recall
+    * sizing rule carries over). Postings carry only (bucket, id): the
+    * corpus vectors are stored ONCE and fetched only for
+    * candidate-verified ids. */
+  def embIndexBuild(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      tableName: String,
+      bits: Int = 3,
+      tables: Int = 48,
+      numParts: Int = 16): Unit = {
+    requireLongId(corpus, idCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    dropWarehouseTables(spark, Seq(tableName, s"${tableName}_lsh", s"${tableName}_meta"))
+    val vecs = corpus
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+    vecs
+      .withColumn("ib", pmod(hash(col("vec_id")), lit(numParts)))
+      .write.mode("overwrite").partitionBy("ib").format("parquet")
+      .saveAsTable(tableName)
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("tb"),
+        gf.hyperplaneBucket(col("embedding"), bits, seed = 0x9e3779b9L * (t + 1)).as("bucket"))): _*)
+    vecs
+      .select(col("vec_id"), explode(buckets).as("b"))
+      .select(col("vec_id"), col("b.tb").as("tb"), col("b.bucket").as("bucket"))
+      .withColumn("bb", pmod(hash(col("tb"), col("bucket")), lit(numParts)))
+      .write.mode("overwrite").partitionBy("bb").format("parquet")
+      .saveAsTable(s"${tableName}_lsh")
+    Seq((bits, tables, numParts)).toDF("bits", "tables", "num_parts")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+  }
+
+  /** Probe the persistent embedding index with a delta: per delta vector,
+    * status exact (bit-identical corpus vector exists) / near (some corpus
+    * vector with cosine >= threshold meets it in an LSH bucket) / new,
+    * plus the min-id matching corpus vector.
+    *
+    * Scale shape, mirroring [[dedupIndexProbe]]'s lessons: every
+    * delta-derived join side broadcasts under one size guard, so the
+    * corpus-sized tables are scanned ONCE each, column-pruned, and never
+    * shuffled; exact matches are anti-joined out of candidacy up front
+    * (a re-crawl delta is mostly exact); candidate (delta, corpus) pairs
+    * are deduped by aggregation before the single payload fetch that
+    * feeds the cosine verify, so the fetch is bounded by distinct
+    * candidates, not bucket co-occurrence. */
+  def embIndexProbe(
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String,
+      tableName: String,
+      threshold: Double = 0.4,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+    requireLongId(delta, idCol)
+    val spark = delta.sparkSession
+    val meta = spark.table(s"${tableName}_meta").head()
+    val (bits, tables, numParts) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val payload = spark.table(tableName)
+    val lsh = spark.table(s"${tableName}_lsh")
+
+    val d = delta
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("d_id"), col(vecCol).as("d_vec"))
+      .localCheckpoint(eager = true)
+    val st = d.agg(count(lit(1)).as("c"), sum(size(col("d_vec"))).as("f")).head()
+    val dRows = st.getLong(0)
+    val dFloats = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val bcastDelta = dRows * 72L + dFloats * 8L <= maxBroadcastBytes
+    def deltaSide(df: DataFrame): DataFrame = if (bcastDelta) broadcast(df) else df
+
+    // exact: one column-pruned corpus scan, array-equality hash join
+    // against the broadcast delta — no shuffle of the corpus side
+    val exactM = payload
+      .join(deltaSide(d.select(col("d_id"), col("d_vec").as("embedding"))), Seq("embedding"))
+      .groupBy("d_id").agg(min(col("vec_id")).as("exact_match"))
+      .localCheckpoint(eager = true)
+
+    // near candidacy: delta bucket assignments (same generator as the
+    // build) meet the postings on (bb, tb, bucket); candidates dedup by
+    // aggregation — they exist only inside the groupBy, never re-joined
+    val dNear = d.join(deltaSide(exactM.select(col("d_id"))), Seq("d_id"), "left_anti")
+    val dBuckets = dNear
+      .select(col("d_id"), explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tb"),
+          gf.hyperplaneBucket(col("d_vec"), bits, seed = 0x9e3779b9L * (t + 1)).as("bucket"))): _*)).as("b"))
+      .select(col("d_id"), col("b.tb").as("tb"), col("b.bucket").as("bucket"))
+      .withColumn("bb", pmod(hash(col("tb"), col("bucket")), lit(numParts)))
+    val cand = lsh
+      .join(deltaSide(dBuckets), Seq("bb", "tb", "bucket"))
+      .groupBy(col("d_id"), col("vec_id")).agg(count(lit(1)).as("__t"))
+      .select(col("d_id"), col("vec_id"))
+      .withColumn("ib", pmod(hash(col("vec_id")), lit(numParts)))
+    // verify: ONE payload fetch bounded by distinct candidates, cosine
+    // threshold fused — the corpus vectors never shuffle
+    val nearM = payload
+      .join(deltaSide(cand), Seq("ib", "vec_id"))
+      .join(deltaSide(d), Seq("d_id"))
+      .where(gf.cosine(col("embedding"), col("d_vec")) >= threshold)
+      .groupBy("d_id").agg(min(col("vec_id")).as("near_match"))
+
+    d.select(col("d_id"))
+      .join(deltaSide(exactM), Seq("d_id"), "left")
+      .join(deltaSide(nearM), Seq("d_id"), "left")
+      .select(
+        col("d_id").as(idCol),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
   /** Driver-side spherical k-means: assign by max cosine, update by
     * (unnormalized) mean — empty clusters retain their centroid. */
   private def sphericalKmeans(

@@ -461,4 +461,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(got === Set((1L, 1L, false), (2L, 0L, true), (3L, 0L, true)))
   }
+
+  test("embIndexProbe: exact copies resolve exact, disjoint vectors resolve new") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val corpus = emb.where(col("vec_id") % 2 === 0)
+    Dedup.embIndexBuild(corpus, "embedding", "vec_id", "graft_emb_idx_spec",
+      bits = 3, tables = 16)
+    // exact copies under shifted ids: every one must match its source
+    val copies = corpus.limit(20)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val got = Dedup.embIndexProbe(copies, "embedding", "vec_id", "graft_emb_idx_spec")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.size === 20)
+    got.foreach { case (id, (status, m)) =>
+      assert(status === "exact", s"$id not exact")
+      assert(m <= id - 5000L, s"$id matched $m, expected <= source id")
+    }
+    // an orthogonal one-hot vector far from the corpus: status new
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val probe = Seq((9999L, Array.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val res = Dedup.embIndexProbe(probe, "embedding", "vec_id", "graft_emb_idx_spec",
+        threshold = 0.999).collect()
+    assert(res.length === 1 && res(0).getString(1) != "exact")
+  }
 }

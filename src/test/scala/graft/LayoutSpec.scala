@@ -148,6 +148,37 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("embedding index probe: index tables broadcast-joined, never shuffled; guard degrades cleanly") {
+    val emb = graft.io.Tables.table(spark, sfDir, "embeddings")
+    graft.ops.Dedup.embIndexBuild(emb.where(col("vec_id") % 10 =!= 0),
+      "embedding", "vec_id", "graft_emb_idx_plan", bits = 3, tables = 8)
+    val delta = emb.where(col("vec_id") % 10 === 0)
+    val probe = graft.ops.Dedup.embIndexProbe(delta, "embedding", "vec_id",
+      "graft_emb_idx_plan")
+    val plan = probe.queryExecution.executedPlan.toString
+    // exact join, posting candidacy, payload fetch, delta re-attach: all
+    // must broadcast the delta side — the corpus payload and postings are
+    // scanned, never shuffled
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected >=3 broadcast joins against the index, got $bhj:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index side entered a sort-merge join:\n${plan.take(3000)}")
+    val rows = probe.collect()
+    assert(rows.nonEmpty)
+    // guard: forced to 0 the probe degrades to shuffled joins, same rows
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val shuffled = graft.ops.Dedup.embIndexProbe(delta, "embedding", "vec_id",
+        "graft_emb_idx_plan", maxBroadcastBytes = 0L)
+      val plan2 = shuffled.queryExecution.executedPlan.toString
+      assert(!plan2.contains("BroadcastHashJoin"),
+        s"guard tripped but a broadcast join survived:\n${plan2.take(3000)}")
+      assert(shuffled.collect().toSet === rows.toSet, "guarded probe disagrees")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("dedup_substring plan: shuffles carry fingerprints and integers, never n-gram text") {
     val df = graft.ops.Dedup.duplicatedSpans(docs, "text", "doc_id", k = 5, minOcc = 2)
     val plan = df.queryExecution.executedPlan.toString
