@@ -116,6 +116,40 @@ object RehearseIndex {
       }
     }
 
+    // ---- persistent embedding near-dup index (the fourth member) ----
+    timed("emb index BUILD (10x corpus)") {
+      ops.Dedup.embIndexBuild(corpusEmb, "embedding", "vec_id",
+        "graft_rehearse_emb", bits = graft.ops.Similarity.lshBitsFor(
+          corpusEmb.count()), tables = 16)
+    }
+    tableBytes(spark, Seq("graft_rehearse_emb", "graft_rehearse_emb_lsh",
+      "graft_rehearse_emb_meta"))
+    // exact-dup delta: corpus vectors re-submitted under shifted ids
+    val embExactDelta = corpusEmb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 2000000000L).as("vec_id"), col("embedding"))
+    var embOut: DataFrame = null
+    (1 to 3).foreach { i =>
+      timed(s"emb index PROBE (exact-dup delta) run$i") {
+        embOut = ops.Dedup.embIndexProbe(embExactDelta, "embedding", "vec_id",
+          "graft_rehearse_emb")
+        Bench.exec(embOut)
+      }
+    }
+    embOut.groupBy("status").count().orderBy("status").collect()
+      .foreach(r => println(s"[rehearse] emb exact-probe status ${r.get(0)}: ${r.get(1)}"))
+    // new-shaped delta: fresh vectors (the 1x delta file) — zero exacts,
+    // candidacy bounded by bucket co-occurrence
+    var embNewOut: DataFrame = null
+    (1 to 3).foreach { i =>
+      timed(s"emb index PROBE (new-shaped 1x delta) run$i") {
+        embNewOut = ops.Dedup.embIndexProbe(deltaEmb, "embedding", "vec_id",
+          "graft_rehearse_emb")
+        Bench.exec(embNewOut)
+      }
+    }
+    embNewOut.groupBy("status").count().orderBy("status").collect()
+      .foreach(r => println(s"[rehearse] emb new-probe status ${r.get(0)}: ${r.get(1)}"))
+
     // ---- BM25 search index (the third persistent-index family member) ----
     timed("bm25 index BUILD (10x corpus)") {
       ops.Search.bm25IndexBuild(corpusDocs, "text", "doc_id", "graft_rehearse_bm25")

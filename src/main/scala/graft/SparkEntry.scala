@@ -964,6 +964,29 @@ object SparkEntry {
       .select(col("keeper_id"), col("n_copies"))
       .orderBy("keeper_id")
 
+  /** INTERSECT (distinct set semantics): customers with orders in BOTH
+    * 1995 and 1996 — Catalyst plans distinct + left-semi join, the
+    * set-op shape. */
+  private def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    def custIn(year: Int) = ord
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")))
+      .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"${year + 1}-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    custIn(1995).intersect(custIn(1996)).orderBy("o_custkey")
+  }
+
+  /** EXCEPT (distinct set semantics): customers active in 1995 but gone
+    * in 1996 — the churn query; Catalyst plans distinct + left-anti. */
+  private def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    def custIn(year: Int) = ord
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")))
+      .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"${year + 1}-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    custIn(1995).except(custIn(1996)).orderBy("o_custkey")
+  }
+
   /** UNPIVOT (wide metrics -> long key/value rows — the melt step feeding
     * metric stores and per-metric aggregation): Catalyst Expand replicates
     * each row once per value column map-side — no join, no shuffle; the
@@ -1388,6 +1411,8 @@ object SparkEntry {
     "q_window_range" -> (qWindowRange _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _),
     "q_exists" -> (qExists _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
@@ -1674,6 +1699,20 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
     // melt as UNION ALL — metric names match Spark's unpivot (the source
     // column names), token count shares text_tokens' formulation
     "q_unpivot" ->
