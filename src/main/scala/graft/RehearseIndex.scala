@@ -137,12 +137,18 @@ object RehearseIndex {
     }
     embOut.groupBy("status").count().orderBy("status").collect()
       .foreach(r => println(s"[rehearse] emb exact-probe status ${r.get(0)}: ${r.get(1)}"))
-    // new-shaped delta: fresh vectors (the 1x delta file) — zero exacts,
-    // candidacy bounded by bucket co-occurrence
+    // near-shaped delta: the 1x delta vectors with one coordinate negated
+    // (GenScale's copy 0 is identity-rotated, so the RAW delta file is
+    // bit-identical to copy 0 — a pure exact re-crawl; the perturbation
+    // kills exactness while keeping cosines high, forcing every delta
+    // vector through candidacy + verify, the worst case)
+    val embNearDelta = deltaEmb.select(col("vec_id"),
+      expr("transform(embedding, (x, i) -> CASE WHEN i = 0 THEN -x ELSE x END)")
+        .cast("array<float>").as("embedding"))
     var embNewOut: DataFrame = null
     (1 to 3).foreach { i =>
-      timed(s"emb index PROBE (new-shaped 1x delta) run$i") {
-        embNewOut = ops.Dedup.embIndexProbe(deltaEmb, "embedding", "vec_id",
+      timed(s"emb index PROBE (near-shaped perturbed 1x delta) run$i") {
+        embNewOut = ops.Dedup.embIndexProbe(embNearDelta, "embedding", "vec_id",
           "graft_rehearse_emb")
         Bench.exec(embNewOut)
       }

@@ -1351,6 +1351,14 @@ object SparkEntry {
     graft.streaming.Streams.cleanFilterAvailableNow(s, dir)
       .orderBy("doc_id")
 
+  /** Streaming per-window top-k via the shared bounded-heap aggregate
+    * ([[graft.streaming.Streams.windowTopKAvailableNow]]): state = one
+    * k-heap per window; equals the batch rank-by-window answer, which is
+    * the oracle. */
+  private def streamWindowTopk(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.windowTopKAvailableNow(s, dir, k = 5)
+      .orderBy("window_start", "rank")
+
   /** Streaming heavy hitters: Misra–Gries summary over the ingest stream
     * — same kernel as corpus_heavy_hitters, O(capacity) state forever
     * ([[graft.streaming.Streams.heavyHittersAvailableNow]]); at the
@@ -1520,6 +1528,7 @@ object SparkEntry {
     "stream_decontaminate" -> (streamDecontaminate _),
     "stream_clean" -> (streamClean _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
+    "stream_window_topk" -> (streamWindowTopk _),
     "stream_drift" -> (streamDrift _)
   )
 
@@ -2379,6 +2388,19 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the k-heap keeps (value desc, event_id asc) — identical to this
+    // rank-by-window batch formulation; ids only, no float emit
+    "stream_window_topk" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT time_bucket(INTERVAL '1' HOUR, ts) AS window_start, event_id,
+        |    row_number() OVER (PARTITION BY time_bucket(INTERVAL '1' HOUR, ts)
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM e)
+        |SELECT window_start, CAST(rank AS BIGINT) AS rank, event_id
+        |FROM r WHERE rank <= 5 ORDER BY window_start, rank""".stripMargin,
     // append mode emits each window exactly once when the watermark passes
     // it, so the emitted set equals the batch aggregation — same oracle.
     "stream_window_agg_append" ->

@@ -462,6 +462,31 @@ object Streams {
     runToMemory(decided, "graft_stream_clean", "append")
   }
 
+  /** Streaming per-window top-k: the bounded-heap TypedImperativeAggregate
+    * the batch ANN stack ranks with ([[graft.functions.TopKByScoreAgg]]),
+    * maintained per tumbling event-time window over the ingest stream —
+    * the "top events this hour, live" monitoring shape. State per window
+    * is ONE k-bounded heap (not the window's rows), so state scales with
+    * windows x k no matter how hot a window gets; complete mode re-emits
+    * the current leaderboard each micro-batch. Ordering (score desc, id
+    * asc) matches the rank-by-window batch formulation exactly. */
+  def windowTopKAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 5): DataFrame = {
+    val ev = streamTable(spark, sfDir, "events.parquet")
+      .where(col("value").isNotNull)
+    val agg = ev
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.TopKByScoreAgg.topK(
+        struct(col("value").cast("double").as("score"),
+          col("event_id").cast("long").as("id")), k).as("tk"))
+    runToMemory(agg, "graft_stream_wtopk", "complete")
+      .select(col("window.start").as("window_start"), posexplode(col("tk")))
+      .select(col("window_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("event_id"))
+  }
+
   /** Streaming heavy hitters: the corpus word-frequency summary maintained
     * continuously over the document ingest stream — the SAME Misra–Gries
     * typed aggregate as the batch `corpus_heavy_hitters`, so streaming and

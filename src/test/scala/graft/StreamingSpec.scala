@@ -253,6 +253,23 @@ class StreamingSpec extends SparkSpec {
     got.foreach(r => assert(r.getBoolean(3) === (r.getDouble(2) < 0.1)))
   }
 
+  test("streaming window top-k equals the batch rank-by-window answer") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = Streams.windowTopKAvailableNow(spark, sfDir, k = 3)
+      .orderBy("window_start", "rank")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq
+    val ev = graft.io.Tables.events(spark, sfDir).where(col("value").isNotNull)
+      .select(window(col("ts"), "1 hour")("start").as("ws"), col("event_id"), col("value"))
+    val w = Window.partitionBy("ws").orderBy(col("value").desc, col("event_id").asc)
+    val batch = ev.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .orderBy("ws", "rank")
+      .collect().map(r => (r.getTimestamp(0), r.getInt(3).toLong, r.getLong(1))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming heavy hitters equals the batch Misra-Gries summary at the exact point") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.heavyHittersAvailableNow(spark, sfDir, capacity = 256, k = 25)
