@@ -741,16 +741,21 @@ object SparkEntry {
     * persistent-index family). Corpus = 90% of vectors; delta = exact
     * copies of the vec_id % 20 == 1 slice under shifted ids (the re-crawl
     * shape) plus the held-out vec_id % 10 == 0 slice as genuinely new
-    * vectors. Runs at the full-recall LSH operating point (bits=3,
-    * tables=48 — ann_lsh's sizing), so the brute-force exact/cosine
-    * oracle applies verbatim. */
+    * vectors. Bits follow the §9.2 sizing rule (`lshBitsFor`): at the
+    * oracle's sf0.01 scale that gives bits=3 with tables=48 — the
+    * full-recall operating point (miss ~1e-6/pair at cos 0.4), so the
+    * brute-force exact/cosine oracle applies verbatim; at bench scales
+    * the bits grow with the corpus, pinning bucket occupancy (and probe
+    * cost) instead of letting it grow linearly — the documented
+    * recall-trading scale path every LSH family member takes. */
   private val embIndexFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dedupEmbeddingIncremental(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val corpus = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
     val table = embIndexFor.computeIfAbsent(dir, d => {
       val name = ("graft_emb_idx_" + d.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase(java.util.Locale.ROOT)
-      Dedup.embIndexBuild(corpus, "embedding", "vec_id", name, bits = 3, tables = 48)
+      val bits = graft.ops.Similarity.lshBitsFor(math.max(corpus.count(), 1L))
+      Dedup.embIndexBuild(corpus, "embedding", "vec_id", name, bits = bits, tables = 48)
       name
     })
     val delta = emb.where(pmod(col("vec_id"), lit(20)) === 1)
