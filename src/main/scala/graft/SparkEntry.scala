@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.llm.{EchoModel, Elo, HashEmbedder, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
-import graft.ops.{Corpus, Dedup, Fuzzy, LangModel, Multimodal, Search, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Fuzzy, Graph, LangModel, Multimodal, Search, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — the operator catalog from SURVEY.md §2.
   *
@@ -580,6 +580,42 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
          |FROM dw JOIN ws USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** PageRank oracle: the same synthetic edge formulas, then each
+    * iteration unrolled as a contribution CTE + a rank CTE. Every
+    * operation is integer (`//` = floor division, matching Spark's DIV on
+    * the non-negative values here) so the chain is bit-exact, and
+    * multiply-referenced CTEs are MATERIALIZED so five levels do not
+    * inline exponentially. */
+  private def pagerankOracle(iters: Int): String = {
+    val head =
+      """WITH nv AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ids AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT id AS src, (id * 7 + 1) % (SELECT n FROM nv) AS dst FROM ids
+        |    UNION ALL SELECT id, (id * 13 + 3) % (SELECT n FROM nv) FROM ids
+        |    UNION ALL SELECT id, id % 10 FROM ids)
+        |  WHERE src <> dst),
+        |outdeg AS MATERIALIZED (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+        |r0 AS MATERIALIZED (
+        |  SELECT id, 1000000000000 // (SELECT n FROM nv) AS pr FROM ids)""".stripMargin
+    val stages = (1 to iters).flatMap { i =>
+      Seq(
+        s"""c$i AS (
+           |  SELECT e.dst AS id, sum(r.pr // o.outdeg) AS incoming
+           |  FROM r${i - 1} r JOIN outdeg o ON o.src = r.id JOIN edges e ON e.src = r.id
+           |  GROUP BY e.dst)""".stripMargin,
+        s"""r$i AS MATERIALIZED (
+           |  SELECT ids.id,
+           |    (1000000000000 * 15) // (100 * (SELECT n FROM nv))
+           |      + (coalesce(c.incoming, 0) * 85) // 100 AS pr
+           |  FROM ids LEFT JOIN c$i c ON ids.id = c.id)""".stripMargin)
+    }
+    (head +: stages).mkString(",\n") +
+      s"\nSELECT id AS doc_id, CAST(pr AS BIGINT) AS rank_e12 FROM r$iters ORDER BY doc_id"
+  }
+
   /** Bounded-memory heavy hitters (Misra–Gries typed aggregate): top-25
     * words with capacity 256 — far above the corpus vocabulary, so the
     * counts are exact and the plain word-count oracle applies verbatim.
@@ -602,6 +638,27 @@ object SparkEntry {
       docs.where(pmod(col("doc_id"), lit(2)) === 0),
       docs.where(pmod(col("doc_id"), lit(3)) === 0),
       "text", k = 64)
+  }
+
+  /** PageRank over a deterministic synthetic link graph: doc i links to
+    * (7i+1) mod N, (13i+3) mod N, and its hub i mod 10 — docs 0..9 are
+    * ~N/10-in-degree authorities, exactly the in-degree skew partial
+    * aggregation must absorb. Fixed-point integer arithmetic end-to-end
+    * ([[Graph.pageRank]]), so the unrolled-iteration oracle is
+    * hash-exact, not approximately close. */
+  private def corpusPagerank(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id").cast("long").as("id"))
+    val n = ids.count()
+    val edges = ids.select(col("id").as("src"),
+        explode(array(
+          pmod(col("id") * 7 + 1, lit(n)),
+          pmod(col("id") * 13 + 3, lit(n)),
+          pmod(col("id"), lit(10L)))).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    Graph.pageRank(ids, edges, iters = 5)
+      .select(col("id").as("doc_id"), col("rank_e12"))
+      .orderBy("doc_id")
   }
 
   /** Exact per-language quantiles of document length (linear
@@ -1380,6 +1437,14 @@ object SparkEntry {
     graft.streaming.Streams.driftMonitorAvailableNow(s, dir)
       .orderBy("label")
 
+  /** Streaming per-user anomaly monitor: running integer value moments in
+    * complete mode (state = one row per user forever), z-scored against
+    * the global distribution at snapshot time — bit-identical to the
+    * batch twin by construction. */
+  private def streamAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.anomalyMonitorAvailableNow(s, dir)
+      .orderBy("user_id")
+
   /** Streaming sessionization (flatMapGroupsWithState) — same semantics as
     * the batch q_sessionize, so it shares that oracle's shape. */
   private def streamSessionize(s: SparkSession, dir: String): DataFrame =
@@ -1459,6 +1524,7 @@ object SparkEntry {
     "corpus_bpe_tokenize" -> (corpusBpeTokenize _),
     "corpus_heavy_hitters" -> (corpusHeavyHitters _),
     "corpus_overlap" -> (corpusOverlap _),
+    "corpus_pagerank" -> (corpusPagerank _),
     "corpus_weighted_sample" -> (corpusWeightedSample _),
     "corpus_temperature_sample" -> (corpusTemperatureSample _),
     "corpus_quantiles" -> (corpusQuantiles _),
@@ -1534,7 +1600,8 @@ object SparkEntry {
     "stream_clean" -> (streamClean _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_window_topk" -> (streamWindowTopk _),
-    "stream_drift" -> (streamDrift _)
+    "stream_drift" -> (streamDrift _),
+    "stream_anomaly" -> (streamAnomaly _)
   )
 
   /** sf0.01-trained PQ codebooks (m=8, ksub=16, dsub=8 -> 1024 doubles),
@@ -2479,6 +2546,7 @@ object SparkEntry {
         |  round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard_exact,
         |  jaccard_est
         |FROM c, e""".stripMargin,
+    "corpus_pagerank" -> pagerankOracle(5),
     // weighted sampling: 2^32 md5 bucket in [0,10000) accepted below
     // quality*100 — all-integer, so the same rows survive on any engine
     // thresholds recomputed with the IDENTICAL double-op sequence (sqrt
@@ -3087,6 +3155,31 @@ object SparkEntry {
         |  round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_r,
         |  dot / (sqrt(na) * sqrt(nb)) < 0.1 AS drifted
         |FROM c ORDER BY label""".stripMargin,
+    // anomaly monitor: integer cent moments (order-independent), then the
+    // identical double op sequence — mean_g, sd_g, mean_k, z — so the
+    // booleans and rounded z agree bit-for-bit with the snapshot verdict
+    "stream_anomaly" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |k AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM c GROUP BY user_id),
+        |g AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+        |    CAST(sum(q) AS BIGINT) AS qq FROM k),
+        |v AS (
+        |  SELECT user_id, n,
+        |    CAST(s AS DOUBLE) / n AS mean_k,
+        |    CAST(ss AS DOUBLE) / nn AS mean_g,
+        |    sqrt(CAST(qq AS DOUBLE) / nn - (CAST(ss AS DOUBLE) / nn) * (CAST(ss AS DOUBLE) / nn)) AS sd_g
+        |  FROM k, g)
+        |SELECT user_id, n,
+        |  round(mean_k / 100.0, 6) AS mean_value,
+        |  round((mean_k - mean_g) / (sd_g / sqrt(CAST(n AS DOUBLE))), 6) AS z_r,
+        |  abs((mean_k - mean_g) / (sd_g / sqrt(CAST(n AS DOUBLE)))) > 3.0 AS anomalous
+        |FROM v ORDER BY user_id""".stripMargin,
     // composed pipeline: the corpus_filter decision CTEs (on the corpus
     // slice), then exact dedup, exact-Jaccard closure (recall-1 stand-in
     // for verified LSH), and decontamination — each on the previous

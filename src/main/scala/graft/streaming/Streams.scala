@@ -743,4 +743,72 @@ object Streams {
       .select(col("label"), col("n_vecs"),
         round(cosExpr, 6).as("cos_r"), (cosExpr < minCos).as("drifted"))
   }
+
+  /** Streaming per-key anomaly monitor: running integer moments of
+    * `value` per user, flagged against the global distribution — the
+    * metric-outlier alarm (fraud spikes, broken ingestion sources,
+    * runaway clients) for a continuously-fed event stream.
+    *
+    * State is per-user (n, Σcents, Σcents²) maintained by a complete-mode
+    * aggregate: exactly one row per key FOREVER — no watermark, bounded
+    * memory for any stream volume. Values are fixed-pointed to integer
+    * cents map-side, so the running sums are order-independent integers
+    * (layout-/retry-exact, the [[driftMonitorAvailableNow]] property
+    * without needing decimals). The verdict is computed over the final
+    * keys-sized snapshot: each key's mean is z-scored against the global
+    * per-event distribution (z = (mean_k − mean_g) / (sd_g/√n_k), the
+    * standard error of a size-n_k sample mean), with one fixed double op
+    * sequence so a batch SQL engine reproduces every bit — streaming and
+    * batch anomaly reports can never disagree ([[anomalyStats]] is the
+    * shared verdict; the spec asserts the bit-match). */
+  def anomalyMonitorAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      zThresh: Double = 3.0): DataFrame = {
+    val running = streamTable(spark, sfDir, "events.parquet")
+      .where(col("value").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    anomalyVerdict(runToMemory(running, "graft_stream_anomaly", "complete"), zThresh)
+  }
+
+  /** The batch twin of [[anomalyMonitorAvailableNow]]: identical integer
+    * moments and verdict arithmetic over a batch events frame. */
+  def anomalyStats(events: DataFrame, zThresh: Double = 3.0): DataFrame = {
+    val state = events
+      .where(col("value").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+    anomalyVerdict(state, zThresh)
+  }
+
+  /** Shared verdict over a (user_id, n, s, q) moments snapshot. The
+    * global moments are one aggregate over the keys-sized snapshot (a
+    * broadcast row); every double is derived from exact integers in one
+    * documented order, so the whole report is bit-reproducible. */
+  private def anomalyVerdict(state: DataFrame, zThresh: Double): DataFrame = {
+    val g = state.agg(
+      sum(col("n")).cast("long").as("nn"),
+      sum(col("s")).cast("long").as("ss"),
+      sum(col("q")).cast("long").as("qq"))
+    state.crossJoin(broadcast(g))
+      .withColumn("mean_g", col("ss").cast("double") / col("nn"))
+      .withColumn("sd_g",
+        sqrt(col("qq").cast("double") / col("nn") - col("mean_g") * col("mean_g")))
+      .withColumn("mean_k", col("s").cast("double") / col("n"))
+      .withColumn("z",
+        (col("mean_k") - col("mean_g")) / (col("sd_g") / sqrt(col("n").cast("double"))))
+      .select(col("user_id"), col("n"),
+        round(col("mean_k") / 100.0, 6).as("mean_value"),
+        round(col("z"), 6).as("z_r"),
+        (abs(col("z")) > zThresh).as("anomalous"))
+  }
 }

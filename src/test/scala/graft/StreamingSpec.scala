@@ -280,4 +280,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming anomaly monitor bit-matches the batch twin; state is one row per user") {
+    val streamed = Streams.anomalyMonitorAvailableNow(spark, sfDir)
+      .orderBy("user_id").collect()
+    val batch = Streams.anomalyStats(graft.io.Tables.events(spark, sfDir))
+      .orderBy("user_id").collect()
+    assert(streamed.sameElements(batch))
+    assert(streamed.nonEmpty)
+    // one report row per user — the bounded-state contract's visible face
+    val nUsers = graft.io.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(streamed.length === nUsers)
+    // z-scores must not be degenerate: some mass near 0, booleans coherent
+    streamed.foreach { r =>
+      val z = r.getDouble(3)
+      val anom = r.getBoolean(4)
+      assert(anom === (math.abs(z) > 3.0) || math.abs(math.abs(z) - 3.0) < 1e-5)
+    }
+  }
 }
