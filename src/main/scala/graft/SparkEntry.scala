@@ -900,6 +900,12 @@ object SparkEntry {
     Search.bm25(t(s, dir, "documents"), "text", "doc_id",
       Seq("spark", "join", "window"), k = 20)
 
+  /** Per-doc top-3 TF-IDF keywords; the rounded-score + term total order
+    * makes the per-doc cut exact cross-engine. */
+  private def textTfidf(s: SparkSession, dir: String): DataFrame =
+    Search.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("score_r").desc, col("term"))
+
   private val searchIndexFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Persistent BM25 inverted index: built once per sf dir, then answered
@@ -1549,6 +1555,7 @@ object SparkEntry {
     "corpus_cluster" -> (corpusCluster _),
     "corpus_top_frac" -> (corpusTopFrac _),
     "text_search" -> (textSearch _),
+    "text_tfidf" -> (textTfidf _),
     "text_search_indexed" -> (textSearchIndexed _),
     "text_search_index_append" -> (textSearchIndexAppend _),
     "text_search_index_remove" -> (textSearchIndexRemove _),
@@ -2972,6 +2979,27 @@ object SparkEntry {
         |cl AS (SELECT vec_id, idx AS cluster FROM asg WHERE rn = 1)
         |SELECT vec_id, cluster, count(*) OVER (PARTITION BY cluster) AS cluster_size
         |FROM cl ORDER BY vec_id""".stripMargin,
+    // tf from the same tokenization as corpus_ngrams, df from the tf set,
+    // N = docs with >= 1 token; score = tf * ln(N/df) with matching op
+    // order; both engines rank on (rounded score desc, term) per doc
+    "text_tfidf" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM w0 GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(CAST(tf.tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df.df), 6) AS score_r
+        |  FROM tf JOIN df USING (term), nd),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_r DESC, term) AS rn
+        |  FROM sc)
+        |SELECT doc_id, term, tf, score_r FROM rk WHERE rn <= 3
+        |ORDER BY doc_id, score_r DESC, term""".stripMargin,
     // BM25 from first principles with the same fixed term order and the
     // same nominal constants; both engines order by the ROUNDED score
     // (+ doc_id), a shared total order for the top-20 cut

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.gf
 
@@ -304,5 +305,48 @@ object Search {
       .where(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Per-document top-k TF-IDF keywords — the keyword-extraction /
+    * document-tagging primitive (what is each page ABOUT?), feeding topic
+    * routing, per-topic sampling, and search-facet generation.
+    *
+    * score = tf * ln(N / df), the raw Salton form: corpus-wide stopwords
+    * (df = N) score exactly 0 and fall out of the top-k naturally.
+    *
+    * Plan shape: one tokenize+explode pass; tf is a partially-aggregated
+    * groupBy on (doc, term) materialized once (localCheckpoint) and
+    * reused by the df branch, so the corpus is tokenized exactly once;
+    * df is a vocab-sized aggregate of the tf frame (NOT a second corpus
+    * scan); N rides in as one broadcast row; the per-doc cut is a window
+    * rank — one shuffle on doc_id with an in-partition sort bounded by
+    * each doc's distinct-term count, never a global sort. Ordering is on
+    * the ROUNDED score with the term as tie-break: a total order both
+    * engines share, so the top-k cut is exact cross-engine. */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, "need k > 0")
+    val tf = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(gf.ngramsAll(col(textCol), 1)).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true) // reused by the df branch + scoring
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nd))
+      .withColumn("score_r",
+        round(col("tf").cast("double") * log(col("n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_r").desc, col("term").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("score_r"))
   }
 }

@@ -154,4 +154,35 @@ class SearchSpec extends SparkSpec {
       Search.bm25IndexQuery(spark, "graft_search_idx_edge", Seq.empty)
     }
   }
+
+  test("tfidfTopTerms: corpus-wide terms score 0, rare terms rank by tf*ln(N/df)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "banana date date date")).toDF("doc_id", "text")
+    val got = Search.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("score_r").desc, col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ln3 = BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def s(tf: Long) = BigDecimal(tf * math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // banana is in every doc -> ln(N/df) = ln(1) = 0 exactly
+    assert(got.filter(_._2 == "banana").forall(_._4 == 0.0))
+    // per-doc winners are the doc-specific terms, scored tf * ln 3
+    assert(got.filter(_._1 == 0L).head === ((0L, "apple", 2L, s(2))))
+    assert(got.filter(_._1 == 1L).head === ((1L, "cherry", 1L, s(1))))
+    assert(got.filter(_._1 == 2L).head === ((2L, "date", 3L, s(3))))
+    assert(ln3 > 0)
+  }
+
+  test("tfidfTopTerms is partition-layout independent") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"w${i % 7} w${i % 3} common")).toDF("doc_id", "text")
+    val a = Search.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "term").collect().toSeq
+    val b = Search.tfidfTopTerms(docs.repartition(11), "doc_id", "text", k = 2)
+      .orderBy("doc_id", "term").collect().toSeq
+    assert(a === b)
+  }
 }
