@@ -1356,6 +1356,12 @@ object SparkEntry {
       round(aggregate(col("embedding"), lit(0.0d), (a, x) => a + x.cast("double")), 5).as("e_sum"))
   }
 
+  /** Hash-feature linear quality classifier: one narrow codegen map
+    * (features + fixed-weight dot), bit-reproducible keep decisions. */
+  private def corpusClassifierFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Elo over per-document language-ranking ballots: each doc ranks the
     * five langId marker languages by marker occurrences (desc, lang asc) —
     * a deterministic stand-in for LLM ranking ballots. Ballot explosion and
@@ -1570,6 +1576,7 @@ object SparkEntry {
     "results_join" -> (resultsJoin _),
     "rank_options" -> (rankOptions _),
     "embed_hash" -> (embedHash _),
+    "corpus_classifier_filter" -> (corpusClassifierFilter _),
     "elo_ratings" -> (eloRatings _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -3501,6 +3508,44 @@ object SparkEntry {
         |  round(max(CASE WHEN bucket = 0 THEN cv END), 6) AS e0,
         |  round(sum(cv), 5) AS e_sum
         |FROM fin GROUP BY doc_id""".stripMargin,
+    // classifier filter: the same FNV-1a/bucket/L2 chain as embed_hash,
+    // then the fixed weight vector and a LEFT bucket-ascending fold —
+    // IEEE add/mul only, so score AND keep boolean are bit-exact
+    "corpus_classifier_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |      list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS UBIGINT))),
+        |    (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT)) AS hv
+        |  FROM toks),
+        |acc AS (
+        |  SELECT doc_id, CAST(hv % 64 AS INTEGER) AS bucket,
+        |    sum(CASE WHEN ((hv >> 62) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS w
+        |  FROM hashed GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.doc_id, b.bucket FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b),
+        |comp AS (
+        |  SELECT g.doc_id, g.bucket, coalesce(a.w, 0.0) AS w
+        |  FROM grid g LEFT JOIN acc a ON g.doc_id = a.doc_id AND g.bucket = a.bucket),
+        |nrm AS (
+        |  SELECT doc_id, CASE WHEN sum(w*w) = 0 THEN 1.0 ELSE sqrt(sum(w*w)) END AS nv
+        |  FROM comp GROUP BY 1),
+        |fin AS (
+        |  SELECT c.doc_id, c.bucket, CAST(CAST(c.w / n.nv AS REAL) AS DOUBLE) AS cv
+        |  FROM comp c JOIN nrm n ON c.doc_id = n.doc_id),
+        |wts AS (
+        |  SELECT bucket, CAST((bucket * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5 AS w
+        |  FROM (SELECT unnest(range(0, 64)) AS bucket)),
+        |dv AS (
+        |  SELECT f.doc_id,
+        |    list_reduce(list_prepend(0.0, list(f.cv * w.w ORDER BY f.bucket)), (a, v) -> a + v) AS s
+        |  FROM fin f JOIN wts w USING (bucket) GROUP BY f.doc_id)
+        |SELECT doc_id, round(s, 6) AS score_r, s > 0.0 AS keep
+        |FROM dv ORDER BY doc_id""".stripMargin,
     // multimodal: the Spark side synthesizes a REAL container (PNG / JPEG /
     // WAV / GIF by doc_id % 4) around the utf-8 text bytes and then decodes
     // its header with a real byte parser. The oracle recomputes what the

@@ -206,4 +206,40 @@ object TextAnalysis {
           round(col("__d").getItem(1) * lit(1.0) / col("__d").getItem(0), 4))
           .as("deflate_ratio"))
   }
+
+  /** Model-based quality filter — the fastText-linear-classifier curation
+    * recipe (CCNet's LM filter, DCLM / FineWeb-Edu's quality classifiers,
+    * reduced to its deployment shape): score = <hash-features, w> with a
+    * keep/drop threshold.
+    *
+    * Features are the FNV-1a signed-bucket hash embedding (the same
+    * codegen kernel as the embed template), weights a fixed deterministic
+    * vector baked into the plan as a literal (the codebook-load pattern —
+    * a trained classifier would bake its fitted weights identically), and
+    * the dot product a LEFT bucket-ascending fold — so the whole pass is
+    * ONE narrow codegen map over the corpus: no join, no shuffle, no UDF.
+    * That plan shape is the entire point at 100 TB: a model-based filter
+    * costs one scan, exactly like a regex filter. Every arithmetic step
+    * is IEEE add/mul/sqrt on identical inputs (no libm transcendentals),
+    * so scores and keep decisions are bit-reproducible cross-engine. */
+  def classifierScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64,
+      threshold: Double = 0.0): DataFrame = {
+    import graft.functions.gf
+    require(dim > 0, "need dim > 0")
+    val weights = (0 until dim).map(j => ((j * 2654435761L) % 1000L) / 1000.0 - 0.5)
+    val wlit = array(weights.map(lit): _*)
+    docs
+      .select(col(idCol).cast("long").as(idCol),
+        aggregate(
+          zip_with(gf.hashEmbed(coalesce(col(textCol), lit("")), dim), wlit,
+            (x, w) => x.cast("double") * w),
+          lit(0.0), (a, v) => a + v).as("__s"))
+      .select(col(idCol),
+        round(col("__s"), 6).as("score_r"),
+        (col("__s") > threshold).as("keep"))
+  }
 }

@@ -124,4 +124,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) === "A Title")
     assert(out(1) === "")
   }
+
+  test("classifierScore is one narrow map: no shuffle, no join in the plan") {
+    val docs = graft.io.Tables.table(spark, sfDir, "documents")
+    val scored = TextAnalysis.classifierScore(docs, "doc_id", "text")
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"model filter must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"model filter must not join:\n$plan")
+  }
+
+  test("classifierScore: empty/null text scores exactly 0 and is dropped; layout-independent") {
+    val docs = Seq((0L, "spark window join"), (1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.classifierScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(1).getDouble(1) === 0.0 && !got(1).getBoolean(2))
+    assert(got(2).getDouble(1) === 0.0 && !got(2).getBoolean(2))
+    val big = graft.io.Tables.table(spark, sfDir, "documents")
+    val a = TextAnalysis.classifierScore(big, "doc_id", "text").orderBy("doc_id").collect()
+    val b = TextAnalysis.classifierScore(big.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    // the threshold actually splits the corpus (not all-keep / all-drop)
+    assert(a.exists(_.getBoolean(2)) && a.exists(!_.getBoolean(2)))
+  }
 }
