@@ -1100,6 +1100,15 @@ object SparkEntry {
     Multimodal.poolRasters(t(s, dir, "documents").select(col("doc_id")), "doc_id")
       .orderBy("doc_id")
 
+  /** Strided video-frame sampling over synthetic multi-frame rasters
+    * ([[graft.ops.Multimodal.sampleVideoFrames]]): the kernel parses
+    * (w, h, n_frames) from header bytes and checksums every 3rd frame;
+    * the oracle recomputes each checksum from the pixel formula. */
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleVideoFrames(t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", stride = 3)
+      .orderBy("doc_id", "frame_idx")
+
   /** LSH ANN at its full-recall operating point (bits=3, tables=48
     * recovers the exact top-5 for every query here), so the brute-force
     * ANN oracle applies verbatim; raise bits for bigger corpora. */
@@ -1588,6 +1597,7 @@ object SparkEntry {
     "ann_range_lsh" -> (annRangeLsh _),
     "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_resize" -> (multimodalResize _),
+    "multimodal_frames" -> (multimodalFrames _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_full" -> (annIvfFull _),
@@ -2298,6 +2308,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(max(ow) AS BIGINT) AS out_w, CAST(max(oh) AS BIGINT) AS out_h,
         |  CAST(sum(pooled * (1 + x + y * ow)) AS BIGINT) AS pool_checksum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // frame checksums recomputed from the pixel formula
+    // p(x,y,f) = (x*31 + y*17 + f*7 + doc_id*13) mod 256; the engine's
+    // kernel must parse the same dims from header bytes, address each
+    // sampled frame plane, and position-weight identically
+    "multimodal_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 6 + doc_id % 4 AS w, 4 + doc_id % 3 AS h, 8 + doc_id % 5 AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, f FROM dims, unnest(generate_series(0, nf - 1)) AS s(f)
+        |  WHERE f % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, f, x, y, w FROM fr,
+        |    unnest(generate_series(0, w - 1)) AS sx(x),
+        |    unnest(generate_series(0, h - 1)) AS sy(y)),
+        |ck AS (
+        |  SELECT doc_id, f,
+        |    CAST(sum(((x*31 + y*17 + f*7 + doc_id*13) % 256) * (1 + x + y*w)) AS BIGINT) AS frame_checksum
+        |  FROM px GROUP BY doc_id, f)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, frame_checksum
+        |FROM ck ORDER BY doc_id, frame_idx""".stripMargin,
     "ann_bruteforce" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -415,6 +415,37 @@ case class RasterPool2x2Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Synthetic multi-frame raster payload ("video") from a doc id. */
+case class VideoContainerExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(docId: Any): Any =
+    Kernels.videoContainer(docId.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.videoContainer($c)")
+  override def prettyName: String = "video_container"
+  override protected def withNewChildInternal(newChild: Expression): VideoContainerExpr =
+    copy(child = newChild)
+}
+
+/** Strided frame sampling over a video payload:
+  * [w, h, checksum per sampled frame]; null on malformed header. */
+case class VideoFramesExpr(child: Expression, stride: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(payload: Any): Any =
+    Kernels.videoFrameChecksums(payload.asInstanceOf[Array[Byte]], stride)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.Kernels.videoFrameChecksums($c, $stride);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  override def prettyName: String = "video_frames"
+  override protected def withNewChildInternal(newChild: Expression): VideoFramesExpr =
+    copy(child = newChild)
+}
+
 /** Real media header decode (PNG IHDR / JPEG SOF / WAV fmt / GIF LSD):
   * struct(format, width, height, sample_rate, channels, bit_depth). */
 case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
@@ -744,4 +775,11 @@ object gf {
 
   /** 2x2 average-pool of a raster payload: [out_w, out_h, checksum]. */
   def rasterPool2x2(bytes: Column): Column = u(bytes)(RasterPool2x2Expr(_))
+
+  /** Synthetic multi-frame raster ("video") payload from a doc id. */
+  def videoContainer(docId: Column): Column = u(docId)(VideoContainerExpr(_))
+
+  /** Strided frame checksums of a video payload: [w, h, cks...]. */
+  def videoFrames(bytes: Column, stride: Int): Column =
+    u(bytes)(VideoFramesExpr(_, stride))
 }

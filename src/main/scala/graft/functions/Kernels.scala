@@ -1393,6 +1393,66 @@ object Kernels {
     new GenericArrayData(Array[Long](ow.toLong, oh.toLong, checksum))
   }
 
+  /** Synthetic grayscale "video": 5-byte header ('V','1', width, height,
+    * n_frames — dims 6..9 x 4..6, 8..12 frames from the doc id) followed
+    * by n_frames row-major planes p(x,y,f) = (x*31 + y*17 + f*7 +
+    * docId*13) mod 256. The deterministic stand-in for a decoded frame
+    * sequence: formulaic pixels let a SQL oracle verify the header parse
+    * and per-frame arithmetic end-to-end without a codec. */
+  def videoContainer(docId: Long): Array[Byte] = {
+    val w = (6 + (docId % 4)).toInt
+    val h = (4 + (docId % 3)).toInt
+    val nf = (8 + (docId % 5)).toInt
+    val out = new Array[Byte](5 + w * h * nf)
+    out(0) = 'V'; out(1) = '1'; out(2) = w.toByte; out(3) = h.toByte; out(4) = nf.toByte
+    var f = 0
+    var i = 5
+    while (f < nf) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(i) = ((x * 31 + y * 17 + f * 7 + docId * 13) % 256).toByte
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Every `stride`-th frame's position-weighted checksum
+    * (Σ p(x,y) * (1 + x + y*w) over the frame plane), dims parsed from
+    * the payload header BYTES: returns [w, h, ck(0), ck(stride), ...].
+    * Null on a malformed header — the real-decoder contract. */
+  def videoFrameChecksums(payload: Array[Byte], stride: Int): ArrayData = {
+    if (payload.length < 5 || payload(0) != 'V' || payload(1) != '1') return null
+    val w = payload(2) & 0xff
+    val h = payload(3) & 0xff
+    val nf = payload(4) & 0xff
+    if (payload.length < 5 + w * h * nf) return null
+    val out = scala.collection.mutable.ArrayBuffer[Long](w.toLong, h.toLong)
+    var f = 0
+    while (f < nf) {
+      val base = 5 + f * w * h
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sum += (payload(base + y * w + x) & 0xff).toLong * (1L + x + y.toLong * w)
+          x += 1
+        }
+        y += 1
+      }
+      out += sum
+      f += stride
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Unicode NFC normalization (canonical composition): decomposed
     * sequences like 'e' + U+0301 become the precomposed 'é'. Matches
     * DuckDB's nfc_normalize (both implement UAX #15), which is what makes

@@ -145,6 +145,31 @@ object Multimodal {
         element_at(col("p"), 2).as("out_h"),
         element_at(col("p"), 3).as("pool_checksum"))
 
+  /** Video-tier strided frame sampling run FOR REAL: the payload is a
+    * synthetic multi-frame grayscale sequence (formulaic pixels,
+    * [[graft.functions.Kernels.videoContainer]]), the sampling kernel
+    * parses (w, h, n_frames) from the header BYTES and checksums every
+    * `stride`-th frame plane position-weighted
+    * ([[graft.functions.Kernels.videoFrameChecksums]]) — the integer core
+    * of a "sample every Nth frame" video ingestion stage. One narrow
+    * codegen map then a posexplode: one row in → one row per SAMPLED
+    * frame out, no shuffle, no driver involvement — exactly the plan a
+    * codec-backed keyframe sampler keeps. The SQL oracle recomputes every
+    * checksum from the pixel formula without seeing bytes, so the header
+    * parse, frame addressing, and stride arithmetic are verified
+    * end-to-end (a transposed plane or off-by-one frame base cannot
+    * collide with the position weights). */
+  def sampleVideoFrames(df: DataFrame, idCol: String, stride: Int = 3): DataFrame = {
+    require(stride > 0, "need stride > 0")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        gf.videoFrames(gf.videoContainer(col(idCol).cast("long")), stride).as("v"))
+      .select(col("doc_id"),
+        posexplode(slice(col("v"), lit(3), size(col("v")))).as(Seq("pos", "frame_checksum")))
+      .select(col("doc_id"),
+        (col("pos") * stride).cast("long").as("frame_idx"),
+        col("frame_checksum"))
+  }
+
   /** Exact media dedup: group binary payloads by content hash (the
     * "same file re-uploaded" shape — dedup before any decode work), one
     * row per distinct payload with the min-id keeper. Identical to

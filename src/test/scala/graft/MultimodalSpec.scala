@@ -161,4 +161,28 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((0L, 2L), (1L, 1L), (2L, 1L), (3L, 1L)))
   }
+
+  test("sampleVideoFrames: stride sampling, plan stays narrow, malformed payloads dropped") {
+    import spark.implicits._
+    val docs = (0L until 20L).toDF("doc_id")
+    val out = graft.ops.Multimodal.sampleVideoFrames(docs, "doc_id", stride = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame sampling must not shuffle:\n$plan")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one row per sampled frame: frames 0, 3, 6, ... below nf = 8 + id % 5
+    (0L until 20L).foreach { id =>
+      val nf = 8 + id % 5
+      val want = (0L until nf by 3L).toSeq
+      assert(rows.filter(_._1 == id).map(_._2).toSeq.sorted === want, s"doc $id")
+    }
+    // checksum of doc 0, frame 0 recomputed from the pixel formula
+    val w = 6; val h = 4
+    val expect = (for { y <- 0 until h; x <- 0 until w }
+      yield ((x * 31 + y * 17) % 256).toLong * (1 + x + y * w)).sum
+    assert(rows.find(r => r._1 == 0L && r._2 == 0L).get._3 === expect)
+    // a malformed payload (not a video container) yields no frame rows
+    val bad = spark.sql("SELECT 1L AS doc_id, CAST('nope' AS BINARY) AS v")
+      .select(col("doc_id"), graft.functions.gf.videoFrames(col("v"), 3).as("v"))
+    assert(bad.where(col("v").isNotNull).count() === 0)
+  }
 }
