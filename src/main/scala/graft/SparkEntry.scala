@@ -1100,6 +1100,13 @@ object SparkEntry {
     Multimodal.poolRasters(t(s, dir, "documents").select(col("doc_id")), "doc_id")
       .orderBy("doc_id")
 
+  /** PCM energy stats over WAV-wrapped payloads
+    * ([[graft.ops.Multimodal.audioEnergyStats]]): real RIFF walk, integer
+    * stats; the oracle rebuilds every field from the text bytes. */
+  private def multimodalAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioEnergyStats(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Strided video-frame sampling over synthetic multi-frame rasters
     * ([[graft.ops.Multimodal.sampleVideoFrames]]): the kernel parses
     * (w, h, n_frames) from header bytes and checksums every 3rd frame;
@@ -1598,6 +1605,7 @@ object SparkEntry {
     "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_audio" -> (multimodalAudio _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_full" -> (annIvfFull _),
@@ -3586,6 +3594,30 @@ object SparkEntry {
     // IHDR 25 + IDAT framing 12 + IEND 12; JPEG 41 = SOI 2 + APP0 18 +
     // SOF0 19 + EOI 2; WAV 44; GIF 14 = header 13 + trailer 1) — so a
     // decode bug anywhere (endianness, offsets, chunk walk) hash-fails.
+    // audio stats: body bytes are the utf-8 text (all-ASCII corpus: byte
+    // == code point), so sample s = code - 128; sr/ch derive from the
+    // byte sum exactly as the WAV synthesis writes them — a wrong RIFF
+    // offset or endianness in the kernel hash-fails
+    "multimodal_audio" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unicode(text[i]) AS code
+        |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)),
+        |st AS (
+        |  SELECT d.doc_id,
+        |    coalesce(s.bsum, 0) AS bsum, coalesce(s.n, 0) AS n,
+        |    coalesce(s.peak, 0) AS peak, coalesce(s.sumsq, 0) AS sumsq
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, sum(code) AS bsum, count(*) AS n,
+        |      max(abs(code - 128)) AS peak,
+        |      sum((code - 128) * (code - 128)) AS sumsq
+        |    FROM chars GROUP BY 1) s ON d.doc_id = s.doc_id)
+        |SELECT doc_id,
+        |  CAST(8000 + (bsum % 5) * 8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + bsum % 2 AS BIGINT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(peak AS BIGINT) AS peak,
+        |  CASE WHEN n > 0 THEN round(sqrt(CAST(sumsq AS DOUBLE) / n), 6) END AS rms_r
+        |FROM st ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       """WITH chars AS (
         |  SELECT doc_id, unicode(text[i]) AS code

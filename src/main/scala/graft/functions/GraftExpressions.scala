@@ -415,6 +415,25 @@ case class RasterPool2x2Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** PCM energy stats from a WAV payload (RIFF walk + one data pass):
+  * [sample_rate, channels, n_samples, peak, sum_sq]; null if not WAV. */
+case class AudioStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(payload: Any): Any =
+    Kernels.audioStats(payload.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.Kernels.audioStats($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  override def prettyName: String = "audio_stats"
+  override protected def withNewChildInternal(newChild: Expression): AudioStatsExpr =
+    copy(child = newChild)
+}
+
 /** Synthetic multi-frame raster payload ("video") from a doc id. */
 case class VideoContainerExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
@@ -775,6 +794,9 @@ object gf {
 
   /** 2x2 average-pool of a raster payload: [out_w, out_h, checksum]. */
   def rasterPool2x2(bytes: Column): Column = u(bytes)(RasterPool2x2Expr(_))
+
+  /** PCM energy stats of a WAV payload: [sr, ch, n, peak, sum_sq]. */
+  def audioStats(bytes: Column): Column = u(bytes)(AudioStatsExpr(_))
 
   /** Synthetic multi-frame raster ("video") payload from a doc id. */
   def videoContainer(docId: Column): Column = u(docId)(VideoContainerExpr(_))

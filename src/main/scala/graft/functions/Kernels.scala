@@ -1393,6 +1393,49 @@ object Kernels {
     new GenericArrayData(Array[Long](ow.toLong, oh.toLong, checksum))
   }
 
+  /** PCM energy stats from a WAV payload — a REAL RIFF chunk walk to
+    * `fmt ` (sample rate, channels) and `data`, then one pass over the
+    * data-chunk bytes as centered 8-bit samples (s = byte - 128):
+    * [sample_rate, channels, n_samples, peak, sum_sq]. All integers, so
+    * a SQL oracle reproduces every field exactly. Null when the payload
+    * is not a RIFF/WAVE container — the real-decoder contract. */
+  def audioStats(payload: Array[Byte]): ArrayData = {
+    if (payload.length < 12) return null
+    if (payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F') return null
+    if (payload(8) != 'W' || payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E') return null
+    var sr = 0L
+    var ch = 0L
+    var n = 0L
+    var peak = 0L
+    var sumsq = 0L
+    var i = 12
+    while (i + 8 <= payload.length) {
+      val isFmt = payload(i) == 'f' && payload(i + 1) == 'm' &&
+        payload(i + 2) == 't' && payload(i + 3) == ' '
+      val isData = payload(i) == 'd' && payload(i + 1) == 'a' &&
+        payload(i + 2) == 't' && payload(i + 3) == 'a'
+      val len = rLE32(payload, i + 4)
+      val start = i + 8
+      if (isFmt && len >= 16 && start + 16 <= payload.length) {
+        ch = rLE16(payload, start + 2)
+        sr = rLE32(payload, start + 4)
+      } else if (isData) {
+        val end = math.min(start.toLong + len, payload.length.toLong).toInt
+        var j = start
+        while (j < end) {
+          val s = (payload(j) & 0xff) - 128L
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumsq += s * s
+          n += 1
+          j += 1
+        }
+      }
+      i = start + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    new GenericArrayData(Array[Long](sr, ch, n, peak, sumsq))
+  }
+
   /** Synthetic grayscale "video": 5-byte header ('V','1', width, height,
     * n_frames — dims 6..9 x 4..6, 8..12 frames from the doc id) followed
     * by n_frames row-major planes p(x,y,f) = (x*31 + y*17 + f*7 +

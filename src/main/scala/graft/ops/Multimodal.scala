@@ -170,6 +170,31 @@ object Multimodal {
         col("frame_checksum"))
   }
 
+  /** Audio-tier PCM energy statistics run FOR REAL: every doc is wrapped
+    * in a structurally valid WAV container (the [[withBinaryPayload]]
+    * synthesis with the format selector pinned to the WAV branch), then
+    * [[graft.functions.Kernels.audioStats]] walks the RIFF chunks to
+    * `fmt ` and `data` and one-passes the data chunk as centered 8-bit
+    * samples — sample rate, channels, sample count, peak amplitude, and
+    * RMS, the silence-/clipping-detection triage an audio ingestion
+    * pipeline runs before any transcription model. One narrow codegen
+    * map, no shuffle; all stats are integers (RMS is one sqrt at the
+    * end), so the SQL oracle reproduces every field including the RIFF
+    * header fields the kernel must parse back from bytes. */
+  def audioEnergyStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = gf.mediaContainer(col(idCol).cast("long") * 4 + 2,
+      encode(coalesce(col(textCol), lit("")), "UTF-8"))
+    df.select(col(idCol).cast("long").as("doc_id"), gf.audioStats(payload).as("a"))
+      .select(col("doc_id"),
+        element_at(col("a"), 1).as("sample_rate"),
+        element_at(col("a"), 2).as("channels"),
+        element_at(col("a"), 3).as("n_samples"),
+        element_at(col("a"), 4).as("peak"),
+        when(element_at(col("a"), 3) > 0,
+          round(sqrt(element_at(col("a"), 5).cast("double") / element_at(col("a"), 3)), 6))
+          .as("rms_r"))
+  }
+
   /** Exact media dedup: group binary payloads by content hash (the
     * "same file re-uploaded" shape — dedup before any decode work), one
     * row per distinct payload with the min-id keeper. Identical to

@@ -185,4 +185,27 @@ class MultimodalSpec extends SparkSpec {
       .select(col("doc_id"), graft.functions.gf.videoFrames(col("v"), 3).as("v"))
     assert(bad.where(col("v").isNotNull).count() === 0)
   }
+
+  test("audioEnergyStats: RIFF parse round-trips the synthesis; hand-checked sample stats") {
+    import spark.implicits._
+    // "AB" -> bytes 65, 66: bsum 131, samples -63/-62, peak 63,
+    // sumsq 63^2 + 62^2 = 7813, rms = sqrt(7813/2)
+    val docs = Seq((0L, "AB"), (1L, "")).toDF("doc_id", "text")
+    val got = graft.ops.Multimodal.audioEnergyStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) === 8000 + (131 % 5) * 8000)
+    assert(got(0).getLong(2) === 1 + 131 % 2)
+    assert(got(0).getLong(3) === 2L)
+    assert(got(0).getLong(4) === 63L)
+    val rms = BigDecimal(math.sqrt(7813.0 / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(5) === rms)
+    // empty body: zero samples, null rms, header still parsed (bsum 0)
+    assert(got(1).getLong(3) === 0L && got(1).isNullAt(5))
+    assert(got(1).getLong(1) === 8000L)
+    // non-WAV bytes -> null stats (real-decoder contract)
+    val bad = spark.sql("SELECT CAST('GIF89a...' AS BINARY) AS p")
+      .select(graft.functions.gf.audioStats(col("p")).as("a"))
+    assert(bad.where(col("a").isNotNull).count() === 0)
+  }
 }
