@@ -194,6 +194,53 @@ object SparkEntry {
     has.union(hasNot).orderBy("c_custkey")
   }
 
+  /** Greatest-n-per-group via the bounded-heap TypedImperativeAggregate
+    * (top-3 orders per customer by price): the heap keeps k entries PER
+    * GROUP map-side, so the shuffle carries at most k rows per group per
+    * partition and nothing is ever sorted — the scale-correct plan for
+    * "top N per key" that the usual row_number window (full sort of every
+    * group's rows) is not. Same (score desc, id asc) total order as the
+    * ANN stack, so the window-rank oracle matches exactly. */
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKByScoreAgg.topK(
+        struct(col("o_totalprice").cast("double"), col("o_orderkey").cast("long")), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("rk0", "item")))
+      .select(col("o_custkey"), col("item.id").as("o_orderkey"),
+        (col("rk0") + 1).cast("long").as("rank"))
+      .orderBy("o_custkey", "rank")
+
+  /** Time-series gap fill (the monitoring/feature-store resample shape):
+    * the full hourly spine per event_type — missing hours appear with
+    * n_events = 0 and the last observed hour's integer cent total carried
+    * forward (the "state as of hour h" contract). The spine is a
+    * broadcast-sized dimension (types x hours from ONE bounds row), the
+    * left join shuffles only the hourly aggregate (already reduced), and
+    * the carry-forward is one in-partition window per type — all integer
+    * values, so the fill is exact cross-engine. */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+    val hourly = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sc"))
+    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("sc"), ignoreNulls = true).over(w).as("filled_cents"))
+      .orderBy("event_type", "hour")
+  }
+
   /** PIVOT (rows -> columns): order counts per priority x status.
     * Spark expands pivot to conditional aggregates — ONE shuffle with
     * partial aggregation, no row explosion; the fixed value list keeps
@@ -1520,6 +1567,8 @@ object SparkEntry {
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _),
     "q_exists" -> (qExists _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_gap_fill" -> (qGapFill _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "corpus_centroids" -> (corpusCentroids _),
@@ -1804,6 +1853,39 @@ object SparkEntry {
         |    AS has_big_order
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    // the heap's (price desc, orderkey asc) total order == this window
+    "q_topk_per_group" ->
+      """WITH rk AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    // integer cent totals + IGNORE NULLS carry-forward over the full
+    // hourly spine — exact fill on both engines
+    "q_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |hourly AS (
+        |  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(c) AS BIGINT) AS sc
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+        |spine AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM ev) t, b,
+        |    unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(h)),
+        |filled AS (
+        |  SELECT s.event_type, s.h, coalesce(hh.n_events, 0) AS n_events, hh.sc
+        |  FROM spine s LEFT JOIN hourly hh
+        |    ON s.event_type = hh.event_type AND s.h = hh.h)
+        |SELECT event_type, h AS hour, CAST(n_events AS BIGINT) AS n_events,
+        |  last_value(sc IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |FROM filled ORDER BY event_type, hour""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

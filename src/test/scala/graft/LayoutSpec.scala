@@ -205,4 +205,14 @@ class LayoutSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(vec_id"),
       s"corpus exchange in assignment plan:\n${plan.take(3000)}")
   }
+
+  test("q_topk_per_group plan: heap aggregate, no Sort/Window of the group rows") {
+    // presentation orderBy contributes a Sort node; the assertions below
+    // target the aggregation strategy, not the final output sort
+    val df = SparkEntry.queries("q_topk_per_group")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no heap aggregate:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), s"window sort leaked into top-k plan:\n${plan.take(3000)}")
+    assert(!plan.toLowerCase.contains("sortaggregate"), s"sort-based agg:\n${plan.take(3000)}")
+  }
 }
