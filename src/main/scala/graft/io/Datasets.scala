@@ -32,6 +32,7 @@ class Datasets(root: String) {
     val target = dir.resolve(s"$name.$format").toString
     format match {
       case "parquet" => df.write.mode("overwrite").parquet(target)
+      case "orc"     => df.write.mode("overwrite").orc(target)
       case "csv"     => df.write.mode("overwrite").option("header", "true").csv(target)
       case "json" | "jsonl" => df.write.mode("overwrite").json(target)
       case other     => throw new IllegalArgumentException(s"Unsupported dataset format: $other")
@@ -40,7 +41,7 @@ class Datasets(root: String) {
   }
 
   /** Supported raw-file formats — the set [[Tables.load]] can read back. */
-  val supportedExtensions: Set[String] = Set("parquet", "csv", "txt", "jsonl", "json")
+  val supportedExtensions: Set[String] = Set("parquet", "orc", "csv", "txt", "jsonl", "json")
 
   /** Upload raw files by path (reference upload_to_dataset,
     * sutro/sdk.py:1400): accepts file paths or a directory (expanded,

@@ -55,6 +55,7 @@ object Tables {
     }
     ext match {
       case "parquet"       => spark.read.parquet(path)
+      case "orc"           => spark.read.orc(path)
       case "csv"           => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       case "json" | "jsonl" => spark.read.json(path)
       case "txt" | ""      => spark.read.text(path).withColumnRenamed("value", "line")

@@ -40,6 +40,20 @@ class JobsDatasetsSpec extends SparkSpec {
     assert(csv === 2)
   }
 
+  test("datasets: orc round-trip preserves schema and values") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ds-orc").toString
+    val ds = new Datasets(root)
+    val id = ds.create(Some("orc-data"))
+    val df = Seq((1L, "x", 1.5), (2L, "y", -2.25)).toDF("id", "v", "w")
+    ds.upload(df, id, "orc")
+    assert(ds.listFiles(id) === Seq("part.orc"))
+    val back = ds.download(spark, id, "part.orc").orderBy("id")
+      .as[(Long, String, Double)].collect()
+    assert(back.toSeq === Seq((1L, "x", 1.5), (2L, "y", -2.25)))
+    assert(ds.download(spark, id, "part.orc").schema.map(_.dataType.simpleString) ===
+      Seq("bigint", "string", "double"))
+  }
+
   test("datasets: unknown dataset rejected") {
     val ds = new Datasets(java.nio.file.Files.createTempDirectory("graft-ds2").toString)
     intercept[IllegalArgumentException](ds.listFiles("missing"))
