@@ -91,4 +91,27 @@ class EdgeCasesSpec extends SparkSpec {
       .collect()
     assert(kept.length === 1 && kept(0).getBoolean(2))
   }
+
+  test("round-8 continuation operators on degenerate inputs") {
+    // pagerank: empty vertex set is a clear error; edge-free graph holds
+    // the teleport base everywhere
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.pageRank(Seq.empty[Long].toDF("id"),
+        Seq.empty[(Long, Long)].toDF("src", "dst"))
+    }
+    val lonely = graft.ops.Graph.pageRank(Seq(0L, 1L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 2).collect()
+    assert(lonely.map(_.getLong(1)).toSet === Set((1000000000000L * 15) / (100L * 2)))
+    // tfidf: empty corpus and all-empty texts -> empty
+    assert(graft.ops.Search.tfidfTopTerms(emptyDocs, "doc_id", "text").count() === 0L)
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(graft.ops.Search.tfidfTopTerms(blank, "doc_id", "text").count() === 0L)
+    // classifier: empty corpus -> empty (schema intact)
+    val cs = graft.ops.TextAnalysis.classifierScore(emptyDocs, "doc_id", "text")
+    assert(cs.count() === 0L && cs.columns.toSeq === Seq("doc_id", "score_r", "keep"))
+    // frame sampling / audio stats: empty input -> empty
+    assert(graft.ops.Multimodal.sampleVideoFrames(
+      Seq.empty[Long].toDF("doc_id"), "doc_id").count() === 0L)
+    assert(graft.ops.Multimodal.audioEnergyStats(emptyDocs, "doc_id", "text").count() === 0L)
+  }
 }
