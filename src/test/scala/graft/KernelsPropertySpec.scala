@@ -123,4 +123,55 @@ object KernelsPropertySpec extends Properties("Kernels") {
       val mBits = bits.length.toLong * 64L
       arr.forall(fp => graft.functions.Kernels.bloomContains(fp, bits, k, mBits))
     }
+
+  // ---- byte-parser fuzz: arbitrary bytes must parse or return null/zero,
+  // never throw (the parsers run inside codegen over untrusted payloads)
+
+  private val anyBytes: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 200).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127)))
+      .map(_.map(_.toByte).toArray)
+
+  property("audioStats never throws on arbitrary bytes") =
+    forAll(anyBytes) { b =>
+      graft.functions.Kernels.audioStats(b)
+      true
+    }
+
+  property("videoFrameChecksums never throws on arbitrary bytes, any stride") =
+    forAll(anyBytes, Gen.chooseNum(1, 5)) { (b, stride) =>
+      graft.functions.Kernels.videoFrameChecksums(b, stride)
+      true
+    }
+
+  property("mediaHeader never throws on arbitrary bytes") =
+    forAll(anyBytes) { b =>
+      graft.functions.Kernels.mediaHeader(b)
+      true
+    }
+
+  property("rasterPool2x2 never throws on arbitrary bytes") =
+    forAll(anyBytes) { b =>
+      graft.functions.Kernels.rasterPool2x2(b)
+      true
+    }
+
+  property("audioStats round-trips its own container for any body") =
+    forAll(anyBytes, Gen.chooseNum(0L, 1000L)) { (body, id) =>
+      // force the WAV branch; stats must match a direct pass over body
+      val wav = graft.functions.Kernels.mediaContainer(id * 4 + 2, body)
+      val got = graft.functions.Kernels.audioStats(wav)
+      var bsum = 0L; var sumsq = 0L; var peak = 0L
+      body.foreach { x =>
+        val u = x & 0xff
+        bsum += u
+        val s = u - 128L
+        sumsq += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+      }
+      (got.getLong(0) == 8000 + (bsum % 5) * 8000) :| "sr" &&
+        (got.getLong(1) == 1 + bsum % 2) :| "ch" &&
+        (got.getLong(2) == body.length.toLong) :| "n" &&
+        (got.getLong(3) == peak) :| "peak" &&
+        (got.getLong(4) == sumsq) :| "sumsq"
+    }
 }
