@@ -1218,6 +1218,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** SQ8 at its exhaustive operating point (rerank = corpus size): the
+    * scalar-quantized approximate phase prunes nothing, so the exact
+    * re-rank equals brute force by construction and the exact SQL oracle
+    * applies verbatim; the recall-trading rerank=50 point is
+    * SimilaritySpec-covered. */
+  private def annSqFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.sqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, rerank = emb.count().toInt)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF x PQ composed (IVFADC). Rows-only like ann_ivf/ann_pq: cell
     * pruning + residual-code scoring are honestly recall-trading;
     * SimilaritySpec checks recall vs brute force, partition-layout
@@ -1660,6 +1672,7 @@ object SparkEntry {
     "ann_ivf_full" -> (annIvfFull _),
     "ann_pq" -> (annPq _),
     "ann_pq_full" -> (annPqFull _),
+    "ann_sq_full" -> (annSqFull _),
     "ann_pq_adc" -> (annPqAdc _),
     "ann_ivfpq" -> (annIvfpq _),
     "ann_ivfpq_full" -> (annIvfpqFull _),
@@ -2442,6 +2455,17 @@ object SparkEntry {
     // ann_pq_full reranks the whole corpus (rerank = N): the approximate
     // phase prunes nothing, the exact re-rank IS brute force.
     "ann_pq_full" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM scored
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // ann_sq_full reranks the whole corpus: the SQ8 approximation
+    // vanishes, the result is brute force.
+    "ann_sq_full" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    row_number() OVER (PARTITION BY q.vec_id

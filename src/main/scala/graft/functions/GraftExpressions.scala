@@ -261,6 +261,39 @@ case class PqAdcExpr(left: Expression, right: Expression, ksub: Int) extends Bin
     copy(left = l, right = r)
 }
 
+/** SQ8 scalar-quantization encode over plan-embedded per-dim min/span. */
+case class SqEncodeExpr(child: Expression, mins: Array[Float], spans: Array[Float])
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.sqEncode(input.asInstanceOf[ArrayData], mins, spans)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mref = ctx.addReferenceObj("sqMins", mins, "float[]")
+    val sref = ctx.addReferenceObj("sqSpans", spans, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.sqEncode($c, $mref, $sref)")
+  }
+  override def prettyName: String = "sq_encode"
+  override protected def withNewChildInternal(newChild: Expression): SqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Approximate cosine of (SQ8 codes, raw query) over plan-embedded
+  * min/span — the asymmetric scoring phase of the SQ index. */
+case class SqCosExpr(left: Expression, right: Expression,
+    mins: Array[Float], spans: Array[Float]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sqCos(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData], mins, spans)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mref = ctx.addReferenceObj("sqMins", mins, "float[]")
+    val sref = ctx.addReferenceObj("sqSpans", spans, "float[]")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.sqCos($a, $b, $mref, $sref)")
+  }
+  override def prettyName: String = "sq_cos"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqCosExpr =
+    copy(left = l, right = r)
+}
+
 /** Per-document char-bigram counts, packed (code << 32 | count), ascending
   * code order. */
 case class CharBigramCountsExpr(child: Expression) extends UnaryExpression {
@@ -797,6 +830,15 @@ object gf {
 
   /** PCM energy stats of a WAV payload: [sr, ch, n, peak, sum_sq]. */
   def audioStats(bytes: Column): Column = u(bytes)(AudioStatsExpr(_))
+
+  /** SQ8 encode of a float vector with plan-embedded per-dim min/span. */
+  def sqEncode(v: Column, mins: Array[Float], spans: Array[Float]): Column =
+    u(v)(SqEncodeExpr(_, mins, spans))
+
+  /** Approximate cosine of (SQ8 codes, raw query vector). */
+  def sqCos(codes: Column, q: Column, mins: Array[Float], spans: Array[Float]): Column =
+    GraftBridge.column(SqCosExpr(GraftBridge.expression(codes),
+      GraftBridge.expression(q), mins, spans))
 
   /** Synthetic multi-frame raster ("video") payload from a doc id. */
   def videoContainer(docId: Column): Column = u(docId)(VideoContainerExpr(_))

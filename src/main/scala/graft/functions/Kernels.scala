@@ -1393,6 +1393,51 @@ object Kernels {
     new GenericArrayData(Array[Long](ow.toLong, oh.toLong, checksum))
   }
 
+  /** SQ8 scalar quantization encode (FAISS IndexScalarQuantizer parity):
+    * per-dimension affine code c_d = round((x_d - min_d)/span_d * 255)
+    * clamped to [0, 255] — 4x compression for float32 corpora, the
+    * simplest member of the compressed-index family. Zero-span
+    * dimensions (constant across the train set) encode as 0. */
+  def sqEncode(v: ArrayData, mins: Array[Float], spans: Array[Float]): Array[Byte] = {
+    val dim = v.numElements()
+    val out = new Array[Byte](dim)
+    var d = 0
+    while (d < dim) {
+      val span = spans(d)
+      val c =
+        if (span <= 0f) 0
+        else {
+          val r = math.round((v.getFloat(d) - mins(d)) / span * 255f)
+          if (r < 0) 0 else if (r > 255) 255 else r
+        }
+      out(d) = c.toByte
+      d += 1
+    }
+    out
+  }
+
+  /** Approximate cosine between an SQ8-coded corpus vector and a raw
+    * float query: the code dequantizes to x̂_d = min_d + c_d/255·span_d
+    * and cosine accumulates (dot, ||x̂||², ||q||²) in one d-ascending
+    * pass — the asymmetric-distance shape of the PQ ADC, one multiply
+    * per dimension off a 256-entry dequant line. */
+  def sqCos(codes: Array[Byte], q: ArrayData, mins: Array[Float], spans: Array[Float]): Double = {
+    val dim = codes.length
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var d = 0
+    while (d < dim) {
+      val x = mins(d).toDouble + (codes(d) & 0xff).toDouble / 255.0 * spans(d).toDouble
+      val y = q.getFloat(d).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      d += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** PCM energy stats from a WAV payload — a REAL RIFF chunk walk to
     * `fmt ` (sample rate, channels) and `data`, then one pass over the
     * data-chunk bytes as centered 8-bit samples (s = byte - 128):

@@ -826,4 +826,66 @@ object Similarity {
       .join(broadcast(mapping), "__cidx")
       .select(col(idCol), col(groupCol), col("assigned"))
   }
+
+  /** SQ8 scalar-quantization ANN (FAISS IndexScalarQuantizer parity —
+    * the simplest compressed-index family member, 4x over float32):
+    * per-dimension affine codes from an exact corpus min/max train pass,
+    * asymmetric approximate-cosine scoring (codes vs raw query) via a
+    * codegen kernel over plan-embedded min/span arrays, then exact
+    * re-rank of the top-`rerank` candidates from the real vectors.
+    *
+    * Train is ONE aggregate (dim rows to the driver — the codebook-load
+    * pattern) and is exact min/max, so it is partition-layout- and
+    * retry-independent by construction, unlike sampled k-means training.
+    * At rerank = corpus size the approximation vanishes and the result
+    * equals brute force (the `ann_sq_full` oracle point); the
+    * recall-trading operating point is spec-verified. */
+  def sqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int = 50): DataFrame = {
+    Dedup.requireLongId(corpus, idCol)
+    Dedup.requireLongId(queries, idCol)
+    val (mins, spans) = sqTrain(corpus, vecCol)
+    val codes = corpus.where(col(vecCol).isNotNull).select(
+      col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      gf.sqEncode(col(vecCol), mins, spans).as("codes"))
+    val qt = queries.where(col(vecCol).isNotNull).select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
+    val approx = codes.drop("c_vec").crossJoin(broadcast(qt))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.sqCos(col("codes"), col("q_vec"), mins, spans).as("cos_sim"))
+    val candidates = rankTopK(approx, rerank).drop("rank")
+    val exact = candidates
+      .join(codes.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .join(broadcast(qt), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosine(col("q_vec"), col("c_vec")).as("cos_sim"))
+    rankTopK(exact, k)
+  }
+
+  /** Exact per-dimension (min, span) of a float-vector corpus — the SQ8
+    * quantizer train step: one posexplode aggregate, dim rows collected
+    * as a driver constant. */
+  def sqTrain(corpus: DataFrame, vecCol: String): (Array[Float], Array[Float]) = {
+    val rows = corpus.where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    require(rows.nonEmpty, "sqTrain: empty corpus")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Float](dim)
+    val spans = new Array[Float](dim)
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      mins(p) = r.getFloat(1)
+      spans(p) = r.getFloat(2) - r.getFloat(1)
+    }
+    (mins, spans)
+  }
 }

@@ -297,4 +297,32 @@ class SimilaritySpec extends SparkSpec {
     val tight = pairs(Similarity.rangeSearch(emb, queries, "vec_id", "embedding", 0.5))
     assert(tight.subsetOf(exact))
   }
+
+  test("sqTopK: recall at rerank=50, exactness at rerank=N, layout-independent train") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = keyed(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    // exhaustive point equals brute force exactly (ranks included)
+    assert(keyed(Similarity.sqTopK(emb, queries, "vec_id", "embedding", 5, rerank = n)) === bf)
+    // recall-trading point: 8-bit quantization barely perturbs cosine
+    val sq = keyed(Similarity.sqTopK(emb, queries, "vec_id", "embedding", 5, rerank = 50))
+    val recall = bf.map(t => (t._1, t._2)).intersect(sq.map(t => (t._1, t._2))).size.toDouble /
+      bf.size
+    assert(recall >= 0.9, s"SQ8 recall $recall vs brute force")
+    // train is exact min/max -> identical on any partition layout
+    val (m1, s1) = Similarity.sqTrain(emb, "embedding")
+    val (m2, s2) = Similarity.sqTrain(emb.repartition(13), "embedding")
+    assert(m1.toSeq === m2.toSeq && s1.toSeq === s2.toSeq)
+    // codes cover the full byte range somewhere (the quantizer actually
+    // uses its span) and never exceed it
+    import spark.implicits._
+    val codes = emb.where(col("embedding").isNotNull)
+      .select(graft.functions.gf.sqEncode(col("embedding"), m1, s1).as("c"))
+      .as[Array[Byte]].collect()
+    val all = codes.flatten.map(_ & 0xff)
+    assert(all.min === 0 && all.max === 255)
+  }
 }
