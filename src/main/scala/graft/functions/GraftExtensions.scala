@@ -83,7 +83,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => RepetitionStatsExpr(arity("repetition_stats", 1)(args)(0))),
     (FunctionIdentifier("char_bigram_counts"),
       info("char_bigram_counts", "char_bigram_counts(text) - packed (code << 32 | count) char-bigram counts"),
-      (args: Seq[Expression]) => CharBigramCountsExpr(arity("char_bigram_counts", 1)(args)(0))))
+      (args: Seq[Expression]) => CharBigramCountsExpr(arity("char_bigram_counts", 1)(args)(0))),
+    (FunctionIdentifier("canonicalize_url"),
+      info("canonicalize_url", "canonicalize_url(url) - canonical crawl-frontier form of a URL"),
+      (args: Seq[Expression]) => CanonicalizeUrlExpr(arity("canonicalize_url", 1)(args)(0))),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(arity("nfc_normalize", 1)(args)(0))),
+    (FunctionIdentifier("strip_accents"),
+      info("strip_accents", "strip_accents(text) - NFD decompose + drop combining marks"),
+      (args: Seq[Expression]) => StripAccentsExpr(arity("strip_accents", 1)(args)(0))),
+    (FunctionIdentifier("media_header"),
+      info("media_header", "media_header(bytes) - decoded PNG/JPEG/WAV/GIF header struct"),
+      (args: Seq[Expression]) => MediaHeaderExpr(arity("media_header", 1)(args)(0))),
+    (FunctionIdentifier("audio_stats"),
+      info("audio_stats", "audio_stats(bytes) - [sample_rate, channels, n_samples, peak, sum_sq] of a WAV payload"),
+      (args: Seq[Expression]) => AudioStatsExpr(arity("audio_stats", 1)(args)(0))),
+    (FunctionIdentifier("video_frames"),
+      info("video_frames", "video_frames(bytes, stride) - [w, h, checksum per sampled frame] of a video payload"),
+      (args: Seq[Expression]) => { val a = arity("video_frames", 2)(args); VideoFramesExpr(a(0), intArg(a(1), "video_frames", 2)) }))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     fns.foreach { case (id, inf, builder) => ext.injectFunction((id, inf, builder)) }

@@ -63,4 +63,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(stats(1) === 0.5) // one dup of two
     assert(r.getSeq[Long](1).nonEmpty)
   }
+
+  test("SQL surface: url/normalize/media functions registered") {
+    import spark.implicits._
+    Seq(("é", "é")).toDF("decomposed", "composed")
+      .createOrReplaceTempView("ext_nfc")
+    val r = spark.sql(
+      """SELECT canonicalize_url('HTTP://Example.COM:80/a/?utm_b=1&z=2&a=3') AS u,
+        |  nfc_normalize(decomposed) AS n,
+        |  strip_accents(composed) AS s
+        |FROM ext_nfc""".stripMargin).head()
+    assert(r.getString(0) === "http://example.com/a?a=3&z=2")
+    assert(r.getString(1) === "é")
+    assert(r.getString(2) === "e")
+    // build payloads via the column API, probe them through the SQL surface
+    val payload = graft.functions.gf.mediaContainer(col("doc_id") * 4 + 2,
+      org.apache.spark.sql.functions.encode(org.apache.spark.sql.functions.lit("AB"), "UTF-8"))
+    Seq(5L).toDF("doc_id")
+      .select(payload.as("p"), graft.functions.gf.videoContainer(col("doc_id")).as("v"))
+      .createOrReplaceTempView("ext_media")
+    val got = spark.sql(
+      "SELECT element_at(audio_stats(p), 3) AS n, element_at(video_frames(v, 3), 1) AS w, media_header(p).format AS fmt FROM ext_media")
+      .head()
+    assert(got.getLong(0) === 2L)           // two samples ("AB")
+    assert(got.getLong(1) === 6L + 5L % 4L) // header width parsed back
+    assert(got.getString(2) === "wav")
+  }
 }
