@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.llm.{EchoModel, Elo, HashEmbedder, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
-import graft.ops.{Corpus, Dedup, Fuzzy, Graph, LangModel, Multimodal, Search, Similarity, Skew, Temporal, TextAnalysis}
+import graft.ops.{AggIndex, Corpus, Dedup, Fuzzy, Graph, LangModel, Multimodal, Search, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — the operator catalog from SURVEY.md §2.
   *
@@ -239,6 +239,27 @@ object SparkEntry {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("sc"), ignoreNulls = true).over(w).as("filled_cents"))
       .orderBy("event_type", "hour")
+  }
+
+  private val aggIndexFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Incremental materialized rollup ([[AggIndex]]): the event history
+    * before the final day is aggregated once into day-partitioned integer
+    * partials, the final day appends as its own partitions (history never
+    * rescanned), and the totals are answered from the partials — equal to
+    * the full batch aggregate by exact-integer construction, which is
+    * precisely what the oracle checks. */
+  private def qRollupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val table = aggIndexFor.computeIfAbsent(dir, d => {
+      val name = ("graft_agg_idx_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase(java.util.Locale.ROOT)
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      val lastDay = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+      AggIndex.build(ev.where(to_date(col("ts")) < lit(lastDay)), name)
+      AggIndex.append(ev.where(to_date(col("ts")) === lit(lastDay)), name)
+      name
+    })
+    AggIndex.query(s, table).orderBy("event_type")
   }
 
   /** PIVOT (rows -> columns): order counts per priority x status.
@@ -1581,6 +1602,7 @@ object SparkEntry {
     "q_exists" -> (qExists _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_gap_fill" -> (qGapFill _),
+    "q_rollup_incremental" -> (qRollupIncremental _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "corpus_centroids" -> (corpusCentroids _),
@@ -1866,6 +1888,18 @@ object SparkEntry {
         |    AS has_big_order
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    // build on days < max, append the max day, query the partials: the
+    // result must equal this full batch aggregate bit-for-bit (integer
+    // partials cannot drift)
+    "q_rollup_incremental" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents,
+        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the heap's (price desc, orderkey asc) total order == this window
     "q_topk_per_group" ->
       """WITH rk AS (

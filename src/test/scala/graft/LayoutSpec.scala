@@ -206,6 +206,43 @@ class LayoutSpec extends SparkSpec {
       s"corpus exchange in assignment plan:\n${plan.take(3000)}")
   }
 
+  test("AggIndex: build+append equals full rebuild exactly; old partitions untouched; day query prunes") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.io.Tables.events(spark, sfDir).where(col("value").isNotNull)
+    val lastDay = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+    graft.ops.AggIndex.build(ev.where(to_date(col("ts")) < lit(lastDay)), "graft_agg_spec_inc")
+    // record the history partitions' files before the append
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_agg_spec_inc")
+      .where(col("col_name") === "Location").head().getString(1).replace("file:", "")
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(loc)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    graft.ops.AggIndex.append(ev.where(to_date(col("ts")) === lit(lastDay)), "graft_agg_spec_inc")
+    val after = files()
+    // every pre-append file survives unmodified — O(day) append cost
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "append rewrote history partitions")
+    assert(after.size > before.size, "append added no files")
+    // bit-identical to a full rebuild
+    graft.ops.AggIndex.build(ev, "graft_agg_spec_full")
+    val inc = graft.ops.AggIndex.query(spark, "graft_agg_spec_inc")
+      .orderBy("event_type").collect()
+    val full = graft.ops.AggIndex.query(spark, "graft_agg_spec_full")
+      .orderBy("event_type").collect()
+    assert(inc.sameElements(full))
+    // per-day lookup partition-prunes at the scan
+    val plan = graft.ops.AggIndex.queryDay(spark, "graft_agg_spec_inc", lastDay)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"day lookup not partition-pruned:\n${plan.take(2000)}")
+    spark.sql("DROP TABLE IF EXISTS graft_agg_spec_inc")
+    spark.sql("DROP TABLE IF EXISTS graft_agg_spec_full")
+  }
+
   test("q_topk_per_group plan: heap aggregate, no Sort/Window of the group rows") {
     // presentation orderBy contributes a Sort node; the assertions below
     // target the aggregation strategy, not the final output sort
