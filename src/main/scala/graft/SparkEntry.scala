@@ -1009,6 +1009,27 @@ object SparkEntry {
     Search.bm25IndexQuery(s, table, Seq("filter", "group", "stream"), k = 20)
   }
 
+  private val searchCompactIndexFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Index-lifecycle closure: build, tombstone 10%, then COMPACT — the
+    * tombstones fold into the physical tables from the index alone (the
+    * corpus is never re-read) and clear; the query must still answer
+    * exactly like an index over the retained 90%, now with no anti-join
+    * in its plan. */
+  private def textSearchIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val table = searchCompactIndexFor.computeIfAbsent(dir, d => {
+      val name = ("graft_search_cp_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase(java.util.Locale.ROOT)
+      Search.bm25IndexBuild(docs, "text", "doc_id", name)
+      Search.bm25IndexRemove(docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "text", "doc_id", name)
+      Search.bm25IndexCompact(s, name)
+      name
+    })
+    Search.bm25IndexQuery(s, table, Seq("line", "value", "small"), k = 20)
+  }
+
   private val searchAppendIndexFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The daily-crawl increment for the search index: build on 90% of the
@@ -1664,6 +1685,7 @@ object SparkEntry {
     "text_search_indexed" -> (textSearchIndexed _),
     "text_search_index_append" -> (textSearchIndexAppend _),
     "text_search_index_remove" -> (textSearchIndexRemove _),
+    "text_search_index_compact" -> (textSearchIndexCompact _),
     "text_compression" -> (textCompression _),
     "q_salted_join" -> (qSaltedJoin _),
     "infer_render" -> (inferRender _),
@@ -3277,6 +3299,34 @@ object SparkEntry {
         |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'filter')) AS tf0,
         |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'group')) AS tf1,
         |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'stream')) AS tf2
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 0),
+        |g AS (
+        |  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM s),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |      ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score
+        |  FROM s, g)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // compaction folds the tombstones into the physical tables (index
+    // alone, no corpus re-read) — the query must still equal a
+    // retained-only index, now with no tombstone anti-join
+    "text_search_index_compact" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dl,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'line')) AS tf0,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'value')) AS tf1,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x = 'small')) AS tf2
         |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 0),
         |g AS (
         |  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl,

@@ -167,6 +167,45 @@ object Search {
       .write.mode("append").insertInto(s"${tableName}_tombstones")
   }
 
+  /** Compact a [[bm25IndexBuild]] index: fold the accumulated tombstones
+    * into the physical tables and clear them — the amortized maintenance
+    * step that ends the lazy-correction era [[bm25IndexRemove]] begins.
+    * Works from the INDEX ALONE (postings anti-join tombstones; dfs
+    * recounted from the surviving postings; meta decremented by exact
+    * integers) — the original corpus is never needed, which is the point:
+    * at 100 TB the text may be long gone while the index lives on. Cost
+    * is O(index), the classic compaction trade: pay one rewrite to make
+    * every subsequent query drop its anti-join. Queries before and after
+    * compaction are bit-identical by construction. */
+  def bm25IndexCompact(spark: SparkSession, tableName: String): Unit = {
+    val tomb = spark.table(s"${tableName}_tombstones")
+      .dropDuplicates("doc_id")
+      .localCheckpoint(eager = true)
+    if (tomb.isEmpty) return
+    val retained = spark.table(tableName)
+      .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true) // materialize before overwriting its source
+    retained
+      .select(spark.table(tableName).schema.fieldNames.map(col).toSeq: _*)
+      .write.mode("overwrite").partitionBy("tb").format("parquet")
+      .saveAsTable(tableName)
+    retained.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("tb").format("parquet")
+      .saveAsTable(s"${tableName}_terms")
+    val meta = spark.table(s"${tableName}_meta").head()
+    val numParts = meta.getAs[Int]("num_parts")
+    val st = tomb.agg(count(lit(1)).as("c"), sum(col("dl").cast("long")).as("s")).head()
+    spark.range(1)
+      .select(lit(meta.getAs[Long]("n_docs") - st.getLong(0)).as("n_docs"),
+        lit(meta.getAs[Long]("sum_dl") - (if (st.isNullAt(1)) 0L else st.getLong(1))).as("sum_dl"),
+        lit(numParts).as("num_parts"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+    spark.range(0)
+      .select(col("id").as("doc_id"), col("id").cast("int").as("dl"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tableName}_tombstones")
+  }
+
   /** Append a delta of NEW documents to a [[bm25IndexBuild]] index — the
     * daily-crawl increment, completing the build-once/append-daily/
     * query-many contract the persistent dedup and IVFADC indexes follow.

@@ -141,6 +141,35 @@ class SearchSpec extends SparkSpec {
       Seq("spark"), k = 5).collect().isEmpty)
   }
 
+  test("bm25 index compact: folds tombstones physically, queries bit-identical, no anti-join left") {
+    import org.apache.spark.sql.functions.{pmod, lit}
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_cp")
+    Search.bm25IndexRemove(docs.where(pmod(col("doc_id"), lit(10)) === 0),
+      "text", "doc_id", "graft_search_idx_cp")
+    val terms = Seq("spark", "join", "window")
+    val before = Search.bm25IndexQuery(spark, "graft_search_idx_cp", terms, k = 25)
+      .collect().toSeq
+    Search.bm25IndexCompact(spark, "graft_search_idx_cp")
+    val afterDf = Search.bm25IndexQuery(spark, "graft_search_idx_cp", terms, k = 25)
+    assert(afterDf.collect().toSeq === before)
+    // tombstones cleared; the post-compact plan carries no anti-join
+    assert(spark.table("graft_search_idx_cp_tombstones").isEmpty)
+    val plan = afterDf.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("leftanti"), s"anti-join after compact:\n${plan.take(2000)}")
+    // physical tables now equal a fresh retained-only build
+    Search.bm25IndexBuild(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+      "text", "doc_id", "graft_search_idx_cpk")
+    def tbl(n: String) = spark.table(n).collect().map(_.toString).sorted.toSeq
+    assert(tbl("graft_search_idx_cp") === tbl("graft_search_idx_cpk"))
+    assert(tbl("graft_search_idx_cp_terms") === tbl("graft_search_idx_cpk_terms"))
+    assert(tbl("graft_search_idx_cp_meta") === tbl("graft_search_idx_cpk_meta"))
+    // compacting a clean index is a no-op
+    Search.bm25IndexCompact(spark, "graft_search_idx_cp")
+    assert(Search.bm25IndexQuery(spark, "graft_search_idx_cp", terms, k = 25)
+      .collect().toSeq === before)
+  }
+
   test("bm25 index: unknown terms score nothing; empty terms rejected") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
     Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_edge")
