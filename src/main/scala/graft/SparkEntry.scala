@@ -1396,6 +1396,28 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private val ivfpqCompactIndexFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Index-lifecycle closure for IVFADC: build, tombstone 20%, COMPACT
+    * (affected cells rewritten, dead cells dropped, tombstones cleared),
+    * probe exhaustively — must still equal brute force over the retained
+    * vectors, now with no anti-join in the probe. */
+  private def annIvfpqCompactFull(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val table = ivfpqCompactIndexFor.computeIfAbsent(dir, d => {
+      val name = ("graft_ivfpq_cp_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .toLowerCase(java.util.Locale.ROOT)
+      Similarity.ivfpqBuildIndex(emb, "vec_id", "embedding", name, nlist = 16, m = 8, ksub = 16)
+      Similarity.ivfpqRemoveIndex(emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        "vec_id", name)
+      Similarity.ivfpqCompactIndex(s, name)
+      name
+    })
+    Similarity.ivfpqQueryIndex(emb.filter(col("vec_id") < 10), "vec_id", "embedding", table,
+        k = 5, nprobe = 16, rerank = emb.count().toInt)
+      .orderBy("query_id", "rank")
+  }
+
   private def knnLabel(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.knnLabel(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label", k = 10)
@@ -1723,6 +1745,7 @@ object SparkEntry {
     "ann_ivfpq_query" -> (annIvfpqQuery _),
     "ann_ivfpq_query_full" -> (annIvfpqQueryFull _),
     "ann_ivfpq_remove_full" -> (annIvfpqRemoveFull _),
+    "ann_ivfpq_compact_full" -> (annIvfpqCompactFull _),
     "ann_ivfpq_append_full" -> (annIvfpqAppendFull _),
     "knn_label" -> (knnLabel _),
     "knn_label_lsh" -> (knnLabelLsh _),
@@ -2556,6 +2579,19 @@ object SparkEntry {
     // remove path: tombstoned vectors (vec_id % 5 = 0) must be invisible —
     // brute force over the RETAINED set only
     "ann_ivfpq_remove_full" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON c.vec_id <> q.vec_id AND c.vec_id % 5 <> 0
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, neighbor_id, rank FROM scored
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // compaction folds the tombstones into the cell partitions (dead
+    // cells dropped) — the exhaustive probe must still equal brute force
+    // over the retained vectors, same oracle as the tombstone path
+    "ann_ivfpq_compact_full" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    row_number() OVER (PARTITION BY q.vec_id

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.gf
@@ -551,6 +551,46 @@ object Similarity {
     Dedup.requireLongId(vecs, idCol)
     vecs.select(col(idCol).cast("long").as("vec_id")).distinct()
       .write.mode("append").insertInto(s"${tableName}_tombstones")
+  }
+
+  /** Compact a [[ivfpqBuildIndex]] index: fold the accumulated vec_id
+    * tombstones into the physical cell partitions and clear them. Only
+    * the AFFECTED cells (those holding a tombstoned vector — a bounded,
+    * driver-sized set) are rewritten, via dynamic partition overwrite;
+    * untouched cells keep their files byte-for-byte. A cell whose every
+    * vector is tombstoned is DROPPED as a partition (dynamic overwrite
+    * only replaces partitions present in the written data — leaving the
+    * dead cell's files behind would resurrect its vectors the moment the
+    * tombstones clear). Works from the index alone; queries before and
+    * after are identical, now without the anti-join. */
+  def ivfpqCompactIndex(spark: SparkSession, tableName: String): Unit = {
+    val tomb = spark.table(s"${tableName}_tombstones").dropDuplicates("vec_id")
+      .localCheckpoint(eager = true)
+    if (tomb.isEmpty) return
+    val affected = spark.table(tableName)
+      .join(broadcast(tomb), col("neighbor_id") === col("vec_id"))
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    if (affected.nonEmpty) {
+      val retained = spark.table(tableName)
+        .where(col("cell").isin(affected: _*))
+        .join(broadcast(tomb), col("neighbor_id") === col("vec_id"), "left_anti")
+        .localCheckpoint(eager = true) // materialize before overwriting its source
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.get(modeKey)
+      try {
+        spark.conf.set(modeKey, "dynamic")
+        retained.select(spark.table(tableName).schema.fieldNames.map(col).toSeq: _*)
+          .write.mode("overwrite").insertInto(tableName)
+      } finally spark.conf.set(modeKey, prior)
+      val survivors = retained.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      (affected.toSet -- survivors).foreach { dead =>
+        spark.sql(s"ALTER TABLE $tableName DROP IF EXISTS PARTITION (cell=$dead)")
+      }
+    }
+    spark.range(0).select(col("id").as("vec_id"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tableName}_tombstones")
   }
 
   def ivfpqQueryIndex(

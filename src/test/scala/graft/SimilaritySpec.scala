@@ -298,6 +298,41 @@ class SimilaritySpec extends SparkSpec {
     assert(tight.subsetOf(exact))
   }
 
+  test("ivfpqCompactIndex: physical fold equals tombstone view; dead cells dropped") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    Similarity.ivfpqBuildIndex(emb, "vec_id", "embedding", "graft_ivfpq_spec_cp",
+      nlist = 8, m = 8, ksub = 16)
+    Similarity.ivfpqRemoveIndex(emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+      "vec_id", "graft_ivfpq_spec_cp")
+    val before = Similarity.ivfpqQueryIndex(queries, "vec_id", "embedding",
+      "graft_ivfpq_spec_cp", k = 5, nprobe = 8, rerank = n)
+      .orderBy("query_id", "rank").collect().toSeq
+    Similarity.ivfpqCompactIndex(spark, "graft_ivfpq_spec_cp")
+    val afterDf = Similarity.ivfpqQueryIndex(queries, "vec_id", "embedding",
+      "graft_ivfpq_spec_cp", k = 5, nprobe = 8, rerank = n)
+      .orderBy("query_id", "rank")
+    assert(afterDf.collect().toSeq === before)
+    assert(spark.table("graft_ivfpq_spec_cp_tombstones").isEmpty)
+    assert(!afterDf.queryExecution.executedPlan.toString.toLowerCase.contains("leftanti"))
+    // tombstoned ids are physically gone from the codes table
+    assert(spark.table("graft_ivfpq_spec_cp")
+      .where(pmod(col("neighbor_id"), lit(5)) === 0).isEmpty)
+    // dead-cell edge: tombstoning EVERYTHING must leave an empty index,
+    // not resurrected vectors (dynamic overwrite skips unwritten
+    // partitions — the dropped-partition path covers them)
+    Similarity.ivfpqRemoveIndex(emb, "vec_id", "graft_ivfpq_spec_cp")
+    Similarity.ivfpqCompactIndex(spark, "graft_ivfpq_spec_cp")
+    assert(spark.table("graft_ivfpq_spec_cp").isEmpty)
+    assert(Similarity.ivfpqQueryIndex(queries, "vec_id", "embedding",
+      "graft_ivfpq_spec_cp", k = 5, nprobe = 8, rerank = n).isEmpty)
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_cp")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_cp_centroids")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_cp_pq")
+    spark.sql("DROP TABLE IF EXISTS graft_ivfpq_spec_cp_tombstones")
+  }
+
   test("sqTopK: recall at rerank=50, exactness at rerank=N, layout-independent train") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 10)
