@@ -1596,6 +1596,13 @@ object SparkEntry {
     graft.streaming.Streams.anomalyMonitorAvailableNow(s, dir)
       .orderBy("user_id")
 
+  /** Streaming ETL into the incremental aggregate: per-batch idempotent
+    * partial appends, final query equals the batch rollup — shares
+    * q_rollup_incremental's oracle verbatim. */
+  private def streamRollupIncremental(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.rollupIncrementalAvailableNow(s, dir)
+      .orderBy("event_type")
+
   /** Streaming sessionization (flatMapGroupsWithState) — same semantics as
     * the batch q_sessionize, so it shares that oracle's shape. */
   private def streamSessionize(s: SparkSession, dir: String): DataFrame =
@@ -1762,7 +1769,8 @@ object SparkEntry {
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_window_topk" -> (streamWindowTopk _),
     "stream_drift" -> (streamDrift _),
-    "stream_anomaly" -> (streamAnomaly _)
+    "stream_anomaly" -> (streamAnomaly _),
+    "stream_rollup_incremental" -> (streamRollupIncremental _)
   )
 
   /** sf0.01-trained PQ codebooks (m=8, ksub=16, dsub=8 -> 1024 doubles),
@@ -1777,6 +1785,16 @@ object SparkEntry {
       |WHERE q.vec_id < 10
       |  AND list_cosine_similarity(q.embedding, c.embedding) >= 0.3
       |ORDER BY query_id, neighbor_id""".stripMargin
+
+  private val rollupIncrementalOracleSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(c) AS BIGINT) AS sum_cents,
+      |  CAST(count(DISTINCT day) AS BIGINT) AS n_days
+      |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private val corpusFilterOracleSql: String =
     """WITH w0 AS (
@@ -1936,15 +1954,10 @@ object SparkEntry {
     // build on days < max, append the max day, query the partials: the
     // result must equal this full batch aggregate bit-for-bit (integer
     // partials cannot drift)
-    "q_rollup_incremental" ->
-      """WITH ev AS (
-        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
-        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
-        |  FROM events WHERE value IS NOT NULL)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(c) AS BIGINT) AS sum_cents,
-        |  CAST(count(DISTINCT day) AS BIGINT) AS n_days
-        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rollup_incremental" -> rollupIncrementalOracleSql,
+    // the streaming ingestion path (idempotent per-batch partial appends)
+    // must land on the identical totals — same oracle verbatim
+    "stream_rollup_incremental" -> rollupIncrementalOracleSql,
     // the heap's (price desc, orderkey asc) total order == this window
     "q_topk_per_group" ->
       """WITH rk AS (

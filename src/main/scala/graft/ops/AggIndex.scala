@@ -44,6 +44,40 @@ object AggIndex {
         sum(col("sum_cents")).cast("long").as("sum_cents"),
         countDistinct(col("day")).as("n_days"))
 
+  /** Create an EMPTY partials table keyed by (day, batch_id) — the
+    * streaming-ingestion variant of [[build]]: partials arrive per
+    * micro-batch via [[appendBatch]] rather than in one history pass.
+    * Queries are unchanged (partials merge regardless of granularity). */
+  def buildStreaming(spark: SparkSession, tableName: String): Unit = {
+    Warehouse.dropTables(spark, Seq(tableName))
+    spark.range(0)
+      .select(lit("").as("event_type"), col("id").as("n_events"),
+        col("id").as("sum_cents"), lit(null).cast("date").as("day"),
+        col("id").as("batch_id"))
+      .write.mode("overwrite").partitionBy("day", "batch_id").format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  /** Append ONE micro-batch's partials IDEMPOTENTLY: rows carry the
+    * batch id and land via dynamic partition overwrite, so a Structured
+    * Streaming retry of the same batch REPLACES its own (day, batch_id)
+    * partitions instead of double-counting — exactly-once ingestion on a
+    * plain parquet table, no transaction log needed. Because the partials
+    * are mergeable integers, query results are independent of how the
+    * history was sliced into batches. */
+  def appendBatch(events: DataFrame, batchId: Long, tableName: String): Unit = {
+    val spark = events.sparkSession
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.get(modeKey)
+    try {
+      spark.conf.set(modeKey, "dynamic")
+      partials(events)
+        .withColumn("batch_id", lit(batchId))
+        .select(spark.table(tableName).schema.fieldNames.map(col).toSeq: _*)
+        .write.mode("overwrite").insertInto(tableName)
+    } finally spark.conf.set(modeKey, prior)
+  }
+
   /** One day's totals — the partition-pruned point lookup. */
   def queryDay(spark: SparkSession, tableName: String, day: java.sql.Date): DataFrame =
     spark.table(tableName)

@@ -776,6 +776,31 @@ object Streams {
     anomalyVerdict(runToMemory(running, "graft_stream_anomaly", "complete"), zThresh)
   }
 
+  /** Streaming ingestion into the persistent incremental aggregate
+    * ([[graft.ops.AggIndex]]): every micro-batch's integer partials land
+    * via [[graft.ops.AggIndex.appendBatch]] — per-(day, batch_id) dynamic
+    * partition overwrite, so a batch RETRY replaces its own partitions
+    * instead of double-counting. That is exactly-once continuous ETL on a
+    * plain parquet table: the foreachBatch sink is idempotent by
+    * construction (spec-asserted: re-appending a batch id changes
+    * nothing), and because partials are mergeable integers the final
+    * query equals the batch aggregate no matter how the stream was
+    * sliced into batches. */
+  def rollupIncrementalAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"graft_stream_rollup_${counter.incrementAndGet()}"
+    graft.ops.AggIndex.buildStreaming(spark, name)
+    val ev = streamTable(spark, sfDir, "events.parquet")
+      .where(col("value").isNotNull)
+    val q = ev.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.AggIndex.appendBatch(df, id, name)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ops.AggIndex.query(spark, name)
+  }
+
   /** The batch twin of [[anomalyMonitorAvailableNow]]: identical integer
     * moments and verdict arithmetic over a batch events frame. */
   def anomalyStats(events: DataFrame, zThresh: Double = 3.0): DataFrame = {

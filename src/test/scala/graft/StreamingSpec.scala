@@ -281,6 +281,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming rollup ingestion: equals batch totals; batch retries are idempotent") {
+    import graft.ops.AggIndex
+    val streamed = Streams.rollupIncrementalAvailableNow(spark, sfDir)
+      .orderBy("event_type").collect()
+    val ev = graft.io.Tables.events(spark, sfDir).where(col("value").isNotNull)
+    val batch = ev
+      .select(col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"),
+        to_date(col("ts")).as("day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(col("c")).cast("long").as("sum_cents"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy("event_type").collect()
+    assert(streamed.sameElements(batch))
+    // exactly-once: re-running a batch id REPLACES its partitions
+    AggIndex.buildStreaming(spark, "graft_stream_rollup_spec")
+    val half1 = ev.where(pmod(col("event_id"), lit(2)) === 0)
+    val half2 = ev.where(pmod(col("event_id"), lit(2)) === 1)
+    AggIndex.appendBatch(half1, 0L, "graft_stream_rollup_spec")
+    AggIndex.appendBatch(half2, 1L, "graft_stream_rollup_spec")
+    val once = AggIndex.query(spark, "graft_stream_rollup_spec")
+      .orderBy("event_type").collect()
+    AggIndex.appendBatch(half2, 1L, "graft_stream_rollup_spec") // the retry
+    val retried = AggIndex.query(spark, "graft_stream_rollup_spec")
+      .orderBy("event_type").collect()
+    assert(retried.sameElements(once))
+    // ...and the two-batch slicing equals the one-shot streamed totals
+    assert(once.sameElements(streamed))
+    spark.sql("DROP TABLE IF EXISTS graft_stream_rollup_spec")
+  }
+
   test("streaming anomaly monitor bit-matches the batch twin; state is one row per user") {
     val streamed = Streams.anomalyMonitorAvailableNow(spark, sfDir)
       .orderBy("user_id").collect()
