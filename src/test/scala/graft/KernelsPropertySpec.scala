@@ -155,6 +155,33 @@ object KernelsPropertySpec extends Properties("Kernels") {
       true
     }
 
+  private val floatVec: Gen[Array[Float]] =
+    Gen.chooseNum(1, 32).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f))).map(_.toArray)
+
+  property("sqEncode codes stay in [0,255] and preserve length; round-trip error bounded") =
+    forAll(Gen.nonEmptyListOf(floatVec)) { vecs =>
+      val dim = vecs.map(_.length).max
+      val padded = vecs.map(v => v.padTo(dim, 0.0f))
+      val mins = (0 until dim).map(d => padded.map(_(d)).min).toArray
+      val spans = (0 until dim).map(d => padded.map(_(d)).max - mins(d)).toArray
+      padded.forall { v =>
+        val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          v.map(x => x: Any))
+        val codes = graft.functions.Kernels.sqEncode(arr, mins, spans)
+        codes.length == dim &&
+          codes.forall(c => (c & 0xff) >= 0 && (c & 0xff) <= 255) &&
+          // dequantized value within half a quantization step of the input
+          codes.indices.forall { d =>
+            val span = spans(d).toDouble
+            span <= 0 || {
+              val xhat = mins(d) + (codes(d) & 0xff).toDouble / 255.0 * span
+              math.abs(xhat - v(d)) <= span / 255.0 * 0.5 + 1e-5
+            }
+          }
+      }
+    }
+
   property("audioStats round-trips its own container for any body") =
     forAll(anyBytes, Gen.chooseNum(0L, 1000L)) { (body, id) =>
       // force the WAV branch; stats must match a direct pass over body
