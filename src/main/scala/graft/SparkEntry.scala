@@ -1174,7 +1174,10 @@ object SparkEntry {
     val query = when(pmod(id, lit(5)) === 0,
       concat(lit("?ref="), ref, lit("&utm_source=feed")))
       .otherwise(concat(lit("?utm_source=feed&ref="), ref))
-    val url = concat(scheme, lit("://"), col("source"), lit(".Example.COM"), port, path, query)
+    // fragments never identify a distinct resource — the kernel must drop
+    // them (including a '?' hiding after '#', which is NOT a real query)
+    val frag = when(pmod(id, lit(13)) === 0, lit("#sec?fake=1")).otherwise(lit(""))
+    val url = concat(scheme, lit("://"), col("source"), lit(".Example.COM"), port, path, query, frag)
     Dedup.urlDedup(
         t(s, dir, "documents").select(id, col("source"), url.as("url")),
         "url", "doc_id")

@@ -482,6 +482,9 @@ case class VideoContainerExpr(child: Expression) extends UnaryExpression {
 /** Strided frame sampling over a video payload:
   * [w, h, checksum per sampled frame]; null on malformed header. */
 case class VideoFramesExpr(child: Expression, stride: Int) extends UnaryExpression {
+  // Fail at analysis time, not on the executor: stride <= 0 would loop
+  // forever in the frame walk (SQL callers bypass the Scala-side guard).
+  require(stride > 0, s"video_frames stride must be positive, got $stride")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(payload: Any): Any =

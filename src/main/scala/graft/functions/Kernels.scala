@@ -1309,11 +1309,15 @@ object Kernels {
   /** URL canonicalization (the crawl-frontier dedup key): lowercase scheme
     * and host, strip default ports (:80/:443), strip a trailing slash from
     * the path, drop utm_* tracking params, sort surviving query params by
-    * name (byte order), rebuild scheme://host/path?k=v&... One pass, no
+    * name (byte order), rebuild scheme://host/path?k=v&... Fragments
+    * ('#...') are dropped first — they never identify a distinct resource,
+    * and a '?' after '#' must not be parsed as a real query. One pass, no
     * allocation beyond the parts; unparseable inputs (no "://") return
     * unchanged. */
   def canonicalizeUrl(url: UTF8String): UTF8String = {
-    val s = url.toString
+    val s0 = url.toString
+    val hashIdx = s0.indexOf('#')
+    val s = if (hashIdx >= 0) s0.substring(0, hashIdx) else s0
     val schemeEnd = s.indexOf("://")
     if (schemeEnd < 0) return url
     val scheme = s.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
@@ -1453,20 +1457,24 @@ object Kernels {
     var n = 0L
     var peak = 0L
     var sumsq = 0L
-    var i = 12
+    // Long cursor + unsigned chunk lengths: a hostile 32-bit length can
+    // neither stall the walk (len = -8 would make the next cursor equal
+    // the current one) nor overflow into a negative index.
+    var i = 12L
     while (i + 8 <= payload.length) {
-      val isFmt = payload(i) == 'f' && payload(i + 1) == 'm' &&
-        payload(i + 2) == 't' && payload(i + 3) == ' '
-      val isData = payload(i) == 'd' && payload(i + 1) == 'a' &&
-        payload(i + 2) == 't' && payload(i + 3) == 'a'
-      val len = rLE32(payload, i + 4)
+      val ii = i.toInt
+      val isFmt = payload(ii) == 'f' && payload(ii + 1) == 'm' &&
+        payload(ii + 2) == 't' && payload(ii + 3) == ' '
+      val isData = payload(ii) == 'd' && payload(ii + 1) == 'a' &&
+        payload(ii + 2) == 't' && payload(ii + 3) == 'a'
+      val len = rLE32(payload, ii + 4).toLong & 0xFFFFFFFFL
       val start = i + 8
       if (isFmt && len >= 16 && start + 16 <= payload.length) {
-        ch = rLE16(payload, start + 2)
-        sr = rLE32(payload, start + 4)
+        ch = rLE16(payload, start.toInt + 2)
+        sr = rLE32(payload, start.toInt + 4)
       } else if (isData) {
-        val end = math.min(start.toLong + len, payload.length.toLong).toInt
-        var j = start
+        val end = math.min(start + len, payload.length.toLong).toInt
+        var j = start.toInt
         while (j < end) {
           val s = (payload(j) & 0xff) - 128L
           val a = math.abs(s)
@@ -1476,7 +1484,9 @@ object Kernels {
           j += 1
         }
       }
-      i = start + len + (len & 1) // RIFF chunks are word-aligned
+      val next = start + len + (len & 1L) // RIFF chunks are word-aligned
+      if (next <= i || next > payload.length.toLong) return new GenericArrayData(Array[Long](sr, ch, n, peak, sumsq))
+      i = next
     }
     new GenericArrayData(Array[Long](sr, ch, n, peak, sumsq))
   }

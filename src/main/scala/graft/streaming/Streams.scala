@@ -786,18 +786,26 @@ object Streams {
     * nothing), and because partials are mergeable integers the final
     * query equals the batch aggregate no matter how the stream was
     * sliced into batches. */
+  // One ingested table per source dir (the aggIndexFor idiom): repeated
+  // catalog/bench runs reuse it instead of orphaning a fresh warehouse
+  // table per invocation.
+  private val streamRollupFor = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def rollupIncrementalAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = s"graft_stream_rollup_${counter.incrementAndGet()}"
-    graft.ops.AggIndex.buildStreaming(spark, name)
-    val ev = streamTable(spark, sfDir, "events.parquet")
-      .where(col("value").isNotNull)
-    val q = ev.writeStream
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        graft.ops.AggIndex.appendBatch(df, id, name)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val name = streamRollupFor.computeIfAbsent(sfDir, _ => {
+      val n = s"graft_stream_rollup_${counter.incrementAndGet()}"
+      graft.ops.AggIndex.buildStreaming(spark, n)
+      val ev = streamTable(spark, sfDir, "events.parquet")
+        .where(col("value").isNotNull)
+      val q = ev.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.ops.AggIndex.appendBatch(df, id, n)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      n
+    })
     graft.ops.AggIndex.query(spark, name)
   }
 

@@ -88,5 +88,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.getLong(0) === 2L)           // two samples ("AB")
     assert(got.getLong(1) === 6L + 5L % 4L) // header width parsed back
     assert(got.getString(2) === "wav")
+    // stride <= 0 would loop forever in the frame walk: must fail at
+    // analysis time, never reach an executor
+    val e0 = intercept[Exception](
+      spark.sql("SELECT video_frames(v, 0) FROM ext_media").collect())
+    assert(e0.getMessage.contains("stride must be positive"))
+    // (-3 may reach the builder as UnaryMinus(3) — either the literal
+    // check or the stride check rejects it, both at analysis time)
+    val eNeg = intercept[Exception](
+      spark.sql("SELECT video_frames(v, -3) FROM ext_media").collect())
+    assert(eNeg.getMessage.contains("stride must be positive") ||
+      eNeg.getMessage.contains("integer literal"))
   }
 }

@@ -137,6 +137,40 @@ object KernelsPropertySpec extends Properties("Kernels") {
       true
     }
 
+  // random bytes essentially never start with RIFF…WAVE, so the generic
+  // fuzz never reaches the chunk walk — force the prefix and fuzz the
+  // chunk ids/lengths (incl. hostile 32-bit lengths that read as negative
+  // Ints: len = -8 must not stall the walk, huge lengths must not
+  // overflow into a negative index)
+  private val riffBytes: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 64).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127))).map { body =>
+      ("RIFF".getBytes ++ Array[Byte](0, 1, 0, 0) ++ "WAVE".getBytes ++
+        body.map(_.toByte).toArray)
+    }
+
+  property("audioStats terminates and never throws on hostile RIFF chunk lengths") =
+    forAll(riffBytes) { b =>
+      graft.functions.Kernels.audioStats(b)
+      true
+    }
+
+  property("audioStats survives explicit stall/overflow chunk lengths") = {
+    val prefix = "RIFF".getBytes ++ Array[Byte](0, 1, 0, 0) ++ "WAVE".getBytes
+    // len = -8 as signed: next cursor would equal the current one
+    val stall = prefix ++ "data".getBytes ++
+      Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++ Array.fill[Byte](16)(7)
+    // len = 0x7FFFFFF0: start + len overflows a signed Int
+    val huge = prefix ++ "data".getBytes ++
+      Array[Byte](0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F.toByte) ++ Array.fill[Byte](16)(7)
+    // junk id with a hostile length must not hide a later valid chunk walk
+    val junk = prefix ++ "junk".getBytes ++
+      Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)
+    graft.functions.Kernels.audioStats(stall)
+    graft.functions.Kernels.audioStats(huge)
+    graft.functions.Kernels.audioStats(junk)
+    true
+  }
+
   property("videoFrameChecksums never throws on arbitrary bytes, any stride") =
     forAll(anyBytes, Gen.chooseNum(1, 5)) { (b, stride) =>
       graft.functions.Kernels.videoFrameChecksums(b, stride)

@@ -159,6 +159,13 @@ class KernelsSpec extends AnyFunSuite {
     assert(c("http://h/?a=1") === "http://h/?a=1")
     // unparseable passes through
     assert(c("not a url") === "not a url")
+    // fragments never identify a distinct resource: dropped before parsing
+    assert(c("http://h/p#sec") === c("http://h/p"))
+    assert(c("http://h/p?a=1#sec") === "http://h/p?a=1")
+    // a '?' after '#' is part of the fragment, not a real query
+    assert(c("http://h/p#frag?b=2") === "http://h/p")
+    // fragment inside a query param token must not split the params
+    assert(c("http://h/p?a=1#x&b=2") === "http://h/p?a=1")
   }
 
   test("MGSummary: merge over capacity keeps the bound; weighted add decrements") {
