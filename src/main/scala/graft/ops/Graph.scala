@@ -31,17 +31,20 @@ object Graph {
     * Dangling-vertex mass (vertices with no out-edges) is dropped, not
     * redistributed; the synthesized catalog graph has none.
     *
-    * Scale: `edges` is materialized once (localCheckpoint) and reused by
-    * every iteration; each iteration is one join on `src` (ranks are
-    * vertex-sized, edges dominate) and one partially-aggregated groupBy
-    * on `dst` — hub pages with huge in-degree are combined map-side, so
-    * in-degree skew never concentrates on one reducer. On a cluster,
-    * bucket both vertices and edges by id/src to make the per-iteration
-    * join co-partitioned. Each iteration's ranks are checkpointed so the
-    * plan does not grow with the iteration count.
+    * Scale: `edges` is materialized once and reused by every iteration;
+    * each iteration is one join on `src` (ranks are vertex-sized, edges
+    * dominate) and one partially-aggregated groupBy on `dst` — hub pages
+    * with huge in-degree are combined map-side, so in-degree skew never
+    * concentrates on one reducer. On a cluster, bucket both vertices and
+    * edges by id/src to make the per-iteration join co-partitioned. Each
+    * iteration's ranks are pinned via `ckpt` so the plan does not grow
+    * with the iteration count — pass
+    * [[CheckpointStrategy.Reliable]] on a cluster so an executor loss
+    * mid-run cannot lose the materialized iteration state.
     *
     * @param vertices one `id` (long) row per vertex (isolated vertices kept)
     * @param edges    (`src`, `dst`) long pairs, self-loop-free, distinct
+    * @param ckpt     lineage-pinning strategy between iterations
     * @return (id, rank_e12) — rank in units of 1/scale
     */
   def pageRank(
@@ -49,18 +52,16 @@ object Graph {
       edges: DataFrame,
       iters: Int = 5,
       scale: Long = 1000000000000L,
-      dampNum: Long = 85L): DataFrame = {
+      dampNum: Long = 85L,
+      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     require(iters >= 0, "need iters >= 0")
     require(dampNum >= 0 && dampNum <= 100, "dampNum is a percentage")
-    val ids = vertices.select(col("id").cast("long").as("id"))
-      .localCheckpoint(eager = true)
+    val ids = ckpt.pin(vertices.select(col("id").cast("long").as("id")))
     val nV = ids.count()
     require(nV > 0, "empty vertex set")
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .localCheckpoint(eager = true)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(eager = true)
+    val e = ckpt.pin(edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    val outdeg = ckpt.pin(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val base = (scale * (100L - dampNum)) / (100L * nV)
     var ranks = ids.select(col("id"), lit(scale / nV).as("pr"))
     for (_ <- 1 to iters) {
@@ -69,12 +70,11 @@ object Graph {
         .select(col("src"), expr("pr DIV outdeg").as("contrib"))
         .join(e, "src")
         .groupBy("dst").agg(sum(col("contrib")).as("incoming"))
-      ranks = ids
+      ranks = ckpt.pin(ids
         .join(incoming, ids("id") === incoming("dst"), "left")
         .select(ids("id"),
           (lit(base) + expr(s"coalesce(incoming, CAST(0 AS BIGINT)) * $dampNum DIV 100"))
-            .as("pr"))
-        .localCheckpoint(eager = true)
+            .as("pr")))
     }
     ranks.select(col("id"), col("pr").cast("long").as("rank_e12"))
   }

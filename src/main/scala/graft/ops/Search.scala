@@ -180,11 +180,19 @@ object Search {
   def bm25IndexCompact(spark: SparkSession, tableName: String): Unit = {
     val tomb = spark.table(s"${tableName}_tombstones")
       .dropDuplicates("doc_id")
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true) // O(removed) — bounded by contract
     if (tomb.isEmpty) return
-    val retained = spark.table(tableName)
+    // Durable staging: the surviving postings are written to a stage
+    // table BEFORE their source is overwritten — with only
+    // executor-cached blocks, an executor loss mid-overwrite could lose
+    // the sole copy of the whole index. The stage read also feeds the
+    // terms recount, so the postings scan happens exactly once.
+    val stage = s"${tableName}_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    spark.table(tableName)
       .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      .localCheckpoint(eager = true) // materialize before overwriting its source
+      .write.mode("overwrite").format("parquet").saveAsTable(stage)
+    val retained = spark.table(stage)
     retained
       .select(spark.table(tableName).schema.fieldNames.map(col).toSeq: _*)
       .write.mode("overwrite").partitionBy("tb").format("parquet")
@@ -192,6 +200,7 @@ object Search {
     retained.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("tb").format("parquet")
       .saveAsTable(s"${tableName}_terms")
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
     val meta = spark.table(s"${tableName}_meta").head()
     val numParts = meta.getAs[Int]("num_parts")
     val st = tomb.agg(count(lit(1)).as("c"), sum(col("dl").cast("long")).as("s")).head()

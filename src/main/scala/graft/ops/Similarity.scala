@@ -565,16 +565,27 @@ object Similarity {
     * after are identical, now without the anti-join. */
   def ivfpqCompactIndex(spark: SparkSession, tableName: String): Unit = {
     val tomb = spark.table(s"${tableName}_tombstones").dropDuplicates("vec_id")
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true) // O(removed) — bounded by contract
     if (tomb.isEmpty) return
+    // Affected cells stay a FRAME for the scan (broadcast semi-join +
+    // runtime partition pruning — an In(cell, ...) literal list would
+    // bloat the plan at a 10^5+-cell index); the driver-side values are
+    // collected ONLY for the dead-cell DDL, which needs them anyway.
     val affected = spark.table(tableName)
       .join(broadcast(tomb), col("neighbor_id") === col("vec_id"))
-      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
-    if (affected.nonEmpty) {
-      val retained = spark.table(tableName)
-        .where(col("cell").isin(affected: _*))
-        .join(broadcast(tomb), col("neighbor_id") === col("vec_id"), "left_anti")
-        .localCheckpoint(eager = true) // materialize before overwriting its source
+      .select(col("cell")).distinct()
+      .localCheckpoint(eager = true)
+    val affectedCells = affected.collect().map(_.getInt(0))
+    if (affectedCells.nonEmpty) {
+      // Durable staging: the retained rows are written to a stage table
+      // BEFORE their source partitions are overwritten — with only
+      // executor-cached blocks, an executor loss mid-overwrite could
+      // lose the sole copy of the retained rows.
+      val stage = s"${tableName}_stage"
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      ivfpqCompactionScan(spark, tableName, tomb, affected)
+        .write.mode("overwrite").format("parquet").saveAsTable(stage)
+      val retained = spark.table(stage)
       val modeKey = "spark.sql.sources.partitionOverwriteMode"
       val prior = spark.conf.get(modeKey)
       try {
@@ -584,14 +595,33 @@ object Similarity {
       } finally spark.conf.set(modeKey, prior)
       val survivors = retained.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSet
-      (affected.toSet -- survivors).foreach { dead =>
-        spark.sql(s"ALTER TABLE $tableName DROP IF EXISTS PARTITION (cell=$dead)")
+      val dead = affectedCells.filterNot(survivors)
+      // one batched DDL per 500 specs — not a per-partition metastore loop
+      dead.grouped(500).foreach { grp =>
+        spark.sql(s"ALTER TABLE $tableName DROP IF EXISTS " +
+          grp.map(c => s"PARTITION (cell=$c)").mkString(", "))
       }
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
     }
     spark.range(0).select(col("id").as("vec_id"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${tableName}_tombstones")
   }
+
+  /** The compaction's retained-row scan, exposed so its plan shape is
+    * assertable: the affected-cell frame broadcasts into a semi-join on
+    * the partition column (pruned at the scan by dynamic partition
+    * pruning — the `cell >= 0` filter is the DPP trigger predicate,
+    * vacuously true for the non-negative cell ids), then the tombstoned
+    * vectors anti-join away. No literal cell list ever enters the plan. */
+  private[graft] def ivfpqCompactionScan(
+      spark: SparkSession,
+      tableName: String,
+      tomb: DataFrame,
+      affected: DataFrame): DataFrame =
+    spark.table(tableName)
+      .join(broadcast(affected.where(col("cell") >= 0)), Seq("cell"), "left_semi")
+      .join(broadcast(tomb), col("neighbor_id") === col("vec_id"), "left_anti")
 
   def ivfpqQueryIndex(
       queries: DataFrame,

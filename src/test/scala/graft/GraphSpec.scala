@@ -39,6 +39,22 @@ class GraphSpec extends SparkSpec {
     assert(got === refRanks(ids, edges, 5))
   }
 
+  test("pageRank under Reliable checkpointing is bit-identical to Local") {
+    val v = ids.toDF("id")
+    val e = edges.toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val reliable = Graph.pageRank(v, e, iters = 4,
+          ckpt = graft.ops.CheckpointStrategy.Reliable(dir))
+        .as[(Long, Long)].collect().toMap
+      val local = Graph.pageRank(v, e, iters = 4).as[(Long, Long)].collect().toMap
+      assert(reliable === local)
+      assert(reliable === refRanks(ids, edges, 4))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("pageRank is partition-layout independent") {
     val v = ids.toDF("id").repartition(7)
     val e = edges.toDF("src", "dst").repartition(5)

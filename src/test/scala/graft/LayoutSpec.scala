@@ -103,6 +103,34 @@ class LayoutSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("ivfpq compaction scan: broadcast semi-join + DPP, no literal cell list") {
+    val emb = graft.io.Tables.table(spark, sfDir, "embeddings")
+    graft.ops.Similarity.ivfpqBuildIndex(emb, "vec_id", "embedding", "graft_ivfpq_cpplan",
+      nlist = 16, m = 8, ksub = 16)
+    graft.ops.Similarity.ivfpqRemoveIndex(emb.where(col("vec_id") % 7 === 0),
+      "vec_id", "graft_ivfpq_cpplan")
+    val tomb = spark.table("graft_ivfpq_cpplan_tombstones").dropDuplicates("vec_id")
+    val affected = spark.table("graft_ivfpq_cpplan")
+      .join(org.apache.spark.sql.functions.broadcast(tomb),
+        col("neighbor_id") === col("vec_id"))
+      .select(col("cell")).distinct()
+    val scan = graft.ops.Similarity.ivfpqCompactionScan(
+      spark, "graft_ivfpq_cpplan", tomb, affected)
+    val plan = scan.queryExecution.executedPlan.toString
+    // at a 10^5+-cell index a literal In(cell, ...) list bloats the plan
+    // and defeats reuse — the affected cells must arrive as a broadcast
+    // semi-join whose pruning reaches the scan (DPP)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"affected-cell selection must be a broadcast semi-join:\n${plan.take(4000)}")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the compaction scan:\n${plan.take(4000)}")
+    assert(!plan.matches("(?s).*cell IN \\([^)]{200,}.*"),
+      s"wide literal cell list in the compaction scan:\n${plan.take(4000)}")
+    assert(scan.count() > 0)
+    Seq("", "_centroids", "_pq", "_tombstones").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ivfpq_cpplan$sfx"))
+  }
+
   test("dedup index probe: index tables are scanned, never shuffled") {
     graft.ops.Dedup.dedupIndexBuild(docs.where(col("doc_id") % 10 =!= 0),
       "text", "doc_id", "graft_dedup_idx_plan")

@@ -157,6 +157,8 @@ class SearchSpec extends SparkSpec {
     assert(spark.table("graft_search_idx_cp_tombstones").isEmpty)
     val plan = afterDf.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("leftanti"), s"anti-join after compact:\n${plan.take(2000)}")
+    // the durable staging table is transient: gone once the swap commits
+    assert(!spark.catalog.tableExists("graft_search_idx_cp_stage"))
     // physical tables now equal a fresh retained-only build
     Search.bm25IndexBuild(docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
       "text", "doc_id", "graft_search_idx_cpk")

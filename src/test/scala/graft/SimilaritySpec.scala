@@ -315,6 +315,8 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("query_id", "rank")
     assert(afterDf.collect().toSeq === before)
     assert(spark.table("graft_ivfpq_spec_cp_tombstones").isEmpty)
+    // the durable staging table is transient: gone once the swap commits
+    assert(!spark.catalog.tableExists("graft_ivfpq_spec_cp_stage"))
     assert(!afterDf.queryExecution.executedPlan.toString.toLowerCase.contains("leftanti"))
     // tombstoned ids are physically gone from the codes table
     assert(spark.table("graft_ivfpq_spec_cp")
