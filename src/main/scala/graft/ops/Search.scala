@@ -76,17 +76,30 @@ object Search {
     * wrong cost model when a curation workflow runs hundreds of keyword
     * probes against one 100 TB snapshot.
     *
-    * Three tables:
-    *  - `<name>`        — postings (term, doc_id, tf, dl), PARTITIONED by
-    *    `tb = pmod(hash(term), numParts)`. A query's terms are literals, so
-    *    their buckets are computable up front and the postings scan is
-    *    statically partition-pruned to |distinct term buckets| directories —
-    *    the corpus-sized table is never fully scanned at query time.
-    *  - `<name>_terms`  — per-term document frequency, same layout.
-    *  - `<name>_meta`   — one row: (n_docs, sum_dl, num_parts); avgdl is
-    *    derived at query time so appends stay exact-integer.
+    * Three tables, every one partitioned by an append-batch id on top of
+    * its layout — the [[AggIndex]] exactly-once pattern: each append
+    * writes ONLY its own batch partitions via dynamic partition
+    * overwrite, so a retry after a crash at ANY point mid-append
+    * (postings landed, terms/meta not yet) simply overwrites its own
+    * partitions and converges — no step can double-count
+    * (spec-asserted by fault injection).
+    *  - `<name>`        — postings (term, doc_id, dl, tf), PARTITIONED by
+    *    `(tb = pmod(hash(term), numParts), batch)`. A query's terms are
+    *    literals, so their buckets are computable up front and the
+    *    postings scan is statically partition-pruned to |distinct term
+    *    buckets| directories (all batches of those buckets) — the
+    *    corpus-sized table is never fully scanned at query time.
+    *  - `<name>_terms`  — per-term PER-BATCH document frequency, same
+    *    layout; query-time df = sum over batches (vocab-sized work).
+    *  - `<name>_meta`   — one (n_docs, sum_dl, num_parts) row per batch;
+    *    query-time totals are integer sums; avgdl is derived at query
+    *    time so appends stay exact-integer.
     *  - `<name>_tombstones` — (doc_id, dl) of removed docs (empty at
     *    build); see [[bm25IndexRemove]].
+    *
+    * Batch ids name LOGICAL batches: a re-run with the same id must carry
+    * the same content (that is what makes it a retry); never reuse an id
+    * for new data. The build is batch 0.
     *
     * dl is denormalized onto every posting so scoring never joins a
     * doc-length table. Postings dedupe to one row per (term, doc): tf
@@ -114,12 +127,13 @@ object Search {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(hash(col("term")), lit(numParts)))
-      .write.mode("overwrite").partitionBy("tb").format("parquet")
+      .withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("tb", "batch").format("parquet")
       .saveAsTable(tableName)
     // df = postings rows per term (postings are unique per (term, doc))
     spark.table(tableName)
-      .groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").partitionBy("tb").format("parquet")
+      .groupBy(col("term"), col("tb"), col("batch")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("tb", "batch").format("parquet")
       .saveAsTable(s"${tableName}_terms")
     // sum_dl as an exact integer (not a precomputed double avgdl) so
     // bm25IndexAppend can increment corpus stats without float drift —
@@ -127,7 +141,9 @@ object Search {
     toks
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .withColumn("num_parts", lit(numParts))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+      .withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch").format("parquet")
+      .saveAsTable(s"${tableName}_meta")
     spark.range(0)
       .select(col("id").as("doc_id"), col("id").cast("int").as("dl"))
       .write.mode("overwrite").format("parquet")
@@ -189,26 +205,36 @@ object Search {
     // terms recount, so the postings scan happens exactly once.
     val stage = s"${tableName}_stage"
     spark.sql(s"DROP TABLE IF EXISTS $stage")
+    // compaction also COLLAPSES batches to 0: the fold is a new epoch,
+    // and leaving stale batch ids behind could collide with a future
+    // append's id. (Appends must not straddle a compaction — same
+    // single-writer rule every maintenance op here follows.)
     spark.table(tableName)
       .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .withColumn("batch", lit(0L))
       .write.mode("overwrite").format("parquet").saveAsTable(stage)
     val retained = spark.table(stage)
     retained
       .select(spark.table(tableName).schema.fieldNames.map(col).toSeq: _*)
-      .write.mode("overwrite").partitionBy("tb").format("parquet")
+      .write.mode("overwrite").partitionBy("tb", "batch").format("parquet")
       .saveAsTable(tableName)
-    retained.groupBy(col("term"), col("tb")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").partitionBy("tb").format("parquet")
+    retained.groupBy(col("term"), col("tb"), col("batch"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("tb", "batch").format("parquet")
       .saveAsTable(s"${tableName}_terms")
     spark.sql(s"DROP TABLE IF EXISTS $stage")
-    val meta = spark.table(s"${tableName}_meta").head()
+    val meta = spark.table(s"${tableName}_meta")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"),
+        max(col("num_parts")).as("num_parts")).head()
     val numParts = meta.getAs[Int]("num_parts")
     val st = tomb.agg(count(lit(1)).as("c"), sum(col("dl").cast("long")).as("s")).head()
     spark.range(1)
       .select(lit(meta.getAs[Long]("n_docs") - st.getLong(0)).as("n_docs"),
         lit(meta.getAs[Long]("sum_dl") - (if (st.isNullAt(1)) 0L else st.getLong(1))).as("sum_dl"),
-        lit(numParts).as("num_parts"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+        lit(numParts).as("num_parts"), lit(0L).as("batch"))
+      .write.mode("overwrite").partitionBy("batch").format("parquet")
+      .saveAsTable(s"${tableName}_meta")
     spark.range(0)
       .select(col("id").as("doc_id"), col("id").cast("int").as("dl"))
       .write.mode("overwrite").format("parquet")
@@ -219,56 +245,81 @@ object Search {
     * daily-crawl increment, completing the build-once/append-daily/
     * query-many contract the persistent dedup and IVFADC indexes follow.
     * Cost scales with the delta: new postings route through the existing
-    * term-bucket partitioning via position-based insertInto; per-term dfs
-    * merge the (vocab-sized) terms table with the delta's term counts —
-    * the corpus-sized postings table is never rescanned; corpus stats
-    * increment by exact integers. Appending an id already indexed is the
-    * caller's bug (postings would double-count); run the delta through the
-    * dedup-index probe first — that is the intake pipeline's job. */
+    * (term-bucket, batch) partitioning; the delta's per-term dfs and
+    * corpus stats land as the batch's OWN rows — the vocab-sized terms
+    * table is never read, the corpus-sized postings table never
+    * rescanned, and query-time totals stay exact integers.
+    *
+    * FAULT TOLERANCE: all three writes are per-batch dynamic partition
+    * overwrites ([[Warehouse.dynOverwrite]]), each a pure function of
+    * (delta, batch id). A crash at any point — after postings, between
+    * terms and meta — leaves a partial batch that the RETRY of the same
+    * (delta, batch id) overwrites in place, converging to exactly-once;
+    * a duplicate re-run after success is a no-op by the same argument
+    * (spec-asserted by fault injection). Until that retry lands, queries
+    * may see the partial batch — crashed appends must be retried, not
+    * abandoned (or their batch partitions dropped).
+    *
+    * `batchId` names the LOGICAL batch: same id = same content (a
+    * retry); never reuse an id for new data; None auto-allocates
+    * max(existing)+1 (not crash-safe across the allocation itself — a
+    * production pipeline passes its own stable ids, e.g. the crawl-day).
+    * Appending a doc_id already indexed is the caller's bug (postings
+    * would double-count); run the delta through the dedup-index probe
+    * first — that is the intake pipeline's job. */
   def bm25IndexAppend(
       docs: DataFrame,
       textCol: String,
       idCol: String,
-      tableName: String): Unit = {
+      tableName: String,
+      batchId: Option[Long] = None): Unit =
+    bm25IndexAppendSteps(docs, textCol, idCol, tableName, batchId, steps = 3)
+
+  /** [[bm25IndexAppend]] truncated after `steps` of its 3 writes
+    * (postings, terms, meta) — the fault-injection hook the recovery
+    * spec uses to simulate a crash mid-append. Production code always
+    * runs all 3. */
+  private[graft] def bm25IndexAppendSteps(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      tableName: String,
+      batchId: Option[Long],
+      steps: Int): Unit = {
     Dedup.requireLongId(docs, idCol)
     val spark = docs.sparkSession
-    val meta = spark.table(s"${tableName}_meta").head()
-    val (nDocs, sumDl) = (meta.getAs[Long]("n_docs"), meta.getAs[Long]("sum_dl"))
-    val numParts = meta.getAs[Int]("num_parts")
+    val numParts = spark.table(s"${tableName}_meta").head().getAs[Int]("num_parts")
     val toks = docs
       .where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+      .localCheckpoint(eager = true) // consumed twice: postings + stats
+    // an empty delta writes nothing — it must not claim (or clobber) a
+    // batch id's partitions with empty content
+    if (toks.isEmpty) return
+    val bid = batchId.getOrElse(
+      spark.table(s"${tableName}_meta").agg(max(col("batch"))).head().getLong(0) + 1L)
+    require(bid != 0L, "batch 0 is the build — appends need a fresh batch id")
     val postings = toks
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(hash(col("term")), lit(numParts)))
-      .localCheckpoint(eager = true) // consumed twice: postings + df merge
-    postings
-      .select(spark.table(tableName).schema.fieldNames.map(col).toSeq: _*)
-      .write.mode("append").insertInto(tableName)
-    // merge dfs: full outer on (term, tb) — a delta term may be new to the
-    // vocab. The old terms table must be materialized before overwriting
-    // the table it was read from.
-    val oldTerms = spark.table(s"${tableName}_terms")
-      .localCheckpoint(eager = true)
-    val deltaDf = postings.groupBy(col("term"), col("tb"))
-      .agg(count(lit(1)).as("__ddf"))
-    oldTerms
-      .join(deltaDf, Seq("term", "tb"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L))).as("df"),
-        col("tb"))
-      .write.mode("overwrite").partitionBy("tb").format("parquet")
-      .saveAsTable(s"${tableName}_terms")
-    val st = toks.agg(count(lit(1)).as("c"), sum(col("dl").cast("long")).as("s")).head()
-    val (dN, dSum) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
-    spark.range(1)
-      .select(lit(nDocs + dN).as("n_docs"), lit(sumDl + dSum).as("sum_dl"),
-        lit(numParts).as("num_parts"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+      .withColumn("batch", lit(bid))
+      .localCheckpoint(eager = true) // consumed twice: postings + dfs
+    Warehouse.dynOverwrite(postings, tableName)
+    if (steps < 2) return
+    Warehouse.dynOverwrite(
+      postings.groupBy(col("term"), col("tb"), col("batch"))
+        .agg(count(lit(1)).as("df")),
+      s"${tableName}_terms")
+    if (steps < 3) return
+    Warehouse.dynOverwrite(
+      toks.agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+        .withColumn("num_parts", lit(numParts))
+        .withColumn("batch", lit(bid)),
+      s"${tableName}_meta")
   }
 
   /** Query a [[bm25IndexBuild]] index. Identical scoring contract to
@@ -291,7 +342,12 @@ object Search {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25IndexQuery needs at least one query term")
-    val meta = spark.table(s"${tableName}_meta").head()
+    // corpus totals are integer sums over the per-batch meta rows —
+    // batches-sized (days, not corpus), exact regardless of batch count
+    val meta = spark.table(s"${tableName}_meta")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"),
+        max(col("num_parts")).as("num_parts")).head()
     val numParts = meta.getAs[Int]("num_parts")
     // tombstone corrections ([[bm25IndexRemove]]) are exact integers:
     // n_docs/sum_dl by subtraction; per-term df by counting the removed
@@ -321,9 +377,10 @@ object Search {
         .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"))
         .groupBy(col("term")).agg(count(lit(1)).as("rdf"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // df per term = integer sum over its per-batch rows (pruned buckets)
     val dfs = spark.table(s"${tableName}_terms")
       .where(col("tb").isin(buckets: _*) && col("term").isin(lower.toSeq: _*))
-      .select(col("term"), col("df")).collect()
+      .groupBy(col("term")).agg(sum(col("df")).as("df")).collect()
       .map(r => r.getString(0) -> (r.getLong(1) - removedDfs.getOrElse(r.getString(0), 0L)))
       .toMap
     // java.lang.Math.log — the same function Spark's log expression codegens

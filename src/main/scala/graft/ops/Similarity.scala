@@ -514,7 +514,14 @@ object Similarity {
     * dynamic-partition-pruned scan. Quantizer drift under a shifting
     * vector distribution is a re-build decision (recall degrades
     * gracefully — ADC distances stay correct against the trained
-    * codebooks), mirroring the FAISS add-vs-train contract. */
+    * codebooks), mirroring the FAISS add-vs-train contract.
+    *
+    * Idempotent under retry: already-present ids are probed in the
+    * delta's target cells and skipped, so re-running an append (crash
+    * recovery, double-fire) cannot double-insert (spec-asserted).
+    * Re-appending an id that was REMOVED (tombstoned) stays the caller's
+    * bug: the physical row is still present until compaction, so the
+    * probe skips it and the tombstone keeps it invisible. */
   def ivfpqAppendIndex(
       newVecs: DataFrame,
       idCol: String,
@@ -529,10 +536,25 @@ object Similarity {
     val meta = spark.table(s"${tableName}_pq").head()
     val codebooks = meta.getSeq[Double](2).toArray
     val encoded = encodeIvfpq(newVecs, idCol, vecCol, centroids, codebooks,
-      meta.getInt(0), meta.getInt(1))
+        meta.getInt(0), meta.getInt(1))
+      .localCheckpoint(eager = true) // delta-sized; consumed by probe + insert
+    // FAULT TOLERANCE: the insert below is one job (atomic under the
+    // commit protocol — a crashed append leaves nothing visible), so the
+    // remaining failure mode is the RETRY AFTER SUCCESS (driver lost
+    // before the ack). Make re-append a no-op: probe the delta's target
+    // cells for ids already present (broadcast delta ids; scan pruned to
+    // those cells — O(delta cells) read, never the index; the cell >= 0
+    // filter is the DPP trigger predicate, vacuously true) and anti-join
+    // them away. Both joins broadcast the delta-bounded side.
+    val targetCells = encoded.select(col("cell")).distinct().where(col("cell") >= 0)
+    val present = spark.table(tableName)
+      .join(broadcast(targetCells), Seq("cell"), "left_semi")
+      .join(broadcast(encoded.select(col("neighbor_id"))), Seq("neighbor_id"), "left_semi")
+      .select(col("neighbor_id"))
+    val fresh = encoded.join(broadcast(present), Seq("neighbor_id"), "left_anti")
     // insertInto is position-based and routes rows through the table's
     // existing cell partitioning — align to the catalog schema order
-    encoded.select(spark.table(tableName).schema.fieldNames.map(col).toSeq: _*)
+    fresh.select(spark.table(tableName).schema.fieldNames.map(col).toSeq: _*)
       .write.mode("append").insertInto(tableName)
   }
 

@@ -22,4 +22,21 @@ private[ops] object Warehouse {
       }
       rm(new java.io.File(warehouse, t.toLowerCase(java.util.Locale.ROOT)))
     }
+
+  /** Position-based dynamic partition overwrite: rows replace exactly the
+    * partitions present in `df` — the idempotent-append primitive the
+    * persistent indexes share. A RETRY of the same batch (crash recovery,
+    * speculative re-run) overwrites its own partitions instead of
+    * double-counting; partitions absent from `df` are untouched. */
+  def dynOverwrite(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.get(modeKey)
+    try {
+      spark.conf.set(modeKey, "dynamic")
+      df.select(spark.table(table).schema.fieldNames
+          .map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .write.mode("overwrite").insertInto(table)
+    } finally spark.conf.set(modeKey, prior)
+  }
 }

@@ -91,15 +91,53 @@ class SearchSpec extends SparkSpec {
       "text", "doc_id", "graft_search_idx_app")
     Search.bm25IndexAppend(docs.where(pmod(col("doc_id"), lit(10)) === 0),
       "text", "doc_id", "graft_search_idx_app")
-    // identical meta (exact-integer increments), identical query results
-    assert(spark.table("graft_search_idx_app_meta").head() ===
-      spark.table("graft_search_idx_full_meta").head())
+    // identical corpus totals (exact-integer per-batch rows), identical
+    // query results
+    def metaTotals(t: String) = spark.table(t)
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs")),
+        org.apache.spark.sql.functions.sum(col("sum_dl"))).head()
+    assert(metaTotals("graft_search_idx_app_meta") ===
+      metaTotals("graft_search_idx_full_meta"))
     for (terms <- Seq(Seq("spark", "join", "window"), Seq("data", "scan"))) {
       val full = Search.bm25IndexQuery(spark, "graft_search_idx_full", terms, k = 25)
         .collect().toSeq
       val app = Search.bm25IndexQuery(spark, "graft_search_idx_app", terms, k = 25)
         .collect().toSeq
       assert(app === full, s"terms=$terms")
+    }
+  }
+
+  test("bm25 index append: crash mid-append converges on retry (fault injection)") {
+    import org.apache.spark.sql.functions.{pmod, lit, sum}
+    val docs = graft.io.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val base = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val delta = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    Search.bm25IndexBuild(docs, "text", "doc_id", "graft_search_idx_ftref")
+    Search.bm25IndexBuild(base, "text", "doc_id", "graft_search_idx_ft")
+    // crash #1: postings landed, terms and meta did not
+    Search.bm25IndexAppendSteps(delta, "text", "doc_id", "graft_search_idx_ft",
+      Some(7L), steps = 1)
+    // crash #2 (a retry that also dies): postings + terms landed, meta did not
+    Search.bm25IndexAppendSteps(delta, "text", "doc_id", "graft_search_idx_ft",
+      Some(7L), steps = 2)
+    // successful retry of the same logical batch
+    Search.bm25IndexAppend(delta, "text", "doc_id", "graft_search_idx_ft", Some(7L))
+    // duplicate re-run AFTER success must also be a no-op
+    Search.bm25IndexAppend(delta, "text", "doc_id", "graft_search_idx_ft", Some(7L))
+    // postings exactly-once: unique per (term, doc)
+    assert(spark.table("graft_search_idx_ft")
+      .groupBy("term", "doc_id").count()
+      .where(col("count") > 1).isEmpty)
+    // corpus totals counted exactly once
+    def totals(t: String) =
+      spark.table(t).agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+    assert(totals("graft_search_idx_ft_meta") === totals("graft_search_idx_ftref_meta"))
+    // queries bit-identical to a clean full build
+    for (terms <- Seq(Seq("spark", "join", "window"), Seq("data", "scan"))) {
+      assert(Search.bm25IndexQuery(spark, "graft_search_idx_ft", terms, k = 25)
+        .collect().toSeq ===
+        Search.bm25IndexQuery(spark, "graft_search_idx_ftref", terms, k = 25)
+          .collect().toSeq, s"terms=$terms")
     }
   }
 

@@ -229,6 +229,34 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex.sameElements(bf))
   }
 
+  test("ivfpqAppendIndex: re-append is idempotent — retry after success cannot double-insert (fault injection)") {
+    val queries = emb.where(col("vec_id") < 10)
+    val n = emb.count().toInt
+    Similarity.ivfpqBuildIndex(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", "graft_ivfpq_retry", nlist = 16, m = 8, ksub = 16)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+    Similarity.ivfpqAppendIndex(delta, "vec_id", "embedding", "graft_ivfpq_retry")
+    // the append job is atomic (a crashed job commits nothing), so the
+    // fault to inject is the RETRY AFTER SUCCESS: the driver died before
+    // the ack, the pipeline re-fires the same delta
+    Similarity.ivfpqAppendIndex(delta, "vec_id", "embedding", "graft_ivfpq_retry")
+    // and a partial retry (half the delta) must also insert nothing new
+    Similarity.ivfpqAppendIndex(delta.where(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", "graft_ivfpq_retry")
+    val idx = spark.table("graft_ivfpq_retry")
+    assert(idx.count() === n.toLong)
+    assert(idx.select("neighbor_id").distinct().count() === n.toLong)
+    // exhaustive probe still equals brute force rank-for-rank
+    val viaIndex = Similarity.ivfpqQueryIndex(queries, "vec_id", "embedding",
+        "graft_ivfpq_retry", k = 5, nprobe = 16, rerank = n)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank").collect()
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank").collect()
+    assert(viaIndex.sameElements(bf))
+  }
+
   test("ivfpqRemoveIndex: tombstoned vectors invisible; exhaustive probe = retained brute force; DPP survives") {
     val queries = emb.where(col("vec_id") < 10)
     val n = emb.count().toInt
