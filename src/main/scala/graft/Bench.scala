@@ -41,7 +41,7 @@ object Bench {
     * maintenance-thread churn — recorded streaming medians ran 3-8x over
     * fresh-JVM truth). StateStore.stop() unloads them all; the maintenance
     * pool restarts lazily on the next streaming query. */
-  private def cleanup(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private[graft] def cleanup(spark: org.apache.spark.sql.SparkSession): Unit = {
     try spark.streams.active.foreach(_.stop()) catch { case _: Throwable => () }
     try {
       spark.catalog.listTables().collect()
@@ -106,6 +106,13 @@ object Bench {
     // profile at the measured data shape), which the sf0.001 warmup above
     // cannot absorb — the recorded number must reflect steady state.
     val runsPerQuery = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // SPARK_GRAFT_BENCH_ONCE: comma-separated queries measured with ONE
+    // run instead of the median-of-N — for the declared O(n²) exact-oracle
+    // baselines at 100x, where three runs would dominate the whole bench
+    // wall-clock; the artifact records which queries ran once.
+    val onceSet = sys.env.get("SPARK_GRAFT_BENCH_ONCE")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // prime the first measured query at the MEASURED sf (untimed): it alone
     // pays the first-touch page cache of the sf files, which the sf0.001
@@ -118,7 +125,8 @@ object Bench {
     val results: Seq[(String, Either[String, Double])] =
       ordered.map { case (name, fn) =>
         val r = try {
-          val times = (1 to runsPerQuery).map { _ =>
+          val nRuns = if (onceSet.contains(name)) 1 else runsPerQuery
+          val times = (1 to nRuns).map { _ =>
             val t0 = System.nanoTime()
             exec(fn(spark, sfDir))
             val sec = (System.nanoTime() - t0) / 1e9
@@ -140,8 +148,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val errors = results.count(_._2.isLeft)
+    val onceRan = results.map(_._1).filter(onceSet.contains)
+    val onceJson =
+      if (onceRan.isEmpty) ""
+      else s""","runs_once":${onceRan.sorted.map(jstr).mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":${j3(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"$onceJson}"""
     // file copy survives any stdout truncation by the caller
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

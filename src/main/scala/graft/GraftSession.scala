@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def getOrCreate(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(master)
       .appName("graft")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -22,7 +22,17 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_STATE_STORE=rocksdb swaps streaming state from the
+    // heap-backed default to the RocksDB provider — the production store
+    // for large stateful streams (state spills to local disk instead of
+    // executor heap). Results are provider-independent (spec-asserted);
+    // the §9.6 rehearsal measures both.
+    val withState =
+      if (sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
+        builder.config("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else builder
+    val spark = withState.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -9,6 +9,11 @@ object TimeQ {
       // columns, timing the scan instead of the operator
       Bench.exec(SparkEntry.queries(name)(spark, dir))
       println(f"[timeq] $name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      // the Bench marathon's state hygiene applies here too: without the
+      // untimed cleanup, accumulated state-store providers + memory-sink
+      // tables drove a 100x-scale streaming run3 into a full-GC spiral
+      Bench.cleanup(spark)
+      System.gc()
     }
     spark.stop()
   }

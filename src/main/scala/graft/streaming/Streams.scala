@@ -249,10 +249,32 @@ object Streams {
         val chunkCol = cuts.foldLeft(lit(1)) { case (acc, cut) =>
           acc + when(tsNum > cut, 1).otherwise(0)
         }
+        // ONE scan stages every chunk (round-9 fix): hash-repartition on
+        // the chunk id so each chunk's rows land in one task, then a
+        // partitionBy write splits one file per chunk dir; the driver
+        // moves each part file into its mtime-ordered slot. The previous
+        // per-chunk coalesce(1) loop re-scanned the whole corpus once PER
+        // chunk — staging an 80-chunk 100x backlog was O(chunks x corpus)
+        // (measured: one 10M-row chunk task >15 min; this path stages the
+        // same backlog in one job).
         val chunked = raw.withColumn("__chunk", chunkCol)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stage-all")
+        chunked.repartition(chunks, col("__chunk"))
+          .write.mode("overwrite").partitionBy("__chunk").parquet(tmp.toString)
         (1 to chunks).foreach { c =>
-          stageOne(chunked.where(col("__chunk") === c).drop("__chunk"),
-            f"events-${c - 1}%03d.parquet", t0 + c * 1000L)
+          val dir = new java.io.File(tmp.toString, s"__chunk=$c")
+          Option(dir.listFiles()).flatMap(_.find(_.getName.endsWith(".parquet"))) match {
+            case Some(part) =>
+              val dest = new java.io.File(stage, f"events-${c - 1}%03d.parquet")
+              java.nio.file.Files.move(part.toPath, dest.toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              dest.setLastModified(t0 + c * 1000L)
+            case None =>
+              // duplicate percentile cuts can yield an empty chunk — stage
+              // a schema-only file so the replay's file count is stable
+              stageOne(raw.where(lit(false)),
+                f"events-${c - 1}%03d.parquet", t0 + c * 1000L)
+          }
         }
       }
       stageOne(sentinel(10), f"events-$chunks%03d.parquet", t0 + (chunks + 1) * 1000L)

@@ -124,6 +124,31 @@ class StreamingSpec extends SparkSpec {
     assert(s.sameElements(b))
   }
 
+  test("RocksDB state store: sessionization results identical to the default provider") {
+    // the production state store for large stateful streams (state on
+    // local disk, not executor heap) must be a pure swap: same query,
+    // same rows — §9.6 measures it at scale, this asserts equality
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    val rocks = try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Streams.sessionizeSessionWindowsAvailableNow(spark, sfDir, gapMinutes = 30)
+        .select(col("user_id").cast("long"), col("n_sessions"), col("n_events"))
+        .orderBy("user_id").collect()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val default = Streams.sessionizeSessionWindowsAvailableNow(spark, sfDir, gapMinutes = 30)
+      .select(col("user_id").cast("long"), col("n_sessions"), col("n_events"))
+      .orderBy("user_id").collect()
+    assert(rocks.length === default.length)
+    assert(rocks.sameElements(default))
+  }
+
   test("session_window path: one user owning an entire shuffled batch sessionizes correctly") {
     import spark.implicits._
     // user 1 owns ~all of the batch, events written in SHUFFLED order with
