@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** How iterative operators pin lineage between rounds.
+/** How operators pin lineage — between iterations, or wherever an
+  * intermediate frame is consumed by more than one downstream stage.
   *
   * [[CheckpointStrategy.Local]] stores blocks on executors
   * (`localCheckpoint`) — fast and zero-config, right for local mode and
@@ -10,9 +11,10 @@ import org.apache.spark.sql.DataFrame
   * computation. [[CheckpointStrategy.Reliable]] writes to a
   * fault-tolerant checkpoint directory (HDFS / object store on a real
   * cluster): iterations survive executor loss at the cost of one durable
-  * write per pin. Iterative ops default to Local and take the strategy
-  * as a parameter so a cluster deployment can opt into durability
-  * without touching the algorithm.
+  * write per pin. [[CheckpointStrategy.Auto]] (the library-wide default)
+  * resolves per session: Reliable when `spark.graft.checkpoint.dir` is
+  * set, Local otherwise — so a cluster deployment opts the WHOLE library
+  * into durable pins with one conf key, without touching any algorithm.
   */
 sealed trait CheckpointStrategy {
   def pin(df: DataFrame): DataFrame
@@ -31,5 +33,35 @@ object CheckpointStrategy {
       if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
       df.checkpoint(eager = true)
     }
+  }
+
+  /** Session-conf-driven: [[Checkpointing.resolve]] per pinned frame. */
+  case object Auto extends CheckpointStrategy {
+    def pin(df: DataFrame): DataFrame =
+      Checkpointing.resolve(df.sparkSession).pin(df)
+  }
+}
+
+/** Library-wide entry point: every operator that needs a lineage pin
+  * calls [[Checkpointing.pin]] (or the [[Checkpointing.PinSyntax]]
+  * enrichment `.pinned()`) instead of a bare `localCheckpoint`, so the
+  * executor-loss posture of all ~30 pin sites is governed by ONE conf
+  * key rather than thirty hard-coded choices. */
+object Checkpointing {
+  /** When set (to an HDFS/object-store path on a cluster), every pin in
+    * the library becomes a reliable checkpoint; unset = localCheckpoint. */
+  val ConfKey = "spark.graft.checkpoint.dir"
+
+  def resolve(spark: SparkSession): CheckpointStrategy =
+    spark.conf.getOption(ConfKey).filter(_.nonEmpty)
+      .map(CheckpointStrategy.Reliable.apply)
+      .getOrElse(CheckpointStrategy.Local)
+
+  def pin(df: DataFrame): DataFrame = resolve(df.sparkSession).pin(df)
+
+  implicit final class PinSyntax(private val df: DataFrame) extends AnyVal {
+    /** Conf-driven lineage pin — the drop-in replacement for
+      * `localCheckpoint(eager = true)`. */
+    def pinned(): DataFrame = Checkpointing.pin(df)
   }
 }

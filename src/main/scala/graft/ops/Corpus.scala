@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpointing.PinSyntax
 
 /** Corpus-level operators a training-data pipeline runs between dedup and
   * training: rollup statistics, reproducible sampling, and sequence
@@ -353,11 +354,11 @@ object Corpus {
     val uni = docs.where(col(textCol).isNotNull)
       .select(explode(gfc.ngramsAll(col(textCol), 1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = true) // reused by both vocab joins + the total
+      .pinned() // reused by both vocab joins + the total
     val bg = docs.where(col(textCol).isNotNull)
       .select(explode(gfc.ngramsAll(col(textCol), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint(eager = true) // reused by the support filter + the total
+      .pinned() // reused by the support filter + the total
     val totals = uni.agg(sum(col("c")).cast("double").as("t_uni"))
       .crossJoin(bg.agg(sum(col("c_ab")).cast("double").as("t_bg")))
     bg.where(col("c_ab") >= minCount)
@@ -465,7 +466,7 @@ object Corpus {
     * and the candidate-verify joins see only canonical survivors (the
     * exact-dedup stage ahead of banding is the occupancy² lesson — J=1
     * groups never reach the LSH buckets). Stage boundaries are
-    * materialized with `localCheckpoint` (the single-JVM analog of the
+    * materialized with conf-driven pins (`Checkpointing.pin` — the analog of the
     * stage-boundary parquet a production pipeline writes) so downstream
     * branches — survivors AND dropped rows are both consumed — do not
     * recompute upstream kernels.
@@ -488,7 +489,7 @@ object Corpus {
         corpus.select(col(idCol), col(textCol), linedCol.as("__lined")),
         textCol, "__lined")
       .select(col(idCol), col(textCol), col("keep"), col("reason"))
-      .localCheckpoint(eager = true)
+      .pinned()
     val filterDrop = filtered.where(!col("keep"))
       .select(col(idCol), col("reason").as("stage"))
     val s1 = filtered.where(col("keep")).select(col(idCol), col(textCol))
@@ -501,11 +502,11 @@ object Corpus {
       coalesce(TextAnalysis.fingerprint(col(textCol)),
         concat(lit("null:"), col(idCol).cast("string"))))
     val keepers = keyed.groupBy("__ck").agg(min(col(idCol)).as("__keeper"))
-    val withKeeper = keyed.join(keepers, "__ck").localCheckpoint(eager = true)
+    val withKeeper = keyed.join(keepers, "__ck").pinned()
     val exactDrop = withKeeper.where(col(idCol) =!= col("__keeper"))
       .select(col(idCol), lit("exact_dup").as("stage"))
     val s2 = withKeeper.where(col(idCol) === col("__keeper"))
-      .select(col(idCol), col(textCol)).localCheckpoint(eager = true)
+      .select(col(idCol), col(textCol)).pinned()
 
     // stage 3 — near-dedup on the now-exact-unique survivors: LSH
     // candidates, exact-Jaccard verify, components, keep each cluster's
@@ -515,15 +516,15 @@ object Corpus {
     val nearDrop = Dedup.connectedComponents(pairs)
       .where(col("id") =!= col("comp"))
       .select(col("id").as(idCol), lit("near_dup").as("stage"))
-      .localCheckpoint(eager = true)
+      .pinned()
     val s3 = s2.join(nearDrop.select(idCol), Seq(idCol), "left_anti")
-      .localCheckpoint(eager = true)
+      .pinned()
 
     // stage 4 — decontamination: drop survivors that near-match the
     // held-out eval set (eval side broadcasts; corpus side never shuffles)
     val cleaned = Dedup.decontaminate(
         s3, evalSet, textCol, idCol, n, numHashes, bands, threshold)
-      .select(col(idCol)).localCheckpoint(eager = true)
+      .select(col(idCol)).pinned()
     val contaminatedDrop = s3.select(idCol)
       .join(cleaned, Seq(idCol), "left_anti")
       .select(col(idCol), lit("contaminated").as("stage"))
@@ -602,7 +603,7 @@ object Corpus {
       .select(
         concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")).as("r"),
         col("cnt"))
-      .localCheckpoint(eager = true)
+      .pinned()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -627,7 +628,7 @@ object Corpus {
         val rep = java.util.regex.Matcher.quoteReplacement(s" $merged ")
         vocab = vocab
           .select(regexp_replace(col("r"), pat, rep).as("r"), col("cnt"))
-          .localCheckpoint(eager = true)
+          .pinned()
         step += 1
       }
     }
@@ -682,8 +683,8 @@ object Corpus {
     require(k > 0, "need k > 0")
     def keys(df: DataFrame): DataFrame =
       df.where(col(textCol).isNotNull).select(md5(col(textCol)).as("key")).distinct()
-    val ka = keys(a).localCheckpoint(eager = true)
-    val kb = keys(b).localCheckpoint(eager = true)
+    val ka = keys(a).pinned()
+    val kb = keys(b).pinned()
     def mins(keysDf: DataFrame, out: String): DataFrame =
       keysDf
         .select(explode(sequence(lit(0), lit(k - 1))).as("i"), col("key"))

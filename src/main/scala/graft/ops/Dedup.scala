@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
+import graft.ops.Checkpointing.PinSyntax
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -58,7 +59,7 @@ object Dedup {
       .agg(min(col("id")).as("rep_id"),
         sort_array(collect_list(col("id"))).as("members"),
         first(col("__payload")).as("__payload"))
-      .localCheckpoint(eager = true) // reused by reps, within, and expansion
+      .pinned() // reused by reps, within, and expansion
 
   /** All member pairs inside each group (trivial matches by construction),
     * restricted to groups passing `emitWhen`. */
@@ -370,7 +371,7 @@ object Dedup {
     // candidate-generation pipeline per step
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(eager = true)
+      .pinned()
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
     var iter = 0
@@ -383,7 +384,7 @@ object Dedup {
       val next = labels.unionByName(viaNeighbors)
         .groupBy("id")
         .agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = true) // truncate the iterative lineage
+        .pinned() // truncate the iterative lineage
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
         .where(col("n.comp") =!= col("o.comp"))
@@ -422,11 +423,11 @@ object Dedup {
       .where(col("u") =!= col("v"))
     val nodes = raw.select(col("u").as("id"))
       .unionByName(raw.select(col("v").as("id"))).distinct()
-      .localCheckpoint(eager = true)
+      .pinned()
     var edges = raw
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .pinned()
     var iter = 0
     var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
@@ -448,7 +449,7 @@ object Dedup {
           .where(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(eager = true) // truncate the iterative lineage
+        .pinned() // truncate the iterative lineage
       converged = next.count() == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
       edges = next
@@ -1085,7 +1086,7 @@ object Dedup {
 
     val assigned = vecs
       .withColumn("cluster", gf.nearestCos(col("vec"), centroids))
-      .localCheckpoint(eager = true) // reused by the pair stage AND the output join
+      .pinned() // reused by the pair stage AND the output join
     val pairs = assigned
       .groupBy("cluster")
       .agg(collect_list(struct(col("id"), col("vec"))).as("items"))
@@ -1281,7 +1282,7 @@ object Dedup {
       col("rep_id").as("d_rep"),
       col("__ck").as("d_key"),
       gf.shingleFpsSorted(col("__payload"), n).as("d_shl"))
-      .localCheckpoint(eager = true) // reused by exact join, candidacy, verify
+      .pinned() // reused by exact join, candidacy, verify
 
     // size guard: one cheap aggregate over the checkpointed delta decides
     // broadcast vs shuffle for EVERY delta-derived join side (they scale
@@ -1301,7 +1302,7 @@ object Dedup {
       .join(deltaSide(dSh.select(col("d_rep"), col("d_key").as("content_key"))),
         Seq("content_key"))
       .groupBy("d_rep").agg(min(col("rep_id")).as("exact_match"))
-      .localCheckpoint(eager = true)
+      .pinned()
 
     // candidacy + verify in ONE fp-join pass. Two structural decisions from
     // the 10x rehearsal (a re-crawl delta against a dense-shingle corpus):
@@ -1430,7 +1431,7 @@ object Dedup {
     val d = delta
       .where(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("d_id"), col(vecCol).as("d_vec"))
-      .localCheckpoint(eager = true)
+      .pinned()
     val st = d.agg(count(lit(1)).as("c"), sum(size(col("d_vec"))).as("f")).head()
     val dRows = st.getLong(0)
     val dFloats = if (st.isNullAt(1)) 0L else st.getLong(1)
@@ -1442,7 +1443,7 @@ object Dedup {
     val exactM = payload
       .join(deltaSide(d.select(col("d_id"), col("d_vec").as("embedding"))), Seq("embedding"))
       .groupBy("d_id").agg(min(col("vec_id")).as("exact_match"))
-      .localCheckpoint(eager = true)
+      .pinned()
 
     // near candidacy: delta bucket assignments (same generator as the
     // build) meet the postings on (bb, tb, bucket); candidates dedup by

@@ -53,7 +53,7 @@ object Graph {
       iters: Int = 5,
       scale: Long = 1000000000000L,
       dampNum: Long = 85L,
-      ckpt: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+      ckpt: CheckpointStrategy = CheckpointStrategy.Auto): DataFrame = {
     require(iters >= 0, "need iters >= 0")
     require(dampNum >= 0 && dampNum <= 100, "dampNum is a percentage")
     val ids = ckpt.pin(vertices.select(col("id").cast("long").as("id")))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.gf
+import graft.ops.Checkpointing.PinSyntax
 
 /** Keyword retrieval over a document corpus — the "find me the documents
   * about X" primitive a data-curation workflow runs before targeted
@@ -196,7 +197,7 @@ object Search {
   def bm25IndexCompact(spark: SparkSession, tableName: String): Unit = {
     val tomb = spark.table(s"${tableName}_tombstones")
       .dropDuplicates("doc_id")
-      .localCheckpoint(eager = true) // O(removed) — bounded by contract
+      .pinned() // O(removed) — bounded by contract
     if (tomb.isEmpty) return
     // Durable staging: the surviving postings are written to a stage
     // table BEFORE their source is overwritten — with only
@@ -294,7 +295,7 @@ object Search {
       .select(col(idCol).cast("long").as("doc_id"),
         filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
-      .localCheckpoint(eager = true) // consumed twice: postings + stats
+      .pinned() // consumed twice: postings + stats
     // an empty delta writes nothing — it must not claim (or clobber) a
     // batch id's partitions with empty content
     if (toks.isEmpty) return
@@ -307,7 +308,7 @@ object Search {
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(hash(col("term")), lit(numParts)))
       .withColumn("batch", lit(bid))
-      .localCheckpoint(eager = true) // consumed twice: postings + dfs
+      .pinned() // consumed twice: postings + dfs
     Warehouse.dynOverwrite(postings, tableName)
     if (steps < 2) return
     Warehouse.dynOverwrite(
@@ -420,7 +421,7 @@ object Search {
     * (df = N) score exactly 0 and fall out of the top-k naturally.
     *
     * Plan shape: one tokenize+explode pass; tf is a partially-aggregated
-    * groupBy on (doc, term) materialized once (localCheckpoint) and
+    * groupBy on (doc, term) materialized once (`Checkpointing.pin`) and
     * reused by the df branch, so the corpus is tokenized exactly once;
     * df is a vocab-sized aggregate of the tf frame (NOT a second corpus
     * scan); N rides in as one broadcast row; the per-doc cut is a window
@@ -440,7 +441,7 @@ object Search {
         explode(gf.ngramsAll(col(textCol), 1)).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = true) // reused by the df branch + scoring
+      .pinned() // reused by the df branch + scoring
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nd = tf.agg(countDistinct(col("doc_id")).as("n"))
     val scored = tf.join(df, "term")

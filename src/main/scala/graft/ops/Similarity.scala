@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.gf
+import graft.ops.Checkpointing.PinSyntax
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -537,7 +538,7 @@ object Similarity {
     val codebooks = meta.getSeq[Double](2).toArray
     val encoded = encodeIvfpq(newVecs, idCol, vecCol, centroids, codebooks,
         meta.getInt(0), meta.getInt(1))
-      .localCheckpoint(eager = true) // delta-sized; consumed by probe + insert
+      .pinned() // delta-sized; consumed by probe + insert
     // FAULT TOLERANCE: the insert below is one job (atomic under the
     // commit protocol — a crashed append leaves nothing visible), so the
     // remaining failure mode is the RETRY AFTER SUCCESS (driver lost
@@ -587,7 +588,7 @@ object Similarity {
     * after are identical, now without the anti-join. */
   def ivfpqCompactIndex(spark: SparkSession, tableName: String): Unit = {
     val tomb = spark.table(s"${tableName}_tombstones").dropDuplicates("vec_id")
-      .localCheckpoint(eager = true) // O(removed) — bounded by contract
+      .pinned() // O(removed) — bounded by contract
     if (tomb.isEmpty) return
     // Affected cells stay a FRAME for the scan (broadcast semi-join +
     // runtime partition pruning — an In(cell, ...) literal list would
@@ -596,7 +597,7 @@ object Similarity {
     val affected = spark.table(tableName)
       .join(broadcast(tomb), col("neighbor_id") === col("vec_id"))
       .select(col("cell")).distinct()
-      .localCheckpoint(eager = true)
+      .pinned()
     val affectedCells = affected.collect().map(_.getInt(0))
     if (affectedCells.nonEmpty) {
       // Durable staging: the retained rows are written to a stage table
