@@ -1059,27 +1059,45 @@ object SparkEntry {
       .orderBy("vec_id")
 
   /** SemDeDup at the oracle-able operating point: md5-hash-order leader
-    * seeds (iters=0, no float-mean refinement), 8 clusters, within-cluster
-    * cos>=0.4 components, min-id keepers. The trained (iters>0) path is
-    * covered by DedupSpec recall/determinism tests. */
-  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
-    Dedup.semdedup(t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, minCos = 0.4)
+    * seeds (iters=0, no float-mean refinement), within-cluster cos>=0.4
+    * components, min-id keepers. The trained (iters>0) path is covered
+    * by DedupSpec recall/determinism tests.
+    *
+    * k follows `semdedupKFor`: ceil(sqrt(n/8)) balances the flat argmax
+    * assignment (n·k·d) against the within-cluster pair stage (n²·d/k),
+    * making both O(n^1.5·d) — at the oracle's sf0.01 scale (n=500) the
+    * formula lands exactly on the documented k=8 operating point, so the
+    * SQL oracle (which bakes k=8 into its seed CTE) is unchanged. A
+    * fixed k would leave the pair stage quadratic at 100x. */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Dedup.semdedup(emb, "vec_id", "embedding",
+        k = Dedup.semdedupKFor(math.max(emb.count(), 1L)), minCos = 0.4)
       .withColumn("cluster", col("cluster").cast("long"))
       .orderBy("vec_id")
+  }
 
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)
       .orderBy("a_id", "b_id")
 
-  /** Hyperplane-LSH candidates + exact-cosine verify. (bits=4, tables=48)
-    * is the full-recall operating point for cos>=0.4 on this corpus
-    * (miss probability per pair ~2.5e-4 with 48 deterministic tables), so
-    * the exact all-pairs cosine oracle applies; larger corpora trade
-    * recall for bucket size by raising bits, like any LSH deployment. */
-  private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        minCos = 0.4, bits = 4, tables = 48)
+  /** Hyperplane-LSH candidates + exact-cosine verify. Bits follow the
+    * §9.2 corpus-sizing rule (`lshBitsFor`): at the oracle's sf0.01
+    * scale (n=500) that gives bits=3 with tables=48 — a full-recall
+    * operating point for cos>=0.4 (per-pair miss ~1e-4), so the exact
+    * all-pairs cosine oracle applies verbatim; at bench scales the bits
+    * grow with the corpus, pinning bucket occupancy (~64) so the O(b²)
+    * in-bucket kernel stays constant-cost per bucket — the documented
+    * recall-trading scale path. (A fixed bits=4 here measured 30+ min
+    * PER RUN at sf10: 12.5k-vector buckets x 48 tables of quadratic
+    * scoring — the exact blowup the sizing rule exists to prevent.) */
+  private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val bits = Similarity.lshBitsFor(math.max(emb.count(), 1L))
+    Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
+        minCos = 0.4, bits = bits, tables = 48)
       .orderBy("a_id", "b_id")
+  }
 
   // ---------------------------------------------------------------- §2.4 similarity
 
@@ -1098,13 +1116,17 @@ object SparkEntry {
       .orderBy("query_id", "neighbor_id")
   }
 
-  /** LSH radius search at a full-recall operating point (48 tables at 3
-    * bits: per-pair miss probability ~1e-5 at cos 0.3, zero misses here —
-    * driver-checked), so the exact range oracle applies verbatim. */
+  /** LSH radius search at a full-recall operating point (48 tables at
+    * `lshBitsFor` bits — 3 at the oracle's sf0.01 scale: per-pair miss
+    * probability ~1e-5 at cos 0.3, zero misses here — driver-checked),
+    * so the exact range oracle applies verbatim; at bench scales bits
+    * grow with the corpus, pinning per-query probe cost (occupancy ~64
+    * per bucket) instead of letting it grow linearly. */
   private def annRangeLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    val bits = Similarity.lshBitsFor(math.max(emb.count(), 1L))
     Similarity.rangeSearchLsh(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", minCos = 0.3, bits = 3, tables = 48)
+        "vec_id", "embedding", minCos = 0.3, bits = bits, tables = 48)
       .orderBy("query_id", "neighbor_id")
   }
 
@@ -1208,13 +1230,16 @@ object SparkEntry {
         "doc_id", stride = 3)
       .orderBy("doc_id", "frame_idx")
 
-  /** LSH ANN at its full-recall operating point (bits=3, tables=48
-    * recovers the exact top-5 for every query here), so the brute-force
-    * ANN oracle applies verbatim; raise bits for bigger corpora. */
+  /** LSH ANN at its full-recall operating point (`lshBitsFor` bits — 3
+    * at the oracle's sf0.01 scale — with tables=48 recovers the exact
+    * top-5 for every query here), so the brute-force ANN oracle applies
+    * verbatim; at bench scales bits grow with the corpus, pinning
+    * per-query probe cost instead of letting it grow linearly. */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    val bits = Similarity.lshBitsFor(math.max(emb.count(), 1L))
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, bits = 3, tables = 48)
+        k = 5, bits = bits, tables = 48)
       .orderBy("query_id", "rank")
   }
 
@@ -1427,13 +1452,16 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
-  /** LSH-backed kNN vote at its full-recall operating point (bits=3,
-    * tables=48 recovers the exact top-10 for every query on this corpus),
-    * so the brute-force kNN oracle applies verbatim. */
+  /** LSH-backed kNN vote at its full-recall operating point
+    * (`lshBitsFor` bits — 3 at the oracle's sf0.01 scale — with
+    * tables=48 recovers the exact top-10 for every query on this
+    * corpus), so the brute-force kNN oracle applies verbatim; at bench
+    * scales bits grow with the corpus, pinning per-query probe cost. */
   private def knnLabelLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    val bits = Similarity.lshBitsFor(math.max(emb.count(), 1L))
     Similarity.knnLabelLsh(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label",
-        k = 10, bits = 3, tables = 48)
+        k = 10, bits = bits, tables = 48)
       .orderBy("query_id")
   }
 

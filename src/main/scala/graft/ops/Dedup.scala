@@ -975,7 +975,17 @@ object Dedup {
       vecCol: String,
       minCos: Double): DataFrame = {
     requireLongId(emb, idCol)
+    // The non-equi self-join executes as a nested-loop join whose
+    // parallelism is the STREAMED side's partition count — and an
+    // embedding table is bytes-small (n x dim floats) even when the pair
+    // space is huge, so file-split sizing would hand the O(n²) probe loop
+    // to a handful of tasks (measured: 4 of 32 cores at a 200k-vector
+    // corpus, 76 min). Spreading the streamed side over every core first
+    // costs one tiny shuffle; explicit repartition-by-num survives AQE
+    // coalescing, unlike heuristic shuffles.
+    val para = emb.sparkSession.sparkContext.defaultParallelism
     val a = emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("a_vec"))
+      .repartition(para)
     val b = emb.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("b_vec"))
     a.join(b, col("a_id") < col("b_id"))
       .where(gf.cosine(col("a_vec"), col("b_vec")) >= minCos)
@@ -1070,6 +1080,18 @@ object Dedup {
     * the cluster-local scoring in a kernel that never materializes
     * sub-threshold pairs; at 100 TB, k scales with corpus size to hold
     * n/k (cluster occupancy) roughly constant. */
+  /** Cluster-count sizing for [[semdedup]]: k = ceil(sqrt(n/8)) (min 8)
+    * balances the flat argmax assignment, O(n·k·d), against the
+    * within-cluster pair stage, O((n/k)²·k·d) = O(n²·d/k) — both land at
+    * O(n^1.5·d), the optimum for this two-stage shape. A fixed k leaves
+    * the pair stage quadratic as the corpus grows; k ∝ n pins cluster
+    * size but makes the flat assignment quadratic instead (the escape at
+    * that scale is a hierarchical / IVF assignment). */
+  def semdedupKFor(n: Long): Int = {
+    require(n > 0, "need a positive corpus size")
+    math.max(8, math.ceil(math.sqrt(n / 8.0)).toInt)
+  }
+
   def semdedup(
       emb: DataFrame,
       idCol: String,
@@ -1092,7 +1114,12 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("vec"))).as("items"))
       .select(explode(gf.bucketPairsCos(col("items"), minCos)).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-    val comp = connectedComponents(pairs)
+    // large-star/small-star, not min-label propagation: near-dup chains at
+    // a cosine threshold can have graph diameter >> the min-label round
+    // budget (observed at 10x with sqrt-scaled k), while star converges in
+    // O(log² n) rounds regardless of diameter. Output contract (comp = min
+    // reachable id) is identical.
+    val comp = connectedComponentsStar(pairs)
     assigned
       .join(comp, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
