@@ -25,10 +25,24 @@ import org.apache.spark.sql.functions._
   *    preserved, while cross-copy shingle overlap collapses to noise. A
   *    naive C× text copy would instead add C-cliques of exact dups and make
   *    every pair-generation bench quadratic in C.
-  *  - Embeddings in copy c rotate coordinates by 7c (mod dim). A coordinate
-  *    permutation is orthogonal: all intra-copy cosines — and therefore
-  *    cluster structure, kNN ranks, IVF recall — are EXACTLY preserved,
-  *    while cross-copy cosine decorrelates.
+  *  - Embeddings in copy c rotate coordinates by 7c (mod dim) and then
+  *    flip per-coordinate signs by xxhash64(i, c). Both are orthogonal
+  *    (the flip is diagonal with D² = I): all intra-copy cosines — and
+  *    therefore cluster structure, kNN ranks, IVF recall — are EXACTLY
+  *    preserved, while cross-copy cosine decorrelates; the sign pattern
+  *    keeps copies distinct even past the rotation's mod-dim cycle.
+  *    (data/sf1 and data/sf10 predate the sign flip — at ≤10 copies the
+  *    rotations alone were already pairwise distinct, so those artifacts
+  *    remain valid and are not regenerated.)
+  *
+  * Generation COMPOSES: a corpus built with copies=C can itself be the
+  * source of a further scale-up by setting GRAFT_SCALE_STRIDE_MULT=C —
+  * every per-copy transform (key shift, text-permutation hash seed,
+  * embedding rotation) then uses effective copy id `c*C`, so the second
+  * pass lands in the id range the first pass left free (source ids 0..C-1,
+  * second-pass ids 0, C, 2C, …). sf100 is therefore a 10-way union over
+  * sf10 instead of a 1000-way union over sf0.1 — the same multiplicative
+  * shape a real 100 TB corpus build would use.
   *
   * Usage: GRAFT_SCALE_SRC=/root/testdata/sf0.1 GRAFT_SCALE_DST=data/sf1
   * GRAFT_SCALE_COPIES=10 runMain graft.GenScale */
@@ -64,17 +78,32 @@ object GenScale {
     if (shift == 0) vec
     else concat(slice(vec, lit(shift + 1), size(vec) - shift), slice(vec, 1, shift))
 
+  /** Per-copy coordinate sign flips — a diagonal orthogonal transform
+    * (D² = I, so all intra-copy dot products are exactly preserved).
+    * Composed with the rotation it gives every effective copy id a
+    * distinct transform even past the rotation's mod-64 cycle: two copies
+    * whose rotations coincide still differ in their sign pattern, so no
+    * cross-copy exact-duplicate vectors appear at any C. */
+  private def signFlipVec(vec: Column, copy: Int): Column =
+    if (copy == 0) vec
+    else zip_with(vec, sequence(lit(0), size(vec) - 1),
+      (x, i) => when(pmod(xxhash64(i, lit(copy)), lit(2)) === 0, x).otherwise(-x))
+
   private def scaled(spark: SparkSession, src: String, table: String,
-      copies: Int): DataFrame = {
+      copies: Int, strideMult: Int): DataFrame = {
     val base = spark.read.parquet(s"$src/$table.parquet")
     val parts = (0 until copies).map { c =>
-      val keyed = shiftKeys(base, c)
+      // effective copy id: lands this pass's copies in the id range the
+      // source pass left free (source ids 0..mult-1, ours 0, mult, 2*mult…)
+      val eff = c * strideMult
+      val keyed = shiftKeys(base, eff)
       table match {
-        case "documents" if c > 0 =>
-          keyed.withColumn("text", permuteText(col("text"), c))
+        case "documents" if eff > 0 =>
+          keyed.withColumn("text", permuteText(col("text"), eff))
             .withColumn("n_chars", length(col("text")).cast("long"))
         case "embeddings" =>
-          keyed.withColumn("embedding", rotateVec(col("embedding"), (7 * c) % 64))
+          keyed.withColumn("embedding",
+            signFlipVec(rotateVec(col("embedding"), (7 * eff) % 64), eff))
         case _ => keyed
       }
     }
@@ -85,6 +114,10 @@ object GenScale {
     val src = sys.env.getOrElse("GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("GRAFT_SCALE_DST", "data/sf1")
     val copies = sys.env.getOrElse("GRAFT_SCALE_COPIES", "10").toInt
+    // set to the source's own copy count when scaling an already-scaled
+    // corpus (see scaladoc): sf10 (built with copies=10) -> sf100 uses
+    // copies=10, strideMult=10
+    val strideMult = sys.env.getOrElse("GRAFT_SCALE_STRIDE_MULT", "1").toInt
     val spark = GraftSession.getOrCreate()
     val shared = Set("region", "nation")
     val tables = Seq("region", "nation", "customer", "supplier", "part",
@@ -92,7 +125,7 @@ object GenScale {
     tables.foreach { t =>
       val df =
         if (shared(t)) spark.read.parquet(s"$src/$t.parquet")
-        else scaled(spark, src, t, copies)
+        else scaled(spark, src, t, copies, strideMult)
       val files = math.max(1, math.min(16, copies))
       df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[genscale] $t -> $dst/$t.parquet")

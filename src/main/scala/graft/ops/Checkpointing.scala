@@ -26,11 +26,16 @@ object CheckpointStrategy {
   }
 
   /** Reliable checkpoints under `dir` (sets the context checkpoint dir
-    * on first use; a cluster passes an HDFS/object-store path). */
+    * on first use; a cluster passes an HDFS/object-store path).
+    *
+    * The set-once check is a substring test, not equality:
+    * `setCheckpointDir` stores `dir/<random-UUID>` (fully qualified), so
+    * an equality check would never match and every pin would mkdir a
+    * fresh UUID subdir — one avoidable object-store round-trip per pin. */
   final case class Reliable(dir: String) extends CheckpointStrategy {
     def pin(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
       df.checkpoint(eager = true)
     }
   }
