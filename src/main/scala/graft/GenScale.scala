@@ -73,15 +73,23 @@ object GenScale {
     array_join(transform(array_sort(tagged), s => s.getField("w")), " ")
   }
 
-  /** Rotate coordinates by `shift` — an orthogonal transform. */
-  private def rotateVec(vec: Column, shift: Int): Column =
-    if (shift == 0) vec
-    else concat(slice(vec, lit(shift + 1), size(vec) - shift), slice(vec, 1, shift))
+  /** Rotate coordinates by `7 * copy` positions — an orthogonal
+    * transform. The shift is reduced mod the ACTUAL vector size per row
+    * (not a hard-coded dim): a shift >= dim would silently truncate the
+    * slices. For the dim-64 corpus this is bit-identical to the previous
+    * `(7 * copy) % 64` literal, so already-generated decades stay valid. */
+  private def rotateVec(vec: Column, copy: Int): Column =
+    if (copy == 0) vec
+    else {
+      val shift = pmod(lit(7L * copy), size(vec).cast("long")).cast("int")
+      when(shift === 0, vec).otherwise(
+        concat(slice(vec, shift + 1, size(vec) - shift), slice(vec, lit(1), shift)))
+    }
 
   /** Per-copy coordinate sign flips — a diagonal orthogonal transform
     * (D² = I, so all intra-copy dot products are exactly preserved).
     * Composed with the rotation it gives every effective copy id a
-    * distinct transform even past the rotation's mod-64 cycle: two copies
+    * distinct transform even past the rotation's mod-dim cycle: two copies
     * whose rotations coincide still differ in their sign pattern, so no
     * cross-copy exact-duplicate vectors appear at any C. */
   private def signFlipVec(vec: Column, copy: Int): Column =
@@ -103,7 +111,7 @@ object GenScale {
             .withColumn("n_chars", length(col("text")).cast("long"))
         case "embeddings" =>
           keyed.withColumn("embedding",
-            signFlipVec(rotateVec(col("embedding"), (7 * eff) % 64), eff))
+            signFlipVec(rotateVec(col("embedding"), eff), eff))
         case _ => keyed
       }
     }

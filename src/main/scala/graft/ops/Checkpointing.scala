@@ -28,14 +28,23 @@ object CheckpointStrategy {
   /** Reliable checkpoints under `dir` (sets the context checkpoint dir
     * on first use; a cluster passes an HDFS/object-store path).
     *
-    * The set-once check is a substring test, not equality:
-    * `setCheckpointDir` stores `dir/<random-UUID>` (fully qualified), so
-    * an equality check would never match and every pin would mkdir a
-    * fresh UUID subdir — one avoidable object-store round-trip per pin. */
+    * The set-once check compares the PARENT of the stored path against
+    * the qualified `dir`: `setCheckpointDir` stores `dir/<random-UUID>`
+    * (fully qualified), so a whole-path equality check would never match
+    * and every pin would mkdir a fresh UUID subdir — while a substring
+    * test would false-positive when `dir` happens to be a substring of an
+    * unrelated configured path and silently pin into the stale dir. */
   final case class Reliable(dir: String) extends CheckpointStrategy {
     def pin(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+      val wanted = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(sc.hadoopConfiguration).makeQualified(p)
+      }
+      val alreadySet = sc.getCheckpointDir.exists { stored =>
+        new org.apache.hadoop.fs.Path(stored).getParent == wanted
+      }
+      if (!alreadySet) sc.setCheckpointDir(dir)
       df.checkpoint(eager = true)
     }
   }

@@ -366,6 +366,8 @@ object Corpus {
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
       .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      // scalar broadcast (one totals row, a few arithmetic ops per row):
+      // file-split parallelism suffices — no Layout.spread needed
       .crossJoin(broadcast(totals))
       .withColumn("pmi", round(
         log(col("c_ab").cast("double") * col("t_uni") * col("t_uni") /

@@ -976,16 +976,12 @@ object Dedup {
       minCos: Double): DataFrame = {
     requireLongId(emb, idCol)
     // The non-equi self-join executes as a nested-loop join whose
-    // parallelism is the STREAMED side's partition count — and an
-    // embedding table is bytes-small (n x dim floats) even when the pair
-    // space is huge, so file-split sizing would hand the O(n²) probe loop
-    // to a handful of tasks (measured: 4 of 32 cores at a 200k-vector
-    // corpus, 76 min). Spreading the streamed side over every core first
-    // costs one tiny shuffle; explicit repartition-by-num survives AQE
-    // coalescing, unlike heuristic shuffles.
-    val para = emb.sparkSession.sparkContext.defaultParallelism
-    val a = emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("a_vec"))
-      .repartition(para)
+    // parallelism is the STREAMED side's partition count — bytes-small
+    // vector table, O(n²) probe loop, so spread it over every core
+    // ([[Layout.spread]] for the measured rationale: 4 of 32 cores,
+    // 76 min at a 200k-vector corpus without it).
+    val a = Layout.spread(
+      emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("a_vec")))
     val b = emb.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("b_vec"))
     a.join(b, col("a_id") < col("b_id"))
       .where(gf.cosine(col("a_vec"), col("b_vec")) >= minCos)
@@ -999,9 +995,14 @@ object Dedup {
     * Benchmark and Contamination" shape).
     *
     * Scale shape: the eval battery is small by nature (benchmarks), so it
-    * broadcasts and the check is a NARROW pass over the corpus — no
-    * shuffle on the corpus side; per-row cost |eval| x dim fused in the
-    * codegen cosine. Rows with null vectors are kept (no evidence).
+    * broadcasts and the check is a pass over the corpus with no shuffle of
+    * the corpus DATA volume; per-row cost |eval| x dim fused in the
+    * codegen cosine. The corpus side is still a bytes-small vector table
+    * (n x dim floats), so file-split sizing would hand the O(corpus x
+    * eval x dim) probe loop to a handful of tasks — the same disease
+    * [[embeddingPairs]] fixes ([[Layout.spread]]; measured at sf10: 4 of
+    * 32 cores busy for hours without it). Rows with null vectors are kept
+    * (no evidence).
     * Output: one row per corpus row — (idCol, n_hits, keep). */
   def decontaminateEmbeddings(
       corpus: DataFrame,
@@ -1010,8 +1011,9 @@ object Dedup {
       vecCol: String,
       minCos: Double): DataFrame = {
     val e = evalSet.filter(col(vecCol).isNotNull).select(col(vecCol).as("__ev"))
-    val hits = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol), col(vecCol).as("__v"))
+    val hits = Layout.spread(
+        corpus.filter(col(vecCol).isNotNull)
+          .select(col(idCol), col(vecCol).as("__v")))
       .crossJoin(broadcast(e))
       .where(gf.cosine(col("__v"), col("__ev")) >= minCos)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))

@@ -64,6 +64,8 @@ object Search {
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("s").getItem(0) / safeAvgdl))
     }.reduce(_ + _)
     stats
+      // scalar broadcast (one corpus-stats row, fixed-arity BM25 formula
+      // per row): file-split parallelism suffices — no Layout.spread
       .crossJoin(broadcast(corpusStats))
       .select(col("doc_id"), round(score, 4).as("score"))
       .where(col("score") > 0)
@@ -445,6 +447,8 @@ object Search {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nd = tf.agg(countDistinct(col("doc_id")).as("n"))
     val scored = tf.join(df, "term")
+      // scalar broadcast (one n_docs row, one log per row): file-split
+      // parallelism suffices — no Layout.spread needed
       .crossJoin(broadcast(nd))
       .withColumn("score_r",
         round(col("tf").cast("double") * log(col("n").cast("double") / col("df")), 6))

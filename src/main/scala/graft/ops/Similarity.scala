@@ -35,7 +35,11 @@ object Similarity {
     Dedup.requireLongId(corpus, idCol)
     Dedup.requireLongId(queries, idCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // corpus is bytes-small / compute-heavy (|q| x dim cosines per row):
+    // spread it before the broadcast NLJ or the scan runs at file-split
+    // parallelism ([[Layout.spread]] for the measured rationale)
+    val c = Layout.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", gf.cosine(col("q_vec"), col("c_vec")))
@@ -124,7 +128,9 @@ object Similarity {
     Dedup.requireLongId(corpus, idCol)
     Dedup.requireLongId(queries, idCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // same bytes-small/compute-heavy streamed side as bruteForceTopK
+    val c = Layout.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .where(gf.cosine(col("q_vec"), col("c_vec")) >= minCos)
@@ -363,8 +369,11 @@ object Similarity {
       col(vecCol).as("q_vec"),
       gf.pqTable(col(vecCol), codebooks, m, ksub).as("tbl"))
     // approximate phase: negate the ADC distance so the shared top-k
-    // aggregate (score DESC) keeps the closest candidates
-    val approx = codes.drop("c_vec").crossJoin(broadcast(qt.drop("q_vec")))
+    // aggregate (score DESC) keeps the closest candidates. The code table
+    // is even smaller than the raw vectors (m bytes/row) while the fused
+    // ADC pass is |q| x m per row — spread it ([[Layout.spread]]).
+    val approx = Layout.spread(codes.drop("c_vec"))
+      .crossJoin(broadcast(qt.drop("q_vec")))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (-gf.pqAdc(col("tbl"), col("codes"), ksub)).as("cos_sim"))
@@ -417,7 +426,9 @@ object Similarity {
     val qt = queries.select(col(idCol).cast("long").as("query_id"),
       gf.pqTable(col(vecCol), codebooks, m, ksub).as("tbl"))
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
-    codes.crossJoin(broadcast(qt))
+    // all-pairs oracle baseline by design, but the streamed code table is
+    // still bytes-small/compute-heavy — spread it ([[Layout.spread]])
+    Layout.spread(codes).crossJoin(broadcast(qt))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(gf.pqAdc(col("tbl"), col("codes"), ksub), 6).as("adc_dist"))
@@ -949,7 +960,9 @@ object Similarity {
       gf.sqEncode(col(vecCol), mins, spans).as("codes"))
     val qt = queries.where(col(vecCol).isNotNull).select(
       col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
-    val approx = codes.drop("c_vec").crossJoin(broadcast(qt))
+    // bytes-small code table, |q| x dim fused SQ-cosine per row — spread
+    // the streamed side ([[Layout.spread]])
+    val approx = Layout.spread(codes.drop("c_vec")).crossJoin(broadcast(qt))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         gf.sqCos(col("codes"), col("q_vec"), mins, spans).as("cos_sim"))

@@ -854,6 +854,8 @@ object Streams {
       sum(col("n")).cast("long").as("nn"),
       sum(col("s")).cast("long").as("ss"),
       sum(col("q")).cast("long").as("qq"))
+    // scalar broadcast (one global-moments row, O(1) arithmetic per state
+    // row): file-split parallelism suffices — no Layout.spread needed
     state.crossJoin(broadcast(g))
       .withColumn("mean_g", col("ss").cast("double") / col("nn"))
       .withColumn("sd_g",

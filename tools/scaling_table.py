@@ -30,9 +30,14 @@ def main():
         if isinstance(a, dict) or isinstance(b, dict):
             errs.append((k, a, b))
             continue
-        rows.append((b / a if a > 0 else float("inf"), k, a, b))
+        if a == 0:
+            # a 0-second sf1 reading is a measurement artifact, not scaling
+            # behavior — route it to ERRORS instead of an infinite ratio
+            errs.append((k, a, b))
+            continue
+        rows.append((b / a, k, a, b))
     rows.sort(reverse=True)
-    ratios = sorted(r for r, *_ in rows if r != float("inf"))
+    ratios = sorted(r for r, *_ in rows)
     med = ratios[len(ratios) // 2] if ratios else float("nan")
     print(f"| query (sf1 -> sf10) | sf1 s | sf10 s | 10x ratio |")
     print(f"|---|---|---|---|")
