@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.gf
+import graft.io.Layout
 import graft.ops.Checkpointing.PinSyntax
 
 /** Deduplication operators for training-data pipelines.

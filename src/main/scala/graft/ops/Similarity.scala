@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.gf
+import graft.io.Layout
 import graft.ops.Checkpointing.PinSyntax
 
 /** Similarity search over embedding columns (`array<float>`).

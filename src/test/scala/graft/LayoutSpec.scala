@@ -271,6 +271,31 @@ class LayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_agg_spec_full")
   }
 
+  test("vector NLJ scans: bytes-small streamed side is spread over every core") {
+    val emb = graft.io.Tables.table(spark, sfDir, "embeddings")
+    val para = spark.sparkContext.defaultParallelism
+    // the three NLJ families that measured 4-of-32-core stalls at sf10:
+    // exact pair join, broadcast decontaminate, brute-force/range ANN —
+    // each must carry an explicit round-robin repartition(para) that
+    // AQE cannot coalesce away (file-split sizing reads a bytes-small
+    // vector table as "few tasks" no matter how heavy the probe loop is)
+    val plans = Seq(
+      "dedup_embedding" -> graft.ops.Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4),
+      "decontaminate" -> graft.ops.Dedup.decontaminateEmbeddings(
+        emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 0.4),
+      "ann_bruteforce" -> graft.ops.Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 3),
+      "ann_range" -> graft.ops.Similarity.rangeSearch(
+        emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 0.4))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(s"RoundRobinPartitioning($para), REPARTITION_BY_NUM"),
+        s"$name: no explicit repartition($para) spread in plan:\n${plan.take(3000)}")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: expected a broadcast NLJ:\n${plan.take(3000)}")
+    }
+  }
+
   test("q_topk_per_group plan: heap aggregate, no Sort/Window of the group rows") {
     // presentation orderBy contributes a Sort node; the assertions below
     // target the aggregation strategy, not the final output sort
