@@ -92,11 +92,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val spark = GraftSession.getOrCreate()
+    var spark = GraftSession.getOrCreate()
+    // A fatal executor/driver error (an OOM, typically) stops the
+    // SparkContext; without recovery every LATER query is billed a bogus
+    // stopped-context error (r9's first 100x run: one broadcast OOM → 79
+    // cascade errors in the artifact). Recreate the session and drop
+    // SparkEntry's per-dir memos (their in-memory-catalog tables died with
+    // the context) so each query is measured on a live context and only
+    // the query that actually failed records an error.
+    def ensureLive(): Unit = if (spark.sparkContext.isStopped) {
+      SparkEntry.invalidateSessionCaches()
+      spark = GraftSession.getOrCreate()
+    }
     // JIT/codegen warmup: run the whole catalog once at the smallest sf so
     // each measured number reflects the plan, not that query family's
     // first-run codegen compilation (measured up to 5s of the first run)
     SparkEntry.queries.foreach { case (_, fn) =>
+      ensureLive()
       try { exec(fn(spark, warmDir)) } catch { case _: Throwable => () }
       cleanup(spark)
     }
@@ -119,6 +131,7 @@ object Bench {
     // warmup loop cannot absorb (r6: ann_bruteforce, first alphabetically,
     // recorded well above its steady state even after warmup)
     ordered.headOption.foreach { case (_, fn) =>
+      ensureLive()
       try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
       cleanup(spark)
     }
@@ -127,6 +140,7 @@ object Bench {
         val r = try {
           val nRuns = if (onceSet.contains(name)) 1 else runsPerQuery
           val times = (1 to nRuns).map { _ =>
+            ensureLive()
             val t0 = System.nanoTime()
             exec(fn(spark, sfDir))
             val sec = (System.nanoTime() - t0) / 1e9
@@ -137,6 +151,7 @@ object Bench {
         } catch {
           case e: Throwable =>
             cleanup(spark)
+            ensureLive()
             name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
         System.gc()

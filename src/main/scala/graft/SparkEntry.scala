@@ -3929,4 +3929,17 @@ object SparkEntry {
         |  CAST(CASE WHEN kind = 2 THEN 16 ELSE 8 END AS INTEGER) AS bit_depth
         |FROM f""".stripMargin
   )
+
+  /** Drop every per-directory memo (persistent-index table names, corpus
+    * counts). The index memos name tables in the session's in-memory
+    * catalog, which dies with the SparkContext — a harness that recovers
+    * from a context loss (Bench) must invalidate them before re-running,
+    * or every probe query would reference a vanished table. */
+  private[graft] def invalidateSessionCaches(): Unit = {
+    embCountFor.clear(); aggIndexFor.clear(); dedupIndexFor.clear()
+    embIndexFor.clear(); searchIndexFor.clear(); searchRemoveIndexFor.clear()
+    searchCompactIndexFor.clear(); searchAppendIndexFor.clear()
+    ivfpqIndexFor.clear(); ivfpqAppendIndexFor.clear()
+    ivfpqRemoveIndexFor.clear(); ivfpqCompactIndexFor.clear()
+  }
 }

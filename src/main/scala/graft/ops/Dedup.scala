@@ -1436,14 +1436,25 @@ object Dedup {
     * vector with cosine >= threshold meets it in an LSH bucket) / new,
     * plus the min-id matching corpus vector.
     *
-    * Scale shape, mirroring [[dedupIndexProbe]]'s lessons: every
-    * delta-derived join side broadcasts under one size guard, so the
-    * corpus-sized tables are scanned ONCE each, column-pruned, and never
-    * shuffled; exact matches are anti-joined out of candidacy up front
-    * (a re-crawl delta is mostly exact); candidate (delta, corpus) pairs
-    * are deduped by aggregation before the single payload fetch that
-    * feeds the cosine verify, so the fetch is bounded by distinct
-    * candidates, not bucket co-occurrence. */
+    * Scale shape, mirroring [[dedupIndexProbe]]'s lessons: delta-derived
+    * join sides broadcast so the corpus-sized tables are scanned ONCE
+    * each, column-pruned, and never shuffled; exact matches are
+    * anti-joined out of candidacy up front (a re-crawl delta is mostly
+    * exact); candidate (delta, corpus) pairs are deduped by aggregation
+    * before the single payload fetch that feeds the cosine verify, so the
+    * fetch is bounded by distinct candidates, not bucket co-occurrence.
+    *
+    * SIZE GUARDS are per frame, because the broadcast sides do NOT scale
+    * together: the exploded bucket frame is `tables`× the delta, and the
+    * candidate set is bucket-occupancy-bounded (≈ delta × tables ×
+    * corpus/2^bits rows), not delta-bounded. r9's single raw-delta-bytes
+    * guard broadcast a ~40M-row candidate set at the 100× bench and died
+    * with "Not enough memory to build and broadcast" — the candidate→
+    * payload join therefore carries no static hint at all and lets AQE
+    * pick broadcast-vs-shuffle from the candidate set's MEASURED size
+    * (tiny re-crawl deltas still get the broadcast + partition-pruned
+    * fetch; corpus-scale deltas degrade to an ordinary shuffled join,
+    * which at that size is the right plan). */
   def embIndexProbe(
       delta: DataFrame,
       vecCol: String,
@@ -1465,20 +1476,25 @@ object Dedup {
     val st = d.agg(count(lit(1)).as("c"), sum(size(col("d_vec"))).as("f")).head()
     val dRows = st.getLong(0)
     val dFloats = if (st.isNullAt(1)) 0L else st.getLong(1)
-    val bcastDelta = dRows * 72L + dFloats * 8L <= maxBroadcastBytes
-    def deltaSide(df: DataFrame): DataFrame = if (bcastDelta) broadcast(df) else df
+    // per-frame footprint estimates (~72 B/hash-relation entry + payload)
+    val vecBytes = dRows * 72L + dFloats * 8L // (id, vector) rows
+    val idBytes = dRows * 88L // (id, match) rows
+    val bucketBytes = dRows * tables.toLong * 96L // exploded (tb, bucket) rows
+    def side(df: DataFrame, estBytes: Long): DataFrame =
+      if (estBytes <= maxBroadcastBytes) broadcast(df) else df
 
     // exact: one column-pruned corpus scan, array-equality hash join
     // against the broadcast delta — no shuffle of the corpus side
     val exactM = payload
-      .join(deltaSide(d.select(col("d_id"), col("d_vec").as("embedding"))), Seq("embedding"))
+      .join(side(d.select(col("d_id"), col("d_vec").as("embedding")), vecBytes),
+        Seq("embedding"))
       .groupBy("d_id").agg(min(col("vec_id")).as("exact_match"))
       .pinned()
 
     // near candidacy: delta bucket assignments (same generator as the
     // build) meet the postings on (bb, tb, bucket); candidates dedup by
     // aggregation — they exist only inside the groupBy, never re-joined
-    val dNear = d.join(deltaSide(exactM.select(col("d_id"))), Seq("d_id"), "left_anti")
+    val dNear = d.join(side(exactM.select(col("d_id")), idBytes), Seq("d_id"), "left_anti")
     val dBuckets = dNear
       .select(col("d_id"), explode(array((0 until tables).map(t =>
         struct(lit(t).as("tb"),
@@ -1486,21 +1502,23 @@ object Dedup {
       .select(col("d_id"), col("b.tb").as("tb"), col("b.bucket").as("bucket"))
       .withColumn("bb", pmod(hash(col("tb"), col("bucket")), lit(numParts)))
     val cand = lsh
-      .join(deltaSide(dBuckets), Seq("bb", "tb", "bucket"))
+      .join(side(dBuckets, bucketBytes), Seq("bb", "tb", "bucket"))
       .groupBy(col("d_id"), col("vec_id")).agg(count(lit(1)).as("__t"))
       .select(col("d_id"), col("vec_id"))
       .withColumn("ib", pmod(hash(col("vec_id")), lit(numParts)))
     // verify: ONE payload fetch bounded by distinct candidates, cosine
-    // threshold fused — the corpus vectors never shuffle
+    // threshold fused. The candidate side is deliberately UN-hinted (see
+    // scaladoc): its size is occupancy-bounded, not delta-bounded, so AQE
+    // decides broadcast-vs-shuffle from its measured size at runtime.
     val nearM = payload
-      .join(deltaSide(cand), Seq("ib", "vec_id"))
-      .join(deltaSide(d), Seq("d_id"))
+      .join(cand, Seq("ib", "vec_id"))
+      .join(side(d, vecBytes), Seq("d_id"))
       .where(gf.cosine(col("embedding"), col("d_vec")) >= threshold)
       .groupBy("d_id").agg(min(col("vec_id")).as("near_match"))
 
     d.select(col("d_id"))
-      .join(deltaSide(exactM), Seq("d_id"), "left")
-      .join(deltaSide(nearM), Seq("d_id"), "left")
+      .join(side(exactM, idBytes), Seq("d_id"), "left")
+      .join(side(nearM, idBytes), Seq("d_id"), "left")
       .select(
         col("d_id").as(idCol),
         when(col("exact_match").isNotNull, lit("exact"))
