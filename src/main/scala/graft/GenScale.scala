@@ -35,14 +35,16 @@ import org.apache.spark.sql.functions._
   *    rotations alone were already pairwise distinct, so those artifacts
   *    remain valid and are not regenerated.)
   *
-  * Generation COMPOSES: a corpus built with copies=C can itself be the
-  * source of a further scale-up by setting GRAFT_SCALE_STRIDE_MULT=C —
-  * every per-copy transform (key shift, text-permutation hash seed,
-  * embedding rotation) then uses effective copy id `c*C`, so the second
-  * pass lands in the id range the first pass left free (source ids 0..C-1,
-  * second-pass ids 0, C, 2C, …). sf100 is therefore a 10-way union over
-  * sf10 instead of a 1000-way union over sf0.1 — the same multiplicative
-  * shape a real 100 TB corpus build would use.
+  * Generation COMPOSES: an already-scaled corpus can itself be the source
+  * of a further scale-up by setting GRAFT_SCALE_STRIDE_MULT to the PRODUCT
+  * of all prior pass copy counts (= the width of the source's effective
+  * copy-id range) — every per-copy transform (key shift, text-permutation
+  * hash seed, embedding rotation) then uses effective copy id `c*mult`, so
+  * each pass lands in the id range the prior passes left free (sf1→sf10:
+  * mult=10, ids 0,10..90 over source ids 0..9; sf10→sf100: mult=100, ids
+  * 0,100..900 over source ids 0..99). sf100 is therefore a 10-way union
+  * over sf10 instead of a 1000-way union over sf0.1 — the same
+  * multiplicative shape a real 100 TB corpus build would use.
   *
   * Usage: GRAFT_SCALE_SRC=/root/testdata/sf0.1 GRAFT_SCALE_DST=data/sf1
   * GRAFT_SCALE_COPIES=10 runMain graft.GenScale */
@@ -122,9 +124,11 @@ object GenScale {
     val src = sys.env.getOrElse("GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("GRAFT_SCALE_DST", "data/sf1")
     val copies = sys.env.getOrElse("GRAFT_SCALE_COPIES", "10").toInt
-    // set to the source's own copy count when scaling an already-scaled
-    // corpus (see scaladoc): sf10 (built with copies=10) -> sf100 uses
-    // copies=10, strideMult=10
+    // set to the PRODUCT of all prior pass copy counts when scaling an
+    // already-scaled corpus (see scaladoc): sf1 -> sf10 uses mult=10, but
+    // sf10 -> sf100 uses mult=100 (sf10's effective copy ids already span
+    // 0..99, so a mult of 10 would shift this pass back into that range
+    // and collide keys and text-permutation seeds with existing rows)
     val strideMult = sys.env.getOrElse("GRAFT_SCALE_STRIDE_MULT", "1").toInt
     val spark = GraftSession.getOrCreate()
     val shared = Set("region", "nation")

@@ -33,9 +33,12 @@ JVM=(java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false
   -Dspark.sql.session.timeZone=UTC -Xmx48g -cp "$CP")
 
 if [ ! -d data/sf100/lineitem.parquet ]; then
-  echo "[rehearse] generating data/sf100 from data/sf10 (copies=10, mult=10)"
+  echo "[rehearse] generating data/sf100 from data/sf10 (copies=10, mult=100)"
+  # mult = the PRODUCT of all prior pass copy counts (sf10's effective copy
+  # ids span 0..99), not the last pass's copies — mult=10 would land this
+  # pass's shifts back inside 0..99 and collide ~80% of the keys.
   GRAFT_SCALE_SRC=data/sf10 GRAFT_SCALE_DST=data/sf100 \
-  GRAFT_SCALE_COPIES=10 GRAFT_SCALE_STRIDE_MULT=10 \
+  GRAFT_SCALE_COPIES=10 GRAFT_SCALE_STRIDE_MULT=100 \
     "${JVM[@]}" graft.GenScale
 fi
 
