@@ -76,6 +76,40 @@ object Diag {
         s"pairs(df<=10)=${st.getAs[Any](2)} pairs_uncapped=${st.getAs[Any](3)} hot=${st.getAs[Any](4)}")
     }
 
+    if (sections("prefix")) {
+      // candidacy volume of the prefix-filtered dedupIndexProbe WITHOUT
+      // running the big join: per-fp prefix dfs on both sides, then
+      // sum(dpdf * ipdf) — the exact join-row count the probe generates.
+      val tbl = "spark-warehouse/graft_dedup_idx_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val fpsIdx = spark.read.parquet(s"${tbl}_fps")
+      val dfIdx = spark.read.parquet(s"${tbl}_df")
+      val t05 = 0.5
+      def oMin(c: org.apache.spark.sql.Column) = ceil(c.cast("double") * t05 - 1e-9)
+      val jHits = 3
+      val ipdf = fpsIdx
+        .where(col("rk") < col("n_fp") - oMin(col("n_fp")) + least(lit(jHits), oMin(col("n_fp"))))
+        .groupBy("fp").agg(count(lit(1)).as("ipdf"))
+      val delta = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val dSh = delta.select(col("doc_id").cast("long").as("id"), col("text"),
+          TextAnalysis.fingerprint(col("text")).as("ck"))
+        .where(col("ck").isNotNull)
+        .groupBy("ck").agg(min("id").as("d_rep"), first(col("text")).as("text"))
+        .select(col("d_rep"), gf.shingleFpsSorted(col("text"), 3).as("shl"))
+      val dFps = dSh.select(col("d_rep"), size(col("shl")).as("d_nfp"),
+        explode(col("shl")).as("fp"))
+      val dPref = dFps.join(dfIdx.select("fp", "df"), Seq("fp"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("d_rep").orderBy("df", "fp")))
+        .where(col("rn") <= col("d_nfp") - oMin(col("d_nfp")) + least(lit(jHits), oMin(col("d_nfp"))))
+      val dpdf = dPref.groupBy("fp").agg(count(lit(1)).as("dpdf"))
+      val st = ipdf.join(dpdf, "fp")
+        .agg(sum(col("ipdf") * col("dpdf")).as("join_rows"),
+          count(lit(1)).as("shared_fps"), max("ipdf").as("max_ipdf")).head()
+      println(s"[diag] prefix join_rows=${st.getAs[Any](0)} shared_fps=${st.getAs[Any](1)} " +
+        s"max_ipdf=${st.getAs[Any](2)}")
+    }
+
     if (sections("incr")) {
       // the probe's inverted-index join cost: sum over fp of idx_df * delta_df
       val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)

@@ -31,6 +31,17 @@ object SparkEntry {
       math.max(t(s, d, "embeddings").where(col("embedding").isNotNull).count(), 1L)
     ).longValue()
 
+  /** Document-corpus size for the text-side sizing rules
+    * (`simhashBlocksFor`), memoized per dataset dir like [[nEmb]]. An
+    * upper bound on distinct fingerprints — conservative for the banding
+    * rule (may pick one block step more than the distinct-fp count needs,
+    * never less). */
+  private val docCountFor = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def nDocs(s: SparkSession, dir: String): Long =
+    docCountFor.computeIfAbsent(dir, d =>
+      math.max(t(s, d, "documents").where(col("text").isNotNull).count(), 1L)
+    ).longValue()
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q5Multijoin(spark, "/root/testdata/sf0.001")
@@ -790,10 +801,15 @@ object SparkEntry {
     * over distinct fingerprints (a 10x template-heavy rehearsal measured
     * 52M candidate rows with naive banding). At the driver's verify scale
     * max occupancy is 26, so the cap is a no-op there and the all-pairs
-    * oracle applies unchanged. */
+    * oracle applies unchanged. Block count follows `simhashBlocksFor`
+    * (Manku-style multi-block banding): past ~16k distinct fingerprints
+    * the minimal 4-block/16-bit-key scheme goes quadratic on RANDOM key
+    * collisions (n²/2^16), so the rule widens keys by keying on block
+    * subsets — recall stays exactly 1 at every block count (candidates are
+    * hamming-verified), so the oracle is unaffected at any scale. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairsCanonical(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3,
-        maxBucket = Some(500L))
+        maxBucket = Some(500L), numBlocks = Dedup.simhashBlocksFor(nDocs(s, dir)))
       .orderBy("a_id", "b_id")
 
   /** Duplicate clusters over the (capped) exact-Jaccard pair graph:

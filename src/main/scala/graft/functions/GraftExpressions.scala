@@ -627,6 +627,33 @@ case class SharedGroupsExpr(
     copy(child = newChild)
 }
 
+/** Prefix-filtered candidate delta reps for one corpus rep against a
+  * plan-embedded CSR of the delta's prefix postings — see
+  * [[Kernels.prefixCandidates]]. */
+case class PrefixCandidatesExpr(
+    child: Expression, t: Double, minHits: Int,
+    fps: Array[Long], offsets: Array[Int], dreps: Array[Long],
+    dRepIds: Array[Long], dRepNfp: Array[Int])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.prefixCandidates(input.asInstanceOf[ArrayData], t, minHits,
+      fps, offsets, dreps, dRepIds, dRepNfp)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fpsRef = ctx.addReferenceObj("csrFps", fps, "long[]")
+    val offRef = ctx.addReferenceObj("csrOffsets", offsets, "int[]")
+    val drRef = ctx.addReferenceObj("csrDreps", dreps, "long[]")
+    val idRef = ctx.addReferenceObj("dRepIds", dRepIds, "long[]")
+    val nfRef = ctx.addReferenceObj("dRepNfp", dRepNfp, "int[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.prefixCandidates($c, $t, $minHits, " +
+        s"$fpsRef, $offRef, $drRef, $idRef, $nfRef)")
+  }
+  override def prettyName: String = "prefix_candidates"
+  override protected def withNewChildInternal(newChild: Expression): PrefixCandidatesExpr =
+    copy(child = newChild)
+}
+
 /** One-merge-pass Jaccard of two sorted long arrays. */
 case class JaccardSortedFpsExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -774,6 +801,12 @@ object gf {
     * column, against a plan-embedded CSR inverted index. */
   def sharedGroups(a: Column, fps: Array[Long], offsets: Array[Int], gids: Array[Int]): Column =
     u(a)(SharedGroupsExpr(_, fps, offsets, gids))
+
+  /** Prefix-filtered candidacy against a plan-embedded delta CSR. */
+  def prefixCandidates(rked: Column, t: Double, minHits: Int,
+      fps: Array[Long], offsets: Array[Int], dreps: Array[Long],
+      dRepIds: Array[Long], dRepNfp: Array[Int]): Column =
+    u(rked)(PrefixCandidatesExpr(_, t, minHits, fps, offsets, dreps, dRepIds, dRepNfp))
 
   /** Merge-pass Jaccard of two sorted long-array columns. */
   def jaccardSortedFps(a: Column, b: Column): Column =

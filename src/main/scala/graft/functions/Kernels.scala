@@ -1214,6 +1214,67 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Delta reps whose prefix-filtered shingle overlap with this corpus
+    * rep clears the exact-recall hit bound — the broadcast-probe candidacy
+    * of [[graft.ops.Dedup.dedupIndexProbe]] for saturated shingle spaces,
+    * where the inverted-index join's Σ df_idx·df_delta volume goes
+    * quadratic. One pass per corpus rep: walk the rep's own prefix of its
+    * (df, fp)-ordered list `rked`, gather posting d_reps from the
+    * plan-embedded CSR of the DELTA's prefix (fps ascending; d_reps for
+    * fps(i) at dreps[offsets(i) until offsets(i+1))), sort, count runs,
+    * keep d_reps with hits >= min(j, ceil(t*|A|), ceil(t*|B|)) passing the
+    * size filter t*|A| <= |B| <= |A|/t. All counting is task-local — the
+    * billion-row (pair, hit) shuffle never exists. ceil is computed on
+    * x - 1e-9 so float error can only lengthen prefixes / lower the bound
+    * (admits candidates, never loses one). `dRepIds` (ascending) with
+    * aligned `dRepNfp` supply each delta rep's full fp-set size. */
+  def prefixCandidates(
+      rked: ArrayData, t: Double, minHits: Int,
+      fps: Array[Long], offsets: Array[Int], dreps: Array[Long],
+      dRepIds: Array[Long], dRepNfp: Array[Int]): ArrayData = {
+    val n = rked.numElements()
+    if (n == 0 || fps.length == 0) return new GenericArrayData(Array.empty[Any])
+    val oI = math.ceil(t * n - 1e-9).toLong
+    val jI = math.min(minHits.toLong, oI)
+    val lI = math.min(n.toLong, n - oI + jI).toInt
+    var hits = new Array[Long](16)
+    var nh = 0
+    var i = 0
+    while (i < lI) {
+      val pos = java.util.Arrays.binarySearch(fps, rked.getLong(i))
+      if (pos >= 0) {
+        var j = offsets(pos)
+        val end = offsets(pos + 1)
+        while (j < end) {
+          if (nh == hits.length) hits = java.util.Arrays.copyOf(hits, nh * 2)
+          hits(nh) = dreps(j)
+          nh += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (nh == 0) return new GenericArrayData(Array.empty[Any])
+    java.util.Arrays.sort(hits, 0, nh)
+    val out = new java.util.ArrayList[Any](8)
+    var s = 0
+    while (s < nh) {
+      var e = s + 1
+      while (e < nh && hits(e) == hits(s)) e += 1
+      val dRep = hits(s)
+      val k = java.util.Arrays.binarySearch(dRepIds, dRep)
+      if (k >= 0) {
+        val dNfp = dRepNfp(k)
+        val oD = math.ceil(t * dNfp - 1e-9).toLong
+        val jD = math.min(minHits.toLong, oD)
+        val sizeOk = n >= oD && n <= math.floor(dNfp / t + 1e-9).toLong
+        if (sizeOk && (e - s) >= math.min(jD, jI)) out.add(dRep)
+      }
+      s = e
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** [n_bytes, n_deflated] of the text's UTF-8 bytes under DEFLATE level
     * 6 — the compression-ratio quality signal corpus curation uses
     * (near-random text ~1.0, natural prose ~0.4, templated boilerplate

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.gf
 import graft.io.Layout
@@ -94,17 +95,63 @@ object Dedup {
         banded.join(broadcast(hot), Seq("block", "blockval"), "left_anti")
     }
 
-  /** SimHash pigeonhole block explosion: (carry, block, blockval) rows. */
-  private def simhashBlocks(fp: DataFrame, carryCol: String, maxHamming: Int): DataFrame = {
-    val blocks = maxHamming + 1
-    val bitsPerBlock = 64 / blocks
+  /** Generalized SimHash pigeonhole banding (Manku et al., WWW'07): split
+    * the 64-bit fingerprint into `numBlocks` near-equal blocks and emit one
+    * (carry, table, key) row per (numBlocks - maxHamming)-subset of blocks,
+    * keyed by the subset's block values. Pigeonhole: a pair within hamming
+    * distance `maxHamming` differs in at most `maxHamming` blocks, so at
+    * least one subset agrees on every block — candidate recall is EXACTLY 1
+    * at ANY numBlocks (every emitted pair is hamming-verified downstream).
+    *
+    * Why generalize past the minimal numBlocks = maxHamming+1: the bucket
+    * key there is a single 64/(k+1)-bit block (16 bits at k=3), and random
+    * key collisions make the candidate set grow as n²/2^16 — quadratic past
+    * ~100k distinct fingerprints. Widening the key to (m-k) blocks pushes
+    * the collision knee out by 2^keybits at a C(m,k)-table explosion cost
+    * (m=5: 10 tables/24-bit keys; m=6: 20/30; m=8: 56/40). Keys are
+    * xxhash64(table, block values...) — a hash collision only adds a
+    * verified-away candidate, never loses one.
+    *
+    * Column contract matches the old single-block layout ((block, blockval)
+    * = (table id, bucket key)) so [[capHotBuckets]] and the pair joins
+    * apply unchanged. */
+  private def simhashBands(
+      fp: DataFrame, carryCol: String, maxHamming: Int, numBlocks: Int): DataFrame = {
+    require(numBlocks > maxHamming, "numBlocks must exceed maxHamming (pigeonhole)")
+    require(numBlocks <= 64, "at most one block per bit")
+    val base = 64 / numBlocks
+    val rem = 64 % numBlocks
+    val widths = (0 until numBlocks).map(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(i: Int): Column = {
+      val sh = shiftrightunsigned(col("fp"), offsets(i))
+      if (offsets(i) + widths(i) == 64) sh
+      else sh.bitwiseAND(lit((1L << widths(i)) - 1))
+    }
+    val combos = (0 until numBlocks).combinations(numBlocks - maxHamming).toSeq
     fp.select(
       col(carryCol), col("fp"),
-      posexplode(array((0 until blocks).map { i =>
-        val shifted = shiftrightunsigned(col("fp"), i * bitsPerBlock)
-        if (i == blocks - 1) shifted
-        else shifted.bitwiseAND(lit((1L << bitsPerBlock) - 1))
+      posexplode(array(combos.zipWithIndex.map { case (combo, ti) =>
+        xxhash64((lit(ti) +: combo.map(blockVal)): _*)
       }: _*)).as(Seq("block", "blockval")))
+  }
+
+  /** Corpus-sized block count for [[simhashBands]]: the smallest m whose
+    * expected random-collision candidate volume C(m,k)·n²/2^keybits stays
+    * at most n (keybits = (m-k)·⌊64/m⌋, the worst-case subset width) —
+    * i.e. n·C(m,k) ≤ 2^keybits. For k=3 the knees are m=4 to ~16k distinct
+    * fingerprints, m=5 to ~1.7M, m=6 to ~54M, m=8 to ~2·10^10 — each step
+    * trades a bounded table explosion (4→10→20→56 rows/fp) for another
+    * decade or two of linear candidate volume. Recall is 1 at every m, so
+    * changing m never changes the operator's output, only its cost. */
+  def simhashBlocksFor(n: Long, maxHamming: Int = 3): Int = {
+    def ok(m: Int): Boolean = {
+      val keyBits = (m - maxHamming) * (64 / m)
+      val tables = (0 until maxHamming).foldLeft(1L)((a, i) => a * (m - i)) /
+        (1L to maxHamming).product
+      keyBits >= 62 || math.max(n, 1L) <= (1L << keyBits) / math.max(tables, 1L)
+    }
+    ((maxHamming + 1) to 16).find(ok).getOrElse(16)
   }
 
   /** Word n-gram shingles of `text` (distinct, space-joined). One-pass
@@ -138,13 +185,32 @@ object Dedup {
     val sh = df
       .select(col(idCol).cast("long").as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sh_size", size(col("sh")))
-    val postings = sh
-      .select(col("id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    val exploded = sh.select(col("id"), col("sh_size"), explode(col("sh")).as("shingle"))
+    // The df valve runs BEFORE the posting lists exist: a count-only
+    // aggregate (map-side partial, the shuffle carries one row per
+    // DISTINCT shingle) finds the shingles worth collecting, and only
+    // their postings enter the collect_list shuffle. On a duplicate-heavy
+    // corpus almost every shingle is hot, so collecting first and capping
+    // after (the old shape) shuffled the whole corpus's postings to then
+    // drop them — 27M struct rows to keep a few hundred pairs at sf10.
+    // The corpus is shingled twice (both passes are narrow maps off the
+    // scan; recompute beats materializing corpus-sized rows — the
+    // duplicatedSpans trade). sh_size stays the FULL set size, so Jaccard
+    // semantics are unchanged.
+    // No broadcast hint on `eligible`: on a duplicate-heavy corpus it is
+    // tiny (hot shingles fall out) and AQE broadcasts it at runtime — the
+    // posting explosion then never shuffles at all. On a Zipf corpus most
+    // distinct shingles have df in [2, cap], `eligible` is corpus-scale,
+    // and the shuffled join IS the right plan (the surviving postings are
+    // the real output volume).
+    val eligible = exploded.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 &&
+        maxDf.map(cap => col("__df") <= cap).getOrElse(lit(true)))
+      .select("shingle")
+    val postings = exploded
+      .join(eligible, Seq("shingle"))
       .groupBy("shingle")
       .agg(collect_list(struct(col("id"), col("sh_size"))).as("postings"))
-      // df == 1 emits nothing; df > cap is the hot-shingle valve
-      .where(size(col("postings")) >= 2 &&
-        maxDf.map(cap => size(col("postings")) <= cap).getOrElse(lit(true)))
     postings
       .select(explode(gf.postingPairs(col("postings"))).as("p"))
       .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
@@ -298,10 +364,12 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      maxBucket: Option[Long] = None): DataFrame = {
+      maxBucket: Option[Long] = None,
+      numBlocks: Int = 0): DataFrame = {
     requireLongId(df, idCol)
+    val m = if (numBlocks > 0) numBlocks else maxHamming + 1
     val fp = df.select(col(idCol).cast("long").as("id"), gf.simhash64(col(textCol)).as("fp"))
-    val capped = capHotBuckets(simhashBlocks(fp, "id", maxHamming), maxBucket)
+    val capped = capHotBuckets(simhashBands(fp, "id", maxHamming, m), maxBucket)
     val a = capped.select(col("block"), col("blockval"), col("id").as("a_id"), col("fp").as("a_fp"))
     val b = capped.select(col("block"), col("blockval"), col("id").as("b_id"), col("fp").as("b_fp"))
     a.join(b, Seq("block", "blockval"))
@@ -328,15 +396,17 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      maxBucket: Option[Long] = None): DataFrame = {
+      maxBucket: Option[Long] = None,
+      numBlocks: Int = 0): DataFrame = {
     requireLongId(df, idCol)
+    val m = if (numBlocks > 0) numBlocks else maxHamming + 1
     val fp = df.select(col(idCol).cast("long").as("id"), gf.simhash64(col(textCol)).as("fp"))
     val groups = canonicalGroups(fp, "id", col("fp"), col("fp"))
       .withColumnRenamed("__payload", "fp")
     // within-group: every member pair is an exact-fingerprint (hamming 0) match
     val within = withinGroupPairs(groups, lit(true))
     // cross-group: band over DISTINCT fingerprints only
-    val capped = capHotBuckets(simhashBlocks(groups, "rep_id", maxHamming), maxBucket)
+    val capped = capHotBuckets(simhashBands(groups, "rep_id", maxHamming, m), maxBucket)
     val fpPairs = capped.select(col("block"), col("blockval"), col("rep_id").as("a_id"), col("fp").as("a_fp"))
       .join(capped.select(col("block"), col("blockval"), col("rep_id").as("b_id"), col("fp").as("b_fp")),
         Seq("block", "blockval"))
@@ -1223,31 +1293,50 @@ object Dedup {
     requireLongId(corpus, idCol)
     val spark = corpus.sparkSession
     import spark.implicits._
-    dropWarehouseTables(spark, Seq(tableName, s"${tableName}_fps", s"${tableName}_meta"))
+    dropWarehouseTables(spark,
+      Seq(tableName, s"${tableName}_fps", s"${tableName}_df", s"${tableName}_meta"))
     val docs = corpus
       .where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
     val groups = canonicalGroups(docs, "id",
       TextAnalysis.fingerprint(col("__text")), col("__text"))
-    val reps = groups.select(
+    val repsF = groups.select(
       col("rep_id"),
       col("__ck").as("content_key"),
       gf.shingleFpsSorted(col("__payload"), n).as("shl"))
-    reps
+    // global document frequency per fp — defines the canonical (df, fp)
+    // rare-first order every probe-side prefix filter uses. Written first;
+    // everything below reads it back instead of recomputing.
+    repsF.select(explode(col("shl")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .withColumn("fb", pmod(hash(col("fp")), lit(numParts)))
+      .write.mode("overwrite").partitionBy("fb").format("parquet")
+      .saveAsTable(s"${tableName}_df")
+    // reps carry BOTH orderings of the fp set: `shl` (value-sorted, the
+    // exact-Jaccard merge kernel's input) and `shl_rk` ((df, fp)-ordered,
+    // rare first — position i IS the fp's prefix rank, so the probe's
+    // broadcast-kernel path slices its prefix straight off the array).
+    val rkArr = repsF
+      .select(col("rep_id"), explode(col("shl")).as("fp"))
+      .join(spark.table(s"${tableName}_df").select("fp", "df"), Seq("fp"))
+      .groupBy("rep_id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("fp")))),
+        s => s.getField("fp")).as("shl_rk"))
+    repsF.join(rkArr, Seq("rep_id"))
       .withColumn("pb", pmod(hash(col("rep_id")), lit(numParts)))
       .write.mode("overwrite").partitionBy("pb").format("parquet")
       .saveAsTable(tableName)
-    // n_fp (the rep's DISTINCT fp count) is denormalized onto every posting
-    // so the probe can compute exact Jaccard from intersection counts alone
-    // — J = inter/(n_fp_a + n_fp_b - inter) — without re-fetching the rep's
-    // shingle array in a second corpus-sized join
-    reps
+    // The inverted postings (the probe's join-path candidacy) denormalize
+    // n_fp (Jaccard needs both set sizes) and rk (prefix rank, 0-based —
+    // the probe selects rk < n_fp - ceil(t*n_fp) + j for its own t).
+    spark.table(tableName)
       .select(col("rep_id"), size(col("shl")).as("n_fp"),
-        explode(col("shl")).as("fp"))
+        posexplode(col("shl_rk")).as(Seq("rk", "fp")))
       .withColumn("fb", pmod(hash(col("fp")), lit(numParts)))
       .write.mode("overwrite").partitionBy("fb").format("parquet")
       .saveAsTable(s"${tableName}_fps")
-    Seq((n, numParts)).toDF("n", "num_parts")
+    val nReps = spark.table(tableName).count()
+    Seq((n, numParts, nReps)).toDF("n", "num_parts", "n_reps")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
   }
 
@@ -1261,19 +1350,21 @@ object Dedup {
     *     score (rounded for cross-engine stability).
     *   - `new`  : else — the doc is admissible.
     *
-    * EXACT output (not approximate): candidacy via the shared-shingle
-    * inverted index has recall 1, and verification is exact — the fp
-    * equi-join's per-pair hit count IS |A∩B| (fp lists are distinct), so
-    * J = inter/(|A|+|B|-inter) equals the sorted-fp merge kernel's value
-    * without ever materializing the candidate pair set or re-joining the
-    * corpus for shingle arrays (the pair set scales with shingle
-    * co-occurrence, not delta size — it must stay inside one aggregation).
-    * Delta reps that match exactly are excluded from near candidacy up
-    * front: exact dominates near in the output and a re-crawl delta is
-    * mostly exact dups. The delta is canonicalized to distinct contents
-    * before probing (verify work per distinct content, not per doc — the
-    * §9.3 symmetry rule) and every join against the index broadcasts the
-    * delta side: the corpus-sized tables are scanned partition-pruned,
+    * EXACT output (not approximate): candidacy is prefix-filtered
+    * (AllPairs/PPJoin — rare-first (df, fp) order, prefix length
+    * |X| - ceil(t·|X|) + j, at least min(j_A, j_B) shared prefix fps),
+    * which has recall exactly 1 for J >= t (see the inline proof at the
+    * candidacy join); survivors are verified with the exact sorted-merge
+    * Jaccard kernel against the stored rep fp arrays. The prefix filter is
+    * what keeps candidacy LINEAR when the shingle space saturates — the
+    * full-postings count join this replaced measured Σ df_idx·df_delta =
+    * 2.23 BILLION join rows at sf10 (vs 22M at sf1) on the ~30k-trigram
+    * corpus. Delta reps that match exactly are excluded from near
+    * candidacy up front: exact dominates near in the output and a re-crawl
+    * delta is mostly exact dups. The delta is canonicalized to distinct
+    * contents before probing (verify work per distinct content, not per
+    * doc — the §9.3 symmetry rule) and every join against the index
+    * broadcasts the delta side: the corpus-sized tables are scanned,
     * never shuffled.
     *
     * SIZE GUARD: broadcasting is only correct while the delta is small.
@@ -1292,16 +1383,21 @@ object Dedup {
       idCol: String,
       tableName: String,
       threshold: Double = 0.5,
-      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
+      maxBroadcastBytes: Long = 256L << 20,
+      prefixMinHits: Int = 3): DataFrame = {
     requireLongId(delta, idCol)
+    require(prefixMinHits >= 1, "prefixMinHits must be at least 1")
     val spark = delta.sparkSession
-    val meta = spark.table(s"${tableName}_meta").head()
-    val (n, numParts) = (meta.getInt(0), meta.getInt(1))
     val reps = spark.table(tableName)
     val fpsIdx = spark.table(s"${tableName}_fps")
-    require(fpsIdx.columns.contains("n_fp"),
-      s"$tableName was built by an older dedupIndexBuild (no n_fp in " +
-        s"${tableName}_fps) — rebuild the index before probing")
+    require(fpsIdx.columns.contains("rk") && reps.columns.contains("shl_rk") &&
+      spark.catalog.tableExists(s"${tableName}_df"),
+      s"$tableName was built by an older dedupIndexBuild (no rank column / " +
+        s"ranked rep arrays / df table) — rebuild the index before probing")
+    val meta = spark.table(s"${tableName}_meta").head()
+    val n = meta.getInt(0)
+    val nReps = meta.getLong(2)
+    val dfIdx = spark.table(s"${tableName}_df")
 
     val docs = delta
       .where(col(textCol).isNotNull)
@@ -1334,34 +1430,134 @@ object Dedup {
       .groupBy("d_rep").agg(min(col("rep_id")).as("exact_match"))
       .pinned()
 
-    // candidacy + verify in ONE fp-join pass. Two structural decisions from
-    // the 10x rehearsal (a re-crawl delta against a dense-shingle corpus):
-    //  1. Exact-matched delta reps are excluded up front — exact dominates
-    //     near in the output, and a re-crawl delta is MOSTLY exact dups, so
-    //     their candidacy fan-out (the dominant probe cost) is pure waste.
-    //  2. Jaccard comes straight from the fp equi-join as an intersection
-    //     COUNT: shingle fp lists are distinct (shingleFpsSorted), so the
-    //     per-pair join-hit count is |A∩B| and, with both sides' distinct-fp
-    //     counts at hand, J = inter/(|A|+|B|-inter) — the same value
-    //     jaccardSortedFps computes by array merge. The old shape
-    //     materialized the candidate PAIR set and re-joined it against the
-    //     corpus reps for their arrays; the pair set scales with shingle
-    //     co-occurrence (NOT with the delta), so broadcasting it blew up
-    //     the very guard this probe carries (measured 23 s vs 5 s at 10x).
-    //     Candidates now exist only inside one aggregation — never
-    //     broadcast, never joined back, shuffled once as partially
-    //     aggregated (pair, count) rows; recall stays exactly 1.
+    // Near candidacy is PREFIX-FILTERED (AllPairs/PPJoin, Bayardo 2007):
+    // the earlier shape joined the delta's FULL fp lists against the full
+    // posting index and counted per-pair hits — exact, but its join volume
+    // is Σ_fp df_idx(fp)·df_delta(fp), which grows quadratically whenever
+    // the shingle space saturates (measured 22M rows at sf1 → 2.23B at
+    // sf10: a ~30k-fp trigram vocabulary makes every delta fp collide with
+    // ~1000 corpus reps). Prefix filtering restores a linear candidacy:
+    //
+    //  - Canonical order: ascending (build-time df, fp) — rare-first, so
+    //    hot fps fall OUTSIDE prefixes and never fan out.
+    //  - J(A,B) >= t forces |A∩B| >= ceil(t·|A|) and >= ceil(t·|B|); the
+    //    j smallest common elements (canonical order) then sit within the
+    //    first |X| - ceil(t·|X|) + j elements of BOTH sides (each has
+    //    >= ceil(t·|X|) - j commons after it). So joining only those
+    //    prefixes and requiring >= min(j_A, j_B) hits — j_X = min(j,
+    //    ceil(t·|X|)), which degrades gracefully for tiny fp lists — has
+    //    recall EXACTLY 1, while j kills the pairs that share only a few
+    //    noise shingles. On the saturated synthetic corpus the expected
+    //    chance intersection between two random docs is ~0.05 fps, so the
+    //    candidate count falls ~400x per unit of j (Poisson tail); j = 2
+    //    still left ~28M chance pairs at sf10 (a broadcast OOM), j = 3
+    //    leaves thousands. True matches need >= ceil(t·n) >> 3 shared fps.
+    //  - Size filter: |B| must lie in [t·|A|, |A|/t] (else J < t) — applied
+    //    as a post-join predicate before the hit count.
+    //  - ceil(t·x) is computed as ceil(t·x − 1e-9): a float rounding UP to
+    //    the next integer would silently shorten prefixes and raise hit
+    //    requirements (a recall bug); rounding DOWN only admits candidates.
+    //
+    // Delta fps absent from the index (df join misses) generate no
+    // candidates and are dropped before ranking; removing them only moves
+    // common fps EARLIER in the delta's order, so the prefix bound (which
+    // uses the FULL |A|) stays recall-safe. Survivors are verified against
+    // the reps' stored fp arrays with the exact sorted-merge Jaccard
+    // kernel; every emitted (match, score) is exact, as before.
+    //
+    // Exact-matched delta reps are still excluded up front — exact
+    // dominates near in the output, and a re-crawl delta is MOSTLY exact
+    // dups, so their candidacy fan-out is pure waste.
+    val j = lit(prefixMinHits)
+    def oMin(nCol: Column): Column = ceil(nCol.cast("double") * threshold - 1e-9)
     val dNear = dSh.join(deltaSide(exactM.select(col("d_rep"))), Seq("d_rep"), "left_anti")
     val dFps = dNear
       .select(col("d_rep"), size(col("d_shl")).as("d_nfp"),
         explode(col("d_shl")).as("fp"))
-      .withColumn("fb", pmod(hash(col("fp")), lit(numParts)))
-    val nearM = fpsIdx
-      .join(deltaSide(dFps), Seq("fb", "fp"))
-      .groupBy(col("d_rep"), col("rep_id"), col("d_nfp"), col("n_fp"))
-      .agg(count(lit(1)).as("__inter"))
-      .withColumn("__jraw", col("__inter").cast("double") /
-        (col("d_nfp").cast("long") + col("n_fp") - col("__inter")).cast("double"))
+    val dPref = dfIdx.select(col("fp"), col("df"))
+      .join(deltaSide(dFps), Seq("fp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("d_rep").orderBy("df", "fp")))
+      .where(col("rn") <= col("d_nfp") - oMin(col("d_nfp")) + least(j, oMin(col("d_nfp"))))
+      .select(col("d_rep"), col("d_nfp"), col("fp"), col("df"))
+      .pinned() // reused: selectivity estimate + one of the two candidacy paths
+    // the candidacy join is the probe's compute-heavy broadcast join and
+    // its streamed side (the prefix-filtered postings) is bytes-small —
+    // without the explicit spread the whole join + hit aggregation runs at
+    // file-split parallelism (measured 4 of 32 cores at sf10, the
+    // io.Layout rule). Under the tripped guard the joins shuffle anyway.
+    val idxPref = fpsIdx
+      .where(col("rk") < col("n_fp") - oMin(col("n_fp")) + least(j, oMin(col("n_fp"))))
+    // ADAPTIVE CANDIDACY. The inverted-index join's volume is
+    // Σ_fp df_idx(fp)·df_delta(fp) over the two prefixes — estimated by
+    // Σ df over the delta's prefix rows (one delta-sized aggregate; df is
+    // already joined on). On ordinary Zipf-shingled corpora the rare-first
+    // prefixes make that sum tiny and the join IS the optimal plan: it
+    // touches only the postings the delta's fps select. On a SATURATED
+    // shingle space (the adversarial case: ~30k distinct trigrams across
+    // 450k reps) every delta fp collides with hundreds of reps and the
+    // join goes quadratic — measured 1.09B join rows at sf10 AFTER prefix
+    // filtering. Past the cutover (estimated join rows > 16x a full corpus
+    // scan) the probe flips to a broadcast-probe scan: the delta's prefix
+    // postings ride the plan as a CSR (the IVF-centroid/cleanLines
+    // pattern), one kernel pass over the reps table counts hits
+    // task-locally, and the billion-row (pair, hit) shuffle never exists.
+    // Both paths implement the same exact-recall prefix+hits bound; the
+    // output is identical (spec-asserted).
+    val pst = dPref.agg(sum(col("df")).as("s")).head()
+    val estJoinRows = if (pst.isNullAt(0)) 0L else pst.getLong(0)
+    val kernelPath = bcastDelta && estJoinRows > 16L * math.max(nReps, 1L)
+    if (sys.env.contains("GRAFT_DEBUG_PROBE"))
+      println(s"[probe-debug] bcast=$bcastDelta est=$estJoinRows nReps=$nReps kernel=$kernelPath")
+    val cand =
+      if (kernelPath) {
+        val rows = dPref.select(col("fp"), col("d_rep"), col("d_nfp")).collect()
+        val byFp = rows.sortBy(r => (r.getLong(0), r.getLong(1)))
+        val fpsB = Array.newBuilder[Long]
+        val offB = Array.newBuilder[Int]
+        val drB = new Array[Long](byFp.length)
+        var i = 0
+        while (i < byFp.length) {
+          if (i == 0 || byFp(i).getLong(0) != byFp(i - 1).getLong(0)) {
+            fpsB += byFp(i).getLong(0); offB += i
+          }
+          drB(i) = byFp(i).getLong(1)
+          i += 1
+        }
+        offB += byFp.length
+        val attrs = rows.map(r => (r.getLong(1), r.getInt(2))).distinct.sortBy(_._1)
+        Layout.spread(reps.select(col("rep_id"), col("shl_rk")))
+          .select(col("rep_id"),
+            explode(gf.prefixCandidates(col("shl_rk"), threshold, prefixMinHits,
+              fpsB.result(), offB.result(), drB,
+              attrs.map(_._1), attrs.map(_._2))).as("d_rep"))
+      } else {
+        // Hit counting is a WINDOW over the pair, not a groupBy: the join
+        // output's (d_rep, rep_id) keys are mostly unique (noise pairs
+        // share exactly one fp), so a hash aggregate degenerates — every
+        // partial map overflows and re-sorts per spill (measured: 32
+        // cores pinned in TimSort for minutes at sf10). The window shape
+        // is one exchange and ONE external sort per partition, then a
+        // streaming count per frame.
+        val pairW = Window.partitionBy("d_rep", "rep_id")
+        (if (bcastDelta) Layout.spread(idxPref) else idxPref)
+          .join(deltaSide(dPref.drop("df")), Seq("fp"))
+          .where(col("n_fp") >= oMin(col("d_nfp")) &&
+            col("n_fp") <= floor(col("d_nfp").cast("double") / threshold + 1e-9))
+          .select(col("d_rep"), col("rep_id"), col("d_nfp"), col("n_fp"))
+          .withColumn("__hits", count(lit(1)).over(pairW))
+          .withColumn("__rn", row_number().over(pairW.orderBy("d_nfp")))
+          .where(col("__rn") === 1 &&
+            col("__hits") >= least(least(j, oMin(col("d_nfp"))), least(j, oMin(col("n_fp")))))
+          .select(col("d_rep"), col("rep_id"))
+      }
+    // verify joins keep the index on the streamed side too: the candidate
+    // set is delta-bounded after the hit filter, the reps table is
+    // corpus-sized
+    val nearM = reps.select(col("rep_id"), col("shl"))
+      .join(deltaSide(cand), Seq("rep_id"))
+      .join(deltaSide(dSh.select(col("d_rep"), col("d_shl"))), Seq("d_rep"))
+      .withColumn("__jraw", gf.jaccardSortedFps(col("d_shl"), col("shl")))
       .where(col("__jraw") >= threshold)
       .groupBy("d_rep")
       // min over (rep_id, score) structs = the min-id match AND its score

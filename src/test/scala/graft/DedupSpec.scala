@@ -418,6 +418,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupIndexProbe: saturated shingle space flips to the broadcast-probe " +
+      "kernel path; verdicts still equal brute force") {
+    // a 4-word vocabulary saturates the trigram space, so every delta fp
+    // collides with most of the corpus — Σ df over the delta prefix blows
+    // past 16x corpus size and the adaptive candidacy must take the
+    // CSR-kernel scan instead of the inverted-index join
+    val vocab = Array("alpha", "beta", "gamma", "delta")
+    def txt(seed: Int): String =
+      (0 until 12).map { i =>
+        vocab(math.floorMod(scala.util.hashing.MurmurHash3.productHash((seed, i)), 4))
+      }.mkString(" ")
+    val sat = spark.createDataFrame(
+      (0L until 400L).map(i => (i, txt(i.toInt))) :+
+        // a planted near-dup of corpus doc 1 in the delta slice
+        (1000L, txt(1))
+    ).toDF("doc_id", "text")
+    val corpus = sat.where(col("doc_id") % 10 =!= 0 && col("doc_id") < 1000L)
+    val delta = sat.where(col("doc_id") % 10 === 0 || col("doc_id") === 1000L)
+    Dedup.dedupIndexBuild(corpus, "text", "doc_id", "graft_dedup_idx_sat")
+    val probe = Dedup.dedupIndexProbe(delta, "text", "doc_id", "graft_dedup_idx_sat")
+    assert(probe.queryExecution.analyzed.toString.contains("prefix_candidates"),
+      "saturated corpus did not take the broadcast-probe kernel path")
+    val out = probe.collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .toMap
+    val c = fpSet(corpus)
+    val d = fpSet(delta)
+    assert(out.keySet === d.keySet)
+    d.foreach { case (id, (key, shl)) =>
+      val exactIds = c.collect { case (cid, (ck, _)) if ck == key => cid }
+      val jac = c.view.mapValues { case (_, cs) =>
+        val shared = (shl & cs).size
+        if (shl.isEmpty || cs.isEmpty) 0.0
+        else shared.toDouble / (shl.size + cs.size - shared)
+      }.filter(_._2 >= 0.5)
+      val (st, m, j) = out(id)
+      if (exactIds.nonEmpty) {
+        assert(st === "exact" && m === exactIds.min && j === 1.0, s"doc $id")
+      } else if (jac.nonEmpty) {
+        val mm = jac.keys.min
+        assert(st === "near" && m === mm, s"doc $id")
+        assert(math.abs(j - jac(mm)) < 5e-5, s"doc $id jaccard $j vs ${jac(mm)}")
+      } else assert(st === "new" && m === -1L, s"doc $id")
+    }
+  }
+
   test("dedupIndexProbe: deterministic across delta partition layouts") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val delta = docs.where(col("doc_id") % 10 === 0)
