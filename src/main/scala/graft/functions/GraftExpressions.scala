@@ -77,6 +77,18 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
+/** L2 norm of an array<float> column — see [[Kernels.l2NormF]]. */
+case class L2NormFExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.l2NormF(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.l2NormF($c)")
+  override def prettyName: String = "l2_norm"
+  override protected def withNewChildInternal(newChild: Expression): L2NormFExpr =
+    copy(child = newChild)
+}
+
 case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -728,6 +740,9 @@ object gf {
   /** Cosine similarity of two array<float> columns. */
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** L2 norm of an array<float> column. */
+  def l2norm(a: Column): Column = u(a)(L2NormFExpr(_))
 
   /** Dot product of two array<float> columns. */
   def dot(a: Column, b: Column): Column =

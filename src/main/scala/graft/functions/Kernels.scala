@@ -240,6 +240,21 @@ object Kernels {
     dot
   }
 
+  /** L2 norm of a float vector in double — computed ONCE per row so pair
+    * loops can test `dot >= t * |a| * |b|` instead of recomputing both
+    * norms inside every cosine (3x the multiply-adds per pair). */
+  def l2NormF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   /** Fraction of positions where two equal-length long signatures agree —
     * the MinHash similarity estimate. */
   def sigAgreement(a: ArrayData, b: ArrayData): Double = {

@@ -1051,11 +1051,28 @@ object Dedup {
     // vector table, O(n²) probe loop, so spread it over every core
     // ([[Layout.spread]] for the measured rationale: 4 of 32 cores,
     // 76 min at a 200k-vector corpus without it).
+    //
+    // Norms are computed ONCE per row, outside the pair loop: the
+    // threshold test is `dot >= minCos·|a|·|b|` (algebraically identical
+    // to cosine >= minCos for nonzero norms), so the O(n²) inner loop does
+    // one multiply-add per dimension instead of cosine's three. Zero-norm
+    // vectors never pair, matching the cosine path's 0-similarity.
+    // b carries an explicit broadcast hint: without it the added norm
+    // column pushes the planner's size estimate past the auto-broadcast
+    // threshold and the non-equi join degrades to CartesianProductExec
+    // (observed at sf10: ~3x slower than the broadcast NLJ on identical
+    // work). The build side is the whole corpus — fine for the exact
+    // baseline's operating range (128 MB at 500k x dim 64), and past the
+    // broadcast cap the LSH twin is the declared path anyway.
     val a = Layout.spread(
-      emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("a_vec")))
-    val b = emb.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("b_vec"))
+      emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("a_vec"),
+        gf.l2norm(col(vecCol)).as("a_n")))
+    val b = broadcast(
+      emb.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("b_vec"),
+        gf.l2norm(col(vecCol)).as("b_n")))
     a.join(b, col("a_id") < col("b_id"))
-      .where(gf.cosine(col("a_vec"), col("b_vec")) >= minCos)
+      .where(col("a_n") > 0.0 && col("b_n") > 0.0 &&
+        gf.dot(col("a_vec"), col("b_vec")) >= lit(minCos) * col("a_n") * col("b_n"))
       .select(col("a_id"), col("b_id"))
   }
 
@@ -1081,12 +1098,16 @@ object Dedup {
       idCol: String,
       vecCol: String,
       minCos: Double): DataFrame = {
-    val e = evalSet.filter(col(vecCol).isNotNull).select(col(vecCol).as("__ev"))
+    // norms once per row (both sides), dot-only inner loop — see
+    // [[embeddingPairs]] for the algebra
+    val e = evalSet.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).as("__ev"), gf.l2norm(col(vecCol)).as("__en"))
     val hits = Layout.spread(
         corpus.filter(col(vecCol).isNotNull)
-          .select(col(idCol), col(vecCol).as("__v")))
+          .select(col(idCol), col(vecCol).as("__v"), gf.l2norm(col(vecCol)).as("__vn")))
       .crossJoin(broadcast(e))
-      .where(gf.cosine(col("__v"), col("__ev")) >= minCos)
+      .where(col("__vn") > 0.0 && col("__en") > 0.0 &&
+        gf.dot(col("__v"), col("__ev")) >= lit(minCos) * col("__vn") * col("__en"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
     corpus.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol),

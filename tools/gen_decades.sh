@@ -21,6 +21,9 @@ ADD_OPENS=(
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED
 )
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# GraftSession defaults to local[4] without this — a 4-core decade
+# rehearsal measures the scheduler, not the engine
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 JVM=(java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false
   -Dspark.sql.session.timeZone=UTC -Xmx48g -cp "$CP")
 

@@ -29,6 +29,9 @@ ADD_OPENS=(
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED
 )
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# GraftSession defaults to local[4] without this — a 4-core decade
+# rehearsal measures the scheduler, not the engine
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 JVM=(java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false
   -Dspark.sql.session.timeZone=UTC -Xmx48g -cp "$CP")
 
@@ -46,6 +49,7 @@ fi
 # are intentionally absent (declared quadratic — their LSH twins are here).
 QUERIES=${*:-"q1_agg q5_multijoin q_topk_per_group q_sessionize \
 dedup_exact dedup_minhash_lsh dedup_embedding_lsh dedup_decontaminate_bloom \
+dedup_incremental \
 ann_lsh ann_ivfpq_query_full corpus_assign \
 text_tokens text_search_indexed text_tfidf corpus_heavy_hitters \
 corpus_bpe_tokenize corpus_pagerank corpus_classifier_filter \
