@@ -61,14 +61,18 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3-style: join + agg + top-k; dims broadcast by Catalyst. */
+  /** TPC-H Q3-style: join + agg + top-k. `customer` is SF-scaled, so it
+    * carries NO static broadcast hint — AQE broadcasts it at runtime
+    * while it is small and correctly shuffle-joins once it is not (at
+    * sf100 the old hint forced a ~1 GB broadcast; the Dedup-probe rule:
+    * never statically hint a frame whose size scales with the input). */
   private def q3JoinTopk(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -76,7 +80,9 @@ object SparkEntry {
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
   }
 
-  /** TPC-H Q5-style: 6-way join, small dims broadcast, revenue per nation. */
+  /** TPC-H Q5-style: 6-way join, revenue per nation. Only the FIXED-size
+    * dims (nation, region) carry broadcast hints; customer and supplier
+    * are SF-scaled and AQE decides for them at runtime (see q3). */
   private def q5Multijoin(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val ord = t(s, dir, "orders")
@@ -87,8 +93,8 @@ object SparkEntry {
     val nat = t(s, dir, "nation")
     val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") && cust("c_nationkey") === supp("s_nationkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey") && cust("c_nationkey") === supp("s_nationkey"))
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("n_name"))
@@ -1125,9 +1131,15 @@ object SparkEntry {
     * scoring — the exact blowup the sizing rule exists to prevent.) */
   private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val bits = Similarity.lshBitsFor(nEmb(s, dir))
+    val n = nEmb(s, dir)
+    val bits = Similarity.lshBitsFor(n)
+    // partition the banded shuffle by its (tables-amplified) byte volume —
+    // at sf100 the default 32 partitions put 1.9 GB of bucket lists in
+    // each aggregation task (measured spill storm); 0 = default layout
+    val parts = Similarity.lshPartsFor(n, tables = 48, dim = 64,
+      s.sparkContext.defaultParallelism)
     Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
-        minCos = 0.4, bits = bits, tables = 48)
+        minCos = 0.4, bits = bits, tables = 48, numParts = parts)
       .orderBy("a_id", "b_id")
   }
 

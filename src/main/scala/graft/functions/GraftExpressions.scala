@@ -644,22 +644,22 @@ case class SharedGroupsExpr(
   * [[Kernels.prefixCandidates]]. */
 case class PrefixCandidatesExpr(
     child: Expression, t: Double, minHits: Int,
-    fps: Array[Long], offsets: Array[Int], dreps: Array[Long],
-    dRepIds: Array[Long], dRepNfp: Array[Int])
+    fps: Array[Long], offsets: Array[Int], dreps: Array[Int],
+    dRepIds: Array[Long], dRepNfp: Array[Int], probePrefix: Boolean = true)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
     Kernels.prefixCandidates(input.asInstanceOf[ArrayData], t, minHits,
-      fps, offsets, dreps, dRepIds, dRepNfp)
+      fps, offsets, dreps, dRepIds, dRepNfp, probePrefix)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fpsRef = ctx.addReferenceObj("csrFps", fps, "long[]")
     val offRef = ctx.addReferenceObj("csrOffsets", offsets, "int[]")
-    val drRef = ctx.addReferenceObj("csrDreps", dreps, "long[]")
+    val drRef = ctx.addReferenceObj("csrDreps", dreps, "int[]")
     val idRef = ctx.addReferenceObj("dRepIds", dRepIds, "long[]")
     val nfRef = ctx.addReferenceObj("dRepNfp", dRepNfp, "int[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.Kernels.prefixCandidates($c, $t, $minHits, " +
-        s"$fpsRef, $offRef, $drRef, $idRef, $nfRef)")
+        s"$fpsRef, $offRef, $drRef, $idRef, $nfRef, $probePrefix)")
   }
   override def prettyName: String = "prefix_candidates"
   override protected def withNewChildInternal(newChild: Expression): PrefixCandidatesExpr =
@@ -817,11 +817,15 @@ object gf {
   def sharedGroups(a: Column, fps: Array[Long], offsets: Array[Int], gids: Array[Int]): Column =
     u(a)(SharedGroupsExpr(_, fps, offsets, gids))
 
-  /** Prefix-filtered candidacy against a plan-embedded delta CSR. */
+  /** Prefix-filtered candidacy against a plan-embedded delta CSR.
+    * `probePrefix=false` = one-sided mode: the probing list need not be
+    * df-ordered; the CSR side carries the prefixes. */
   def prefixCandidates(rked: Column, t: Double, minHits: Int,
-      fps: Array[Long], offsets: Array[Int], dreps: Array[Long],
-      dRepIds: Array[Long], dRepNfp: Array[Int]): Column =
-    u(rked)(PrefixCandidatesExpr(_, t, minHits, fps, offsets, dreps, dRepIds, dRepNfp))
+      fps: Array[Long], offsets: Array[Int], dreps: Array[Int],
+      dRepIds: Array[Long], dRepNfp: Array[Int],
+      probePrefix: Boolean = true): Column =
+    u(rked)(PrefixCandidatesExpr(_, t, minHits, fps, offsets, dreps, dRepIds,
+      dRepNfp, probePrefix))
 
   /** Merge-pass Jaccard of two sorted long-array columns. */
   def jaccardSortedFps(a: Column, b: Column): Column =

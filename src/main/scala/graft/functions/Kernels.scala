@@ -1241,18 +1241,28 @@ object Kernels {
     * size filter t*|A| <= |B| <= |A|/t. All counting is task-local — the
     * billion-row (pair, hit) shuffle never exists. ceil is computed on
     * x - 1e-9 so float error can only lengthen prefixes / lower the bound
-    * (admits candidates, never loses one). `dRepIds` (ascending) with
-    * aligned `dRepNfp` supply each delta rep's full fp-set size. */
+    * (admits candidates, never loses one). `dreps` carries INDEXES into
+    * the aligned `dRepIds`/`dRepNfp` arrays (id and full fp-set size per
+    * delta rep) — indexes make the run-scan's attribute lookup O(1); a
+    * per-run binary search over the rep-id array measured ~10^12
+    * comparisons at sf100. */
   def prefixCandidates(
       rked: ArrayData, t: Double, minHits: Int,
-      fps: Array[Long], offsets: Array[Int], dreps: Array[Long],
-      dRepIds: Array[Long], dRepNfp: Array[Int]): ArrayData = {
+      fps: Array[Long], offsets: Array[Int], dreps: Array[Int],
+      dRepIds: Array[Long], dRepNfp: Array[Int],
+      probePrefix: Boolean = true): ArrayData = {
     val n = rked.numElements()
     if (n == 0 || fps.length == 0) return new GenericArrayData(Array.empty[Any])
     val oI = math.ceil(t * n - 1e-9).toLong
     val jI = math.min(minHits.toLong, oI)
-    val lI = math.min(n.toLong, n - oI + jI).toInt
-    var hits = new Array[Long](16)
+    // probePrefix=false is the ONE-SIDED mode: `rked` need not be in the
+    // canonical (df, fp) order — the whole list probes the CSR (which then
+    // must carry the OTHER side's prefixes; the j smallest common elements
+    // sit inside that side's prefix by its own position argument). Used
+    // when the probing side has no cheap df order (decontaminate's corpus
+    // pass against an eval-prefix CSR).
+    val lI = if (probePrefix) math.min(n.toLong, n - oI + jI).toInt else n
+    var hits = new Array[Int](16)
     var nh = 0
     var i = 0
     while (i < lI) {
@@ -1276,15 +1286,12 @@ object Kernels {
     while (s < nh) {
       var e = s + 1
       while (e < nh && hits(e) == hits(s)) e += 1
-      val dRep = hits(s)
-      val k = java.util.Arrays.binarySearch(dRepIds, dRep)
-      if (k >= 0) {
-        val dNfp = dRepNfp(k)
-        val oD = math.ceil(t * dNfp - 1e-9).toLong
-        val jD = math.min(minHits.toLong, oD)
-        val sizeOk = n >= oD && n <= math.floor(dNfp / t + 1e-9).toLong
-        if (sizeOk && (e - s) >= math.min(jD, jI)) out.add(dRep)
-      }
+      val k = hits(s)
+      val dNfp = dRepNfp(k)
+      val oD = math.ceil(t * dNfp - 1e-9).toLong
+      val jD = math.min(minHits.toLong, oD)
+      val sizeOk = n >= oD && n <= math.floor(dNfp / t + 1e-9).toLong
+      if (sizeOk && (e - s) >= math.min(jD, jI)) out.add(dRepIds(k))
       s = e
     }
     new GenericArrayData(out.toArray)

@@ -525,7 +525,7 @@ object Corpus {
     // stage 4 — decontamination: drop survivors that near-match the
     // held-out eval set (eval side broadcasts; corpus side never shuffles)
     val cleaned = Dedup.decontaminate(
-        s3, evalSet, textCol, idCol, n, numHashes, bands, threshold)
+        s3, evalSet, textCol, idCol, n, threshold = threshold)
       .select(col(idCol)).pinned()
     val contaminatedDrop = s3.select(idCol)
       .join(cleaned, Seq(idCol), "left_anti")

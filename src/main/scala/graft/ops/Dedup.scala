@@ -551,63 +551,110 @@ object Dedup {
     docs.join(nonKeepers, Seq(idCol), "left_anti")
   }
 
+  /** Eval-prefix CSR candidacy — the decontaminate family's shared
+    * candidacy pass. The eval battery is small by contract (benchmark
+    * suites), so its PREFIX postings (rare-first (df, fp) order over
+    * eval-side document frequencies; length |B| - ceil(t·|B|) + j per eval
+    * rep) are built on the driver and ride the plan as a CSR; one kernel
+    * pass over the corpus reps' full fp sets counts hits task-locally
+    * (one-sided prefix theorem: the j smallest common elements of a
+    * J >= t pair sit inside the EVAL side's prefix, so recall is exactly
+    * 1). This replaced two shuffle-based candidacies that went quadratic
+    * on saturated shingle spaces at sf100: the MinHash band join (~5·10^8
+    * chance band collisions) and the shared-shingle equi-join (Σ
+    * df_corpus·df_eval ≈ 9·10^10 rows — filled the disk). Returns
+    * (rep_id, eval_rep) candidates for exact-Jaccard verification. */
+  private def evalPrefixCandidates(
+      repsSh: DataFrame,
+      evalShRows: Array[(Long, Array[Long])],
+      threshold: Double,
+      minHits: Int = 3): DataFrame = {
+    def oMin(sz: Int): Int = math.ceil(sz * threshold - 1e-9).toInt
+    val df = new java.util.HashMap[Long, Int]()
+    evalShRows.foreach(_._2.foreach(fp => df.merge(fp, 1, Integer.sum _)))
+    // postings carry the eval rep's INDEX in the (id-sorted) attrs arrays,
+    // not its id — the kernel's run-scan then reads attributes O(1)
+    val attrs = evalShRows.map { case (r, fps) => (r, fps.length) }.sortBy(_._1)
+    val idxOf = attrs.iterator.map(_._1).zipWithIndex.toMap
+    val posts = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)] // (fp, eval idx)
+    evalShRows.foreach { case (rep, fps) =>
+      val o = oMin(fps.length)
+      val l = math.min(fps.length, fps.length - o + math.min(minHits, o))
+      val idx = idxOf(rep)
+      fps.sortBy(fp => (df.get(fp).intValue, fp)).take(l).foreach(fp => posts += ((fp, idx)))
+    }
+    val byFp = posts.sortBy(identity).toArray
+    val fpsB = Array.newBuilder[Long]
+    val offB = Array.newBuilder[Int]
+    val reps = new Array[Int](byFp.length)
+    var i = 0
+    while (i < byFp.length) {
+      if (i == 0 || byFp(i)._1 != byFp(i - 1)._1) { fpsB += byFp(i)._1; offB += i }
+      reps(i) = byFp(i)._2
+      i += 1
+    }
+    offB += byFp.length
+    repsSh.select(col("rep_id"),
+      explode(gf.prefixCandidates(col("a_shl"), threshold, minHits,
+        fpsB.result(), offB.result(), reps,
+        attrs.map(_._1), attrs.map(_._2), probePrefix = false)).as("eval_rep"))
+  }
+
   /** Decontamination: drop every corpus document that exactly or nearly
     * matches a document in a held-out evaluation set — the step that keeps
     * benchmark answers out of training data.
     *
     * ASYMMETRIC by design: an eval set is thousands of docs next to a
-    * 100 TB corpus, so the eval side's banded buckets and shingle sets are
-    * BROADCAST and the corpus side never shuffles — candidate generation
-    * is a map-side hash join of the corpus's band stream against the
-    * in-memory eval bucket table, and only corpus-eval candidates are ever
-    * materialized (a symmetric self-join over the union would spend almost
-    * all its work discovering corpus-corpus duplicates this operator does
-    * not ask about). The corpus is still canonicalized first (near-dup
-    * work runs once per distinct content; a contaminated content flags
-    * every copy through membership expansion), same banding recall and
-    * exact-Jaccard verification as [[minhashLshPairsVerified]]. */
+    * 100 TB corpus, so the eval side rides the plan (its prefix postings
+    * as a CSR, its shingle arrays as a broadcast local relation) and the
+    * corpus side never shuffles — candidacy is one kernel pass over the
+    * corpus reps ([[evalPrefixCandidates]], recall exactly 1), the verify
+    * is the exact sorted-merge Jaccard on candidates only. The corpus is
+    * canonicalized first (near-dup work runs once per distinct content; a
+    * contaminated content flags every copy through membership
+    * expansion). */
   def decontaminate(
       corpus: DataFrame,
       evalSet: DataFrame,
       textCol: String,
       idCol: String,
       n: Int = 3,
-      numHashes: Int = 128,
-      bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxEvalShingles: Int = 50000000): DataFrame = {
     requireLongId(corpus, idCol)
     requireLongId(evalSet, idCol)
 
     val groups = canonicalGroups(corpus, idCol,
       TextAnalysis.fingerprint(col(textCol)), col(textCol))
-    val corpusReps = groups.select(col("rep_id").as("id"), col("__payload").as("__text"))
     val evalDocs = evalSet
       .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
       .where(col("__text").isNotNull)
+    // eval reps collected under the same size contract the Bloom variant
+    // guards (the battery is a task constant); LIMIT before collect so an
+    // oversized battery fails before materializing on the driver
+    val evalGroups = canonicalGroups(evalDocs, "id",
+      TextAnalysis.fingerprint(col("__text")), col("__text"))
+    val evalRows = evalGroups
+      .select(col("rep_id"), gf.shingleFpsSorted(col("__payload"), n).as("b_shl"))
+      .limit(maxEvalShingles / 8 + 1)
+      .collect()
+    val evalShRows = evalRows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(evalShRows.iterator.map(_._2.length.toLong).sum <= maxEvalShingles,
+      s"eval battery exceeds $maxEvalShingles shingles; raise maxEvalShingles")
 
-    // map-side band join: corpus bands stream past the broadcast eval buckets
-    val candidates = bandedSignature(corpusReps, n, numHashes, bands)
-      .join(broadcast(bandedSignature(evalDocs, n, numHashes, bands).select(
-        col("band"), col("bucket"), col("id").as("eval_id"))), Seq("band", "bucket"))
-      .select(col("id").as("rep_id"), col("eval_id"))
-      .dropDuplicates("rep_id", "eval_id")
-
-    // exact-Jaccard verify, candidates only: join the candidate rep ids
-    // back to payloads FIRST and shingle after, so the second
-    // tokenization pass is bounded by |candidates| — not a second full
-    // sweep of the corpus. Eval shingle sets broadcast; the corpus-side
-    // join is AQE-broadcastable when contamination is sparse (the common
-    // case) and a plain key join otherwise.
-    val candRepSh = candidates.select("rep_id").distinct()
-      .join(groups.select(col("rep_id"), col("__payload")), "rep_id")
-      .select(col("rep_id"), shingles(col("__payload"), n).as("a_shl"))
-    val evalSh = evalDocs.select(
-      col("id").as("eval_id"), shingles(col("__text"), n).as("b_shl"))
+    val repsSh = groups.select(col("rep_id"),
+      gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))
+    val candidates = evalPrefixCandidates(repsSh, evalShRows, threshold)
+    // exact-Jaccard verify, candidates only; eval arrays broadcast (a
+    // local relation), corpus arrays joined by candidate rep id
+    val evalSh = {
+      import corpus.sparkSession.implicits._
+      evalShRows.toSeq.toDF("eval_rep", "b_shl")
+    }
     val contaminatedReps = candidates
-      .join(candRepSh, "rep_id")
-      .join(broadcast(evalSh), "eval_id")
-      .withColumn("shared", size(array_intersect(col("a_shl"), col("b_shl"))))
-      .where(col("shared") / (size(col("a_shl")) + size(col("b_shl")) - col("shared")) >= threshold)
+      .join(repsSh, "rep_id")
+      .join(broadcast(evalSh), "eval_rep")
+      .where(gf.jaccardSortedFps(col("a_shl"), col("b_shl")) >= threshold)
       .select(col("rep_id")).distinct()
 
     val contaminated = groups
@@ -977,7 +1024,7 @@ object Dedup {
     val bits = eb.bits
     val kProbes = eb.kProbes
 
-    val candidates = corpus
+    val bloomCands = corpus
       .where(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"),
         gf.bloomShingleHits(col(textCol), n, bits, kProbes).as("__bh"))
@@ -985,28 +1032,30 @@ object Dedup {
         col("__bh").getItem(1) >= lit(threshold) * col("__bh").getItem(0))
       .select(col("id"), col("__text"))
 
-    val groups = canonicalGroups(candidates, "id",
+    val groups = canonicalGroups(bloomCands, "id",
       TextAnalysis.fingerprint(col("__text")), col("__text"))
     val evalGroups = canonicalGroups(evalDocs, "id",
       TextAnalysis.fingerprint(col("__text")), col("__text"))
     val candSh = groups.select(col("rep_id"),
       gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))
-    val evalSh = evalGroups.select(col("rep_id").as("eval_rep"),
-      gf.shingleFpsSorted(col("__payload"), n).as("b_shl"))
-    // shared-shingle band join, NOT a cross join: a pair with Jaccard >=
-    // threshold (> 0) shares at least one shingle fingerprint, so an
-    // equi-join on the fp reproduces every qualifying pair (recall exactly
-    // 1 — output unchanged by construction) while bounding the pair space
-    // by actual co-occurrence. The cross join it replaces evaluated the
-    // merge kernel for every (candidate, eval) pair — O(cand x eval) with
-    // no pruning the moment Bloom candidacy degenerates, which §9.3 showed
-    // it does on boilerplate-heavy corpora.
-    val candPairs = candSh
-      .select(col("rep_id"), explode(col("a_shl")).as("fp"))
-      .join(broadcast(evalSh.select(col("eval_rep"), explode(col("b_shl")).as("fp"))), Seq("fp"))
-      .select("rep_id", "eval_rep")
-      .dropDuplicates("rep_id", "eval_rep")
-    val pairs = candPairs
+    // Candidacy via the eval-prefix CSR kernel (recall exactly 1 — see
+    // [[evalPrefixCandidates]]). The shared-shingle equi-join this
+    // replaces had recall 1 too, but its volume is Σ df_cand·df_eval over
+    // shared fps — on a saturated shingle space that went quadratic
+    // (measured ~9·10^10 join rows at sf100: the shuffle filled the disk).
+    val evalRows = evalGroups
+      .select(col("rep_id"), gf.shingleFpsSorted(col("__payload"), n).as("b_shl"))
+      .limit(maxEvalShingles / 8 + 1)
+      .collect()
+    val evalShRows = evalRows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(evalShRows.iterator.map(_._2.length.toLong).sum <= maxEvalShingles,
+      s"eval battery exceeds $maxEvalShingles shingles; raise maxEvalShingles")
+    val candidates = evalPrefixCandidates(candSh, evalShRows, threshold)
+    val evalSh = {
+      import corpus.sparkSession.implicits._
+      evalShRows.toSeq.toDF("eval_rep", "b_shl")
+    }
+    val pairs = candidates
       .join(candSh, "rep_id")
       .join(broadcast(evalSh), "eval_rep")
       // threshold on the RAW score (rounding first would admit pairs just
@@ -1128,7 +1177,8 @@ object Dedup {
       minCos: Double,
       bits: Int = 8,
       tables: Int = 16,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None,
+      numParts: Int = 0): DataFrame = {
     requireLongId(emb, idCol)
     val bucketed = emb.select(
       col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
@@ -1142,7 +1192,20 @@ object Dedup {
     // maxBucket is the degenerate-density valve: buckets denser than the
     // cap are skipped in that table (a dense region usually recurs across
     // tables; the principled fix for persistent density is more bits).
-    val grouped = bucketed
+    //
+    // That shuffle carries each VECTOR once per table (`tables`x data
+    // amplification — inherent to multi-table LSH: the computation is
+    // bucket-local, so either vectors move to buckets or nothing meets).
+    // The per-task collect_list volume is banded-bytes/shuffle-partitions,
+    // and the default partition count goes off a cliff at scale (sf100:
+    // 61 GB over 32 partitions = 1.9 GB/task of list buffers, measured as
+    // a spill storm) — callers at scale pass `numParts` sized from the
+    // banded volume (e.g. n·tables·rowBytes / 256 MB; see the catalog's
+    // lshPartsFor). The explicit repartition IS the groupBy's shuffle
+    // (same keys), so this adds no extra pass.
+    val spread = if (numParts > 0) bucketed.repartition(numParts, col("table"), col("bucket"))
+      else bucketed
+    val grouped = spread
       .groupBy("table", "bucket")
       .agg(collect_list(struct(col("id"), col("vec"))).as("items"))
     val bounded = maxBucket match {
@@ -1534,19 +1597,22 @@ object Dedup {
       if (kernelPath) {
         val rows = dPref.select(col("fp"), col("d_rep"), col("d_nfp")).collect()
         val byFp = rows.sortBy(r => (r.getLong(0), r.getLong(1)))
+        // postings carry delta-rep INDEXES into the id-sorted attrs arrays
+        // (O(1) attribute lookup in the kernel's run-scan)
+        val attrs = rows.map(r => (r.getLong(1), r.getInt(2))).distinct.sortBy(_._1)
+        val idxOf = attrs.iterator.map(_._1).zipWithIndex.toMap
         val fpsB = Array.newBuilder[Long]
         val offB = Array.newBuilder[Int]
-        val drB = new Array[Long](byFp.length)
+        val drB = new Array[Int](byFp.length)
         var i = 0
         while (i < byFp.length) {
           if (i == 0 || byFp(i).getLong(0) != byFp(i - 1).getLong(0)) {
             fpsB += byFp(i).getLong(0); offB += i
           }
-          drB(i) = byFp(i).getLong(1)
+          drB(i) = idxOf(byFp(i).getLong(1))
           i += 1
         }
         offB += byFp.length
-        val attrs = rows.map(r => (r.getLong(1), r.getInt(2))).distinct.sortBy(_._1)
         Layout.spread(reps.select(col("rep_id"), col("shl_rk")))
           .select(col("rep_id"),
             explode(gf.prefixCandidates(col("shl_rk"), threshold, prefixMinHits,

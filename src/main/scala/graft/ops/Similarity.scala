@@ -168,6 +168,21 @@ object Similarity {
     math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
   }
 
+  /** Shuffle-partition count for a multi-table LSH banding pass: the
+    * banded frame carries each vector once per table (tables·n rows of
+    * ~dim·4+32 bytes), and the per-partition collect_list volume must stay
+    * near `targetBytes` or the bucket aggregation spills — measured at
+    * sf100: 61 GB over the 32 default partitions = 1.9 GB/task of list
+    * buffers, a spill storm. 0 (= leave Spark's default) while the banded
+    * volume fits the default layout. */
+  def lshPartsFor(
+      n: Long, tables: Int, dim: Int,
+      defaultParallelism: Int, targetBytes: Long = 256L << 20): Int = {
+    val bytes = n * tables * (dim * 4L + 32L)
+    val parts = (bytes / math.max(targetBytes, 1L)).toInt
+    if (parts <= defaultParallelism) 0 else math.min(parts, 4096)
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path: a coarse
     * k-means quantizer partitions the corpus into nlist cells; each query
     * searches only its nprobe nearest cells.
