@@ -1588,11 +1588,22 @@ object Dedup {
     // task-locally, and the billion-row (pair, hit) shuffle never exists.
     // Both paths implement the same exact-recall prefix+hits bound; the
     // output is identical (spec-asserted).
-    val pst = dPref.agg(sum(col("df")).as("s")).head()
+    val pst = dPref.agg(sum(col("df")).as("s"), count(lit(1)).as("c")).head()
     val estJoinRows = if (pst.isNullAt(0)) 0L else pst.getLong(0)
-    val kernelPath = bcastDelta && estJoinRows > 16L * math.max(nReps, 1L)
+    val prefRows = pst.getLong(1)
+    // The kernel path is gated on ITS OWN footprint — the collected prefix
+    // CSR (~12 B/posting + attrs) — NOT on the join guard: at sf100 the
+    // delta's exploded-fp hash relation (870 MB) trips `bcastDelta` while
+    // the CSR is only ~120 MB, and falling back to the shuffled join on a
+    // saturated space meant a ~10^10-row candidacy shuffle that filled the
+    // disk. Only a delta that defeats BOTH (corpus-scale batch on a
+    // saturated space) takes the shuffled join — at that point re-running
+    // dedup, not probing, is the right operation anyway.
+    val kernelPath = estJoinRows > 16L * math.max(nReps, 1L) &&
+      prefRows * 12L + dRows * 16L <= maxBroadcastBytes
     if (sys.env.contains("GRAFT_DEBUG_PROBE"))
-      println(s"[probe-debug] bcast=$bcastDelta est=$estJoinRows nReps=$nReps kernel=$kernelPath")
+      println(s"[probe-debug] bcast=$bcastDelta est=$estJoinRows prefRows=$prefRows " +
+        s"nReps=$nReps kernel=$kernelPath")
     val cand =
       if (kernelPath) {
         val rows = dPref.select(col("fp"), col("d_rep"), col("d_nfp")).collect()
