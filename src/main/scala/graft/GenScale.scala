@@ -142,6 +142,17 @@ object GenScale {
       df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[genscale] $t -> $dst/$t.parquet")
     }
+    // Provenance manifest: records the parameters this corpus was built
+    // with so the decade scripts can detect a stale artifact (one built
+    // before a generator fix — e.g. the strideMult=10 key-collision bug —
+    // silently invalidates every number measured on it). Scripts
+    // regenerate when the manifest is missing or any field mismatches.
+    val manifest =
+      s"""{"src":"$src","copies":$copies,"strideMult":$strideMult,"generator":"graft.GenScale"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dst, "manifest.json"),
+      (manifest + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[genscale] manifest -> $dst/manifest.json $manifest")
     spark.stop()
   }
 }

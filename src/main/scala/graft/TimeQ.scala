@@ -3,12 +3,26 @@ object TimeQ {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for (name <- args; i <- 1 to 3) {
+    // rehearsal knobs: run count (3-run steady-state by default; giant
+    // decade queries can be dialed down) and an append-mode JSONL artifact
+    // so a rehearsal that dies mid-marathon still leaves every completed
+    // run on disk (the committed raw evidence for SURVEY's decade tables)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_TIMEQ_RUNS", "3").toInt
+    val out = sys.env.get("SPARK_GRAFT_TIMEQ_OUT")
+    for (name <- args; i <- 1 to runs) {
       val t0 = System.nanoTime()
       // noop write, not count(): count() lets Catalyst prune the computed
       // columns, timing the scan instead of the operator
       Bench.exec(SparkEntry.queries(name)(spark, dir))
-      println(f"[timeq] $name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[timeq] $name run$i: $sec%.2f s")
+      out.foreach { p =>
+        val line = f"""{"query":"$name","run":$i,"sec":$sec%.2f,"sf_dir":"$dir"}%n"""
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
       // the Bench marathon's state hygiene applies here too: without the
       // untimed cleanup, accumulated state-store providers + memory-sink
       // tables drove a 100x-scale streaming run3 into a full-GC spiral

@@ -600,6 +600,35 @@ object Dedup {
         attrs.map(_._1), attrs.map(_._2), probePrefix = false)).as("eval_rep"))
   }
 
+  /** Collect the eval battery's (rep_id, sorted shingle fps) rows under an
+    * explicit two-sided size contract. The LIMIT rides the plan so an
+    * oversized battery fails BEFORE materializing on the driver — but a
+    * row limit alone can TRUNCATE silently: a battery with more rows than
+    * the limit yet few shingles per doc (avg < 8) passes the post-collect
+    * shingle-sum check while the rows beyond the limit were never
+    * collected, so those eval docs are simply never decontaminated
+    * against. Contract: collecting EXACTLY the limit means truncation may
+    * have occurred → fail loudly; strictly under it, the collect was
+    * complete and the shingle total is checked against the cap. */
+  private def collectEvalShingles(
+      evalGroups: DataFrame,
+      n: Int,
+      maxEvalShingles: Int): Array[(Long, Array[Long])] = {
+    val rowLimit = maxEvalShingles / 8 + 1
+    val evalRows = evalGroups
+      .select(col("rep_id"), gf.shingleFpsSorted(col("__payload"), n).as("b_shl"))
+      .limit(rowLimit)
+      .collect()
+    require(evalRows.length < rowLimit,
+      s"eval battery has >= $rowLimit distinct docs — the collect limit was " +
+        "reached, so docs beyond it would be silently skipped; raise " +
+        s"maxEvalShingles (= $maxEvalShingles) above 8x the battery's doc count")
+    val evalShRows = evalRows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(evalShRows.iterator.map(_._2.length.toLong).sum <= maxEvalShingles,
+      s"eval battery exceeds $maxEvalShingles shingles; raise maxEvalShingles")
+    evalShRows
+  }
+
   /** Decontamination: drop every corpus document that exactly or nearly
     * matches a document in a held-out evaluation set — the step that keeps
     * benchmark answers out of training data.
@@ -629,18 +658,11 @@ object Dedup {
     val evalDocs = evalSet
       .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
       .where(col("__text").isNotNull)
-    // eval reps collected under the same size contract the Bloom variant
-    // guards (the battery is a task constant); LIMIT before collect so an
-    // oversized battery fails before materializing on the driver
+    // eval reps collected under the shared two-sided size contract
+    // ([[collectEvalShingles]]): complete-or-fail, never silent truncation
     val evalGroups = canonicalGroups(evalDocs, "id",
       TextAnalysis.fingerprint(col("__text")), col("__text"))
-    val evalRows = evalGroups
-      .select(col("rep_id"), gf.shingleFpsSorted(col("__payload"), n).as("b_shl"))
-      .limit(maxEvalShingles / 8 + 1)
-      .collect()
-    val evalShRows = evalRows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    require(evalShRows.iterator.map(_._2.length.toLong).sum <= maxEvalShingles,
-      s"eval battery exceeds $maxEvalShingles shingles; raise maxEvalShingles")
+    val evalShRows = collectEvalShingles(evalGroups, n, maxEvalShingles)
 
     val repsSh = groups.select(col("rep_id"),
       gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))
@@ -1043,13 +1065,7 @@ object Dedup {
     // replaces had recall 1 too, but its volume is Σ df_cand·df_eval over
     // shared fps — on a saturated shingle space that went quadratic
     // (measured ~9·10^10 join rows at sf100: the shuffle filled the disk).
-    val evalRows = evalGroups
-      .select(col("rep_id"), gf.shingleFpsSorted(col("__payload"), n).as("b_shl"))
-      .limit(maxEvalShingles / 8 + 1)
-      .collect()
-    val evalShRows = evalRows.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    require(evalShRows.iterator.map(_._2.length.toLong).sum <= maxEvalShingles,
-      s"eval battery exceeds $maxEvalShingles shingles; raise maxEvalShingles")
+    val evalShRows = collectEvalShingles(evalGroups, n, maxEvalShingles)
     val candidates = evalPrefixCandidates(candSh, evalShRows, threshold)
     val evalSh = {
       import corpus.sparkSession.implicits._
@@ -1093,7 +1109,8 @@ object Dedup {
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      minCos: Double): DataFrame = {
+      minCos: Double,
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     requireLongId(emb, idCol)
     // The non-equi self-join executes as a nested-loop join whose
     // parallelism is the STREAMED side's partition count — bytes-small
@@ -1111,14 +1128,19 @@ object Dedup {
     // threshold and the non-equi join degrades to CartesianProductExec
     // (observed at sf10: ~3x slower than the broadcast NLJ on identical
     // work). The build side is the whole corpus — fine for the exact
-    // baseline's operating range (128 MB at 500k x dim 64), and past the
-    // broadcast cap the LSH twin is the declared path anyway.
+    // baseline's operating range (128 MB at 500k x dim 64) — but the hint
+    // is gated on a measured footprint (the probe-guard pattern): past
+    // `maxBroadcastBytes` an unconditional hint would hard-fail in the
+    // broadcast build where the unhinted cartesian plan merely runs slow,
+    // and at that size the LSH twin is the declared path anyway.
     val a = Layout.spread(
       emb.select(col(idCol).cast("long").as("a_id"), col(vecCol).as("a_vec"),
         gf.l2norm(col(vecCol)).as("a_n")))
-    val b = broadcast(
-      emb.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("b_vec"),
-        gf.l2norm(col(vecCol)).as("b_n")))
+    val bRaw = emb.select(col(idCol).cast("long").as("b_id"), col(vecCol).as("b_vec"),
+      gf.l2norm(col(vecCol)).as("b_n"))
+    val est = emb.agg(count(lit(1)), coalesce(max(size(col(vecCol))), lit(0))).head()
+    val estBytes = est.getLong(0) * (math.max(est.getInt(1), 0).toLong * 4L + 48L)
+    val b = if (estBytes <= maxBroadcastBytes) broadcast(bRaw) else bRaw
     a.join(b, col("a_id") < col("b_id"))
       .where(col("a_n") > 0.0 && col("b_n") > 0.0 &&
         gf.dot(col("a_vec"), col("b_vec")) >= lit(minCos) * col("a_n") * col("b_n"))

@@ -27,16 +27,25 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 JVM=(java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false
   -Dspark.sql.session.timeZone=UTC -Xmx48g -cp "$CP")
 
-if [ ! -d data/sf1/lineitem.parquet ]; then
-  GRAFT_SCALE_SRC=/root/testdata/sf0.1 GRAFT_SCALE_DST=data/sf1 \
-  GRAFT_SCALE_COPIES=10 "${JVM[@]}" graft.GenScale
-fi
-if [ ! -d data/sf10/lineitem.parquet ]; then
-  GRAFT_SCALE_SRC=data/sf1 GRAFT_SCALE_DST=data/sf10 \
-  GRAFT_SCALE_COPIES=10 GRAFT_SCALE_STRIDE_MULT=10 "${JVM[@]}" graft.GenScale
-fi
-if [ ! -d data/sf100/lineitem.parquet ]; then
-  GRAFT_SCALE_SRC=data/sf10 GRAFT_SCALE_DST=data/sf100 \
-  GRAFT_SCALE_COPIES=10 GRAFT_SCALE_STRIDE_MULT=100 "${JVM[@]}" graft.GenScale
-fi
+# A corpus is valid only when its provenance manifest matches the expected
+# generation parameters — a dir generated before a GenScale fix (e.g. the
+# strideMult=10 key-collision bug) must NOT silently persist and invalidate
+# every number measured on it. Missing or mismatched manifest → regenerate.
+manifest_ok() { # dir copies strideMult
+  local m="$1/manifest.json"
+  [ -f "$m" ] || return 1
+  grep -q "\"copies\":$2," "$m" && grep -q "\"strideMult\":$3[,}]" "$m"
+}
+gen() { # src dst copies strideMult
+  if manifest_ok "$2" "$3" "$4"; then return 0; fi
+  if [ -d "$2" ]; then
+    echo "[gen_decades] $2 manifest missing/stale — regenerating"
+    rm -rf "$2"
+  fi
+  GRAFT_SCALE_SRC="$1" GRAFT_SCALE_DST="$2" \
+  GRAFT_SCALE_COPIES="$3" GRAFT_SCALE_STRIDE_MULT="$4" "${JVM[@]}" graft.GenScale
+}
+gen /root/testdata/sf0.1 data/sf1 10 1
+gen data/sf1 data/sf10 10 10
+gen data/sf10 data/sf100 10 100
 echo "[gen_decades] done"

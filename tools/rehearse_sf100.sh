@@ -35,11 +35,15 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 JVM=(java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false
   -Dspark.sql.session.timeZone=UTC -Xmx48g -cp "$CP")
 
-if [ ! -d data/sf100/lineitem.parquet ]; then
-  echo "[rehearse] generating data/sf100 from data/sf10 (copies=10, mult=100)"
-  # mult = the PRODUCT of all prior pass copy counts (sf10's effective copy
-  # ids span 0..99), not the last pass's copies — mult=10 would land this
-  # pass's shifts back inside 0..99 and collide ~80% of the keys.
+# Provenance-checked (manifest written by GenScale): a dir built before the
+# stride-mult fix (mult=10 → ~80% key collisions) must not silently persist.
+# mult = the PRODUCT of all prior pass copy counts (sf10's effective copy
+# ids span 0..99), not the last pass's copies.
+if ! { [ -f data/sf100/manifest.json ] \
+    && grep -q '"copies":10,' data/sf100/manifest.json \
+    && grep -q '"strideMult":100[,}]' data/sf100/manifest.json; }; then
+  echo "[rehearse] data/sf100 manifest missing/stale — regenerating (copies=10, mult=100)"
+  rm -rf data/sf100
   GRAFT_SCALE_SRC=data/sf10 GRAFT_SCALE_DST=data/sf100 \
   GRAFT_SCALE_COPIES=10 GRAFT_SCALE_STRIDE_MULT=100 \
     "${JVM[@]}" graft.GenScale
@@ -55,4 +59,8 @@ text_tokens text_search_indexed text_tfidf corpus_heavy_hitters \
 corpus_bpe_tokenize corpus_pagerank corpus_classifier_filter \
 stream_window_agg stream_heavy_hitters"}
 
-SPARK_GRAFT_SF_DIR=data/sf100 "${JVM[@]}" graft.TimeQ $QUERIES
+# Raw per-run evidence appends to rehearse_sf100.jsonl (committed with the
+# SURVEY table); a marathon that dies mid-run keeps every completed number.
+SPARK_GRAFT_SF_DIR=data/sf100 \
+SPARK_GRAFT_TIMEQ_OUT=${SPARK_GRAFT_TIMEQ_OUT:-rehearse_sf100.jsonl} \
+  "${JVM[@]}" graft.TimeQ $QUERIES
