@@ -125,7 +125,17 @@ object Bench {
     val onceSet = sys.env.get("SPARK_GRAFT_BENCH_ONCE")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated queries EXCLUDED from this
+    // artifact — the declared O(n²) exact-oracle baselines whose wall-clock
+    // at the measured sf is hours (dedup_embedding ≈ 7.5 h at sf100). The
+    // exclusion is recorded in the artifact ("skipped": [...]) so a decade
+    // total is never silently missing work: the skipped entries' scale
+    // twins (the LSH/CSR paths) are in the measured set.
+    val skipSet = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skipSet.contains(name) }
     // prime the first measured query at the MEASURED sf (untimed): it alone
     // pays the first-touch page cache of the sf files, which the sf0.001
     // warmup loop cannot absorb (r6: ann_bruteforce, first alphabetically,
@@ -167,8 +177,11 @@ object Bench {
     val onceJson =
       if (onceRan.isEmpty) ""
       else s""","runs_once":${onceRan.sorted.map(jstr).mkString("[", ",", "]")}"""
+    val skipJson =
+      if (skipSet.isEmpty) ""
+      else s""","skipped":${skipSet.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
     val line =
-      s"""{"metric":"total","value":${j3(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"$onceJson}"""
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"$onceJson$skipJson}"""
     // file copy survives any stdout truncation by the caller
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

@@ -63,6 +63,66 @@ object Dedup {
         first(col("__payload")).as("__payload"))
       .pinned() // reused by reps, within, and expansion
 
+  /** [[canonicalGroups]] with a REP-FETCH payload path — the
+    * `multimodal_dedup` rule (compute the key map-side; payload bytes
+    * never shuffle) applied to text. Variant A (the single-shuffle
+    * [[canonicalGroups]]) moves every payload through the
+    * canonicalization shuffle — at sf100 that is the dominant cost of the
+    * bloom decontaminate (11 GB of text through collect_list, SURVEY
+    * §9.8). Variant B shuffles only (16-byte key, 8-byte id) to form the
+    * groups, then fetches payloads MAP-SIDE for the reps alone: the
+    * rep-id set broadcasts, the payload source is scanned a second time
+    * with the semi-join applied before any exchange, and corpus text
+    * never enters a shuffle — payload bytes moved drop by the duplication
+    * factor, and to ~zero when downstream consumes rep payloads without
+    * re-keying (the decontaminate CSR kernel does).
+    *
+    * Returns (groups: (__ck, rep_id, members) — NO payload column,
+    * repPayloads: (rep_id, __payload)). The rep payload is the MIN-id
+    * member's (deterministic; variant A's `first` is
+    * partition-order-arbitrary — equivalent downstream because grouped
+    * payloads share a canonical key). `payloadSource` may be a cheaper
+    * superset frame than `keySource` (e.g. the raw corpus instead of the
+    * bloom-filtered candidates, so the fetch pass does not recompute the
+    * candidacy kernel); it must contain every keySource id.
+    *
+    * Mode (`spark.graft.dedup.repFetch`): `auto` (default) takes the
+    * rep-fetch path when the rep-id set fits the broadcast budget,
+    * falling back to the single-shuffle path otherwise; `on`/`off` force
+    * a side (the sf100 A/B toggle). */
+  private def canonicalGroupsRepFetch(
+      keySource: DataFrame,
+      payloadSource: DataFrame,
+      idCol: String,
+      keyCol: Column,
+      payload: Column,
+      maxRepIdBytes: Long = 256L << 20): (DataFrame, DataFrame) = {
+    val mode = keySource.sparkSession.conf.get("spark.graft.dedup.repFetch", "auto")
+    def variantA: (DataFrame, DataFrame) = {
+      val g = canonicalGroups(keySource, idCol, keyCol, payload)
+      (g.select("__ck", "rep_id", "members"), g.select("rep_id", "__payload"))
+    }
+    if (mode == "off") variantA
+    else {
+      val slim = keySource
+        .select(col(idCol).cast("long").as("id"), keyCol.as("__ck"))
+        .where(col("__ck").isNotNull)
+        .groupBy("__ck")
+        .agg(min(col("id")).as("rep_id"),
+          sort_array(collect_list(col("id"))).as("members"))
+        .pinned() // reused by the fetch guard, expansion, and the count
+      val nReps = slim.count()
+      if (mode != "on" && nReps * 8L > maxRepIdBytes) variantA
+      else {
+        val repPayloads = payloadSource
+          .select(col(idCol).cast("long").as("id"), payload.as("__payload"))
+          .join(broadcast(slim.select(col("rep_id").as("id"))), Seq("id"))
+          .select(col("id").as("rep_id"), col("__payload"))
+        (slim, repPayloads)
+      }
+    }
+  }
+
   /** All member pairs inside each group (trivial matches by construction),
     * restricted to groups passing `emitWhen`. */
   private def withinGroupPairs(groups: DataFrame, emitWhen: Column): DataFrame =
@@ -653,7 +713,10 @@ object Dedup {
     requireLongId(corpus, idCol)
     requireLongId(evalSet, idCol)
 
-    val groups = canonicalGroups(corpus, idCol,
+    // rep-fetch canonicalization: corpus text never shuffles — groups form
+    // over (key, id) and rep payloads are fetched map-side (variant B of
+    // [[canonicalGroupsRepFetch]]; guard-gated, conf-togglable)
+    val (groups, repPayloads) = canonicalGroupsRepFetch(corpus, corpus, idCol,
       TextAnalysis.fingerprint(col(textCol)), col(textCol))
     val evalDocs = evalSet
       .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
@@ -664,7 +727,7 @@ object Dedup {
       TextAnalysis.fingerprint(col("__text")), col("__text"))
     val evalShRows = collectEvalShingles(evalGroups, n, maxEvalShingles)
 
-    val repsSh = groups.select(col("rep_id"),
+    val repsSh = repPayloads.select(col("rep_id"),
       gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))
     val candidates = evalPrefixCandidates(repsSh, evalShRows, threshold)
     // exact-Jaccard verify, candidates only; eval arrays broadcast (a
@@ -1054,11 +1117,17 @@ object Dedup {
         col("__bh").getItem(1) >= lit(threshold) * col("__bh").getItem(0))
       .select(col("id"), col("__text"))
 
-    val groups = canonicalGroups(bloomCands, "id",
-      TextAnalysis.fingerprint(col("__text")), col("__text"))
+    // rep-fetch canonicalization: candidate text never re-shuffles — the
+    // payload fetch scans the RAW corpus (so the bloom candidacy kernel is
+    // not recomputed) map-side-filtered by the broadcast rep-id set
+    val corpusPayloads = corpus
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__text"))
+    val (groups, repPayloads) = canonicalGroupsRepFetch(bloomCands, corpusPayloads,
+      "id", TextAnalysis.fingerprint(col("__text")), col("__text"))
     val evalGroups = canonicalGroups(evalDocs, "id",
       TextAnalysis.fingerprint(col("__text")), col("__text"))
-    val candSh = groups.select(col("rep_id"),
+    val candSh = repPayloads.select(col("rep_id"),
       gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))
     // Candidacy via the eval-prefix CSR kernel (recall exactly 1 — see
     // [[evalPrefixCandidates]]). The shared-shingle equi-join this
@@ -1580,12 +1649,16 @@ object Dedup {
     val dFps = dNear
       .select(col("d_rep"), size(col("d_shl")).as("d_nfp"),
         explode(col("d_shl")).as("fp"))
-    val dPref = dfIdx.select(col("fp"), col("df"))
+    // delta prefix postings at hit requirement h: prefix length grows with
+    // h (the per-doc min(h, ceil(t·n)) cap keeps tiny docs exact-recall)
+    def prefFor(h: Int): DataFrame = dfIdx.select(col("fp"), col("df"))
       .join(deltaSide(dFps), Seq("fp"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("d_rep").orderBy("df", "fp")))
-      .where(col("rn") <= col("d_nfp") - oMin(col("d_nfp")) + least(j, oMin(col("d_nfp"))))
+      .where(col("rn") <= col("d_nfp") - oMin(col("d_nfp")) +
+        least(lit(h), oMin(col("d_nfp"))))
       .select(col("d_rep"), col("d_nfp"), col("fp"), col("df"))
+    val dPref = prefFor(prefixMinHits)
       .pinned() // reused: selectivity estimate + one of the two candidacy paths
     // the candidacy join is the probe's compute-heavy broadcast join and
     // its streamed side (the prefix-filtered postings) is bytes-small —
@@ -1613,22 +1686,59 @@ object Dedup {
     val pst = dPref.agg(sum(col("df")).as("s"), count(lit(1)).as("c")).head()
     val estJoinRows = if (pst.isNullAt(0)) 0L else pst.getLong(0)
     val prefRows = pst.getLong(1)
+    // SATURATION-SIZED HIT REQUIREMENT (a rule, not a constant — the
+    // lshBitsFor pattern). The kernel path never materializes the est
+    // join rows, but its OUTPUT — pairs with >= h prefix hits — still
+    // feeds the array-carrying verify join, and on a saturated space the
+    // chance-pair count at the default h is itself a scale disease:
+    // measured at sf100 (λ = est/(nD·nR) = 0.053, nD·nR = 2.2·10^12),
+    // h = 3 admits ~5·10^7 chance pairs whose verify join shipped ~1 KB
+    // of shingle arrays each and FILLED THE DISK, while at sf10 the same
+    // λ yields ~10^5 pairs — invisible. So h is sized from the measured
+    // saturation: the smallest h whose expected chance-candidate count
+    // (Poisson first term nD·nR·λ^h/h!, λ doubled as a safety factor for
+    // prefix growth and model thinness, e^{-λ} dropped) fits a verify
+    // budget of max(2M, 4·nD) pairs. Recall stays EXACTLY 1 at every h:
+    // the prefix lengthens with h and the per-side min(h, ceil(t·n))
+    // caps keep the one-sided theorem intact — a larger h only tightens
+    // a chance-pair filter whose survivors are exact-verified anyway
+    // (path-equality spec unchanged).
+    val jEff =
+      if (estJoinRows == 0L) prefixMinHits
+      else {
+        val lambda = 2.0 * estJoinRows.toDouble /
+          (math.max(dRows, 1L).toDouble * math.max(nReps, 1L).toDouble)
+        val candCap = math.max(2e6, 4.0 * dRows.toDouble)
+        def chance(k: Int): Double = {
+          var t = dRows.toDouble * nReps.toDouble
+          var i = 1
+          while (i <= k) { t = t * lambda / i; i += 1 }
+          t
+        }
+        var h = prefixMinHits
+        while (h < 16 && chance(h) > candCap) h += 1
+        h
+      }
     // The kernel path is gated on ITS OWN footprint — the collected prefix
-    // CSR (~12 B/posting + attrs) — NOT on the join guard: at sf100 the
-    // delta's exploded-fp hash relation (870 MB) trips `bcastDelta` while
-    // the CSR is only ~120 MB, and falling back to the shuffled join on a
-    // saturated space meant a ~10^10-row candidacy shuffle that filled the
-    // disk. Only a delta that defeats BOTH (corpus-scale batch on a
-    // saturated space) takes the shuffled join — at that point re-running
-    // dedup, not probing, is the right operation anyway.
+    // CSR (~12 B/posting + attrs, with the prefix growth jEff adds
+    // bounded by (jEff - minHits)·nD postings) — NOT on the join guard:
+    // at sf100 the delta's exploded-fp hash relation (870 MB) trips
+    // `bcastDelta` while the CSR is only ~180 MB, and falling back to the
+    // shuffled join on a saturated space meant a ~10^11-row candidacy
+    // shuffle that filled the disk. Only a delta that defeats BOTH
+    // (a corpus-scale batch on a saturated space) takes the shuffled
+    // join — at that point re-running dedup, not probing, is the right
+    // operation anyway.
     val kernelPath = estJoinRows > 16L * math.max(nReps, 1L) &&
-      prefRows * 12L + dRows * 16L <= maxBroadcastBytes
+      (prefRows + (jEff - prefixMinHits).toLong * dRows) * 12L +
+        dRows * 16L <= maxBroadcastBytes
     if (sys.env.contains("GRAFT_DEBUG_PROBE"))
       println(s"[probe-debug] bcast=$bcastDelta est=$estJoinRows prefRows=$prefRows " +
-        s"nReps=$nReps kernel=$kernelPath")
+        s"nReps=$nReps jEff=$jEff kernel=$kernelPath")
     val cand =
       if (kernelPath) {
-        val rows = dPref.select(col("fp"), col("d_rep"), col("d_nfp")).collect()
+        val kPref = if (jEff == prefixMinHits) dPref else prefFor(jEff)
+        val rows = kPref.select(col("fp"), col("d_rep"), col("d_nfp")).collect()
         val byFp = rows.sortBy(r => (r.getLong(0), r.getLong(1)))
         // postings carry delta-rep INDEXES into the id-sorted attrs arrays
         // (O(1) attribute lookup in the kernel's run-scan)
@@ -1648,7 +1758,7 @@ object Dedup {
         offB += byFp.length
         Layout.spread(reps.select(col("rep_id"), col("shl_rk")))
           .select(col("rep_id"),
-            explode(gf.prefixCandidates(col("shl_rk"), threshold, prefixMinHits,
+            explode(gf.prefixCandidates(col("shl_rk"), threshold, jEff,
               fpsB.result(), offB.result(), drB,
               attrs.map(_._1), attrs.map(_._2))).as("d_rep"))
       } else {

@@ -642,11 +642,20 @@ object Streams {
     // 10x data replays in the rehearsal's 8 chunks, while a backlog already
     // within budget replays in ONE batch and skips 7 micro-batches of pure
     // state-commit overhead.
+    // The budget is conf-tunable (`spark.graft.stream.chunkRows`) so the
+    // overhead-vs-state trade can be MEASURED per deployment: each chunk
+    // costs a fixed micro-batch commit (source listing + state-store
+    // commit + sink epoch), so backfill overhead is linear in rows/budget
+    // while peak open-session state is ~budget rows (sessions ≈ rows for
+    // sparse per-user activity — §9.4: 954,650 open sessions from a
+    // 1M-event single batch). Default = the §9.4 measured-safe 125k point.
     val chunks =
       if (backfillChunks > 0) backfillChunks
       else {
         val rows = spark.read.parquet(s"$sfDir/events.parquet").count()
-        math.max(1, math.ceil(rows / 125000.0).toInt)
+        val budget = spark.conf.getOption("spark.graft.stream.chunkRows")
+          .map(_.toLong).getOrElse(125000L)
+        math.max(1, math.ceil(rows.toDouble / budget).toInt)
       }
     val stageDir = stageCache.computeIfAbsent(s"$sfDir#chunked-$chunks", _ =>
       java.nio.file.Files.createTempDirectory("graft-stream-chunked").toString)
