@@ -86,10 +86,18 @@ object Dedup {
     * bloom-filtered candidates, so the fetch pass does not recompute the
     * candidacy kernel); it must contain every keySource id.
     *
-    * Mode (`spark.graft.dedup.repFetch`): `auto` (default) takes the
-    * rep-fetch path when the rep-id set fits the broadcast budget,
-    * falling back to the single-shuffle path otherwise; `on`/`off` force
-    * a side (the sf100 A/B toggle). */
+    * Mode (`spark.graft.dedup.repFetch`): `off` (default) is the
+    * single-shuffle path — the round-11 sf100 A/B measured it FASTER at
+    * BOTH duplication extremes of the text corpus family (dup 1.002:
+    * 336-362 s vs 370-411 s at sf100; dup 4.0: 21.5-34.0 s vs
+    * 33.1-40.1 s on a 2M-doc 4x-replicated corpus): the decontaminate
+    * operators are kernel/verify-bound, the text shuffle they'd save is
+    * seconds, and rep-fetch's second scan + broadcast build + eager
+    * materializations cost more than that at ~2 KB/doc payloads. `on`
+    * keeps the rep-fetch path available for FAT-payload corpora (the
+    * regime where the repo's `multimodal_dedup` applies the same
+    * map-side-key rule because payloads are MB-scale and the shuffle
+    * genuinely dominates), guarded by the rep-id broadcast budget. */
   private def canonicalGroupsRepFetch(
       keySource: DataFrame,
       payloadSource: DataFrame,
@@ -97,12 +105,12 @@ object Dedup {
       keyCol: Column,
       payload: Column,
       maxRepIdBytes: Long = 256L << 20): (DataFrame, DataFrame) = {
-    val mode = keySource.sparkSession.conf.get("spark.graft.dedup.repFetch", "auto")
+    val mode = keySource.sparkSession.conf.get("spark.graft.dedup.repFetch", "off")
     def variantA: (DataFrame, DataFrame) = {
       val g = canonicalGroups(keySource, idCol, keyCol, payload)
       (g.select("__ck", "rep_id", "members"), g.select("rep_id", "__payload"))
     }
-    if (mode == "off") variantA
+    if (mode != "on") variantA
     else {
       val slim = keySource
         .select(col(idCol).cast("long").as("id"), keyCol.as("__ck"))
@@ -112,7 +120,7 @@ object Dedup {
           sort_array(collect_list(col("id"))).as("members"))
         .pinned() // reused by the fetch guard, expansion, and the count
       val nReps = slim.count()
-      if (mode != "on" && nReps * 8L > maxRepIdBytes) variantA
+      if (nReps * 8L > maxRepIdBytes) variantA
       else {
         val repPayloads = payloadSource
           .select(col(idCol).cast("long").as("id"), payload.as("__payload"))
@@ -727,8 +735,14 @@ object Dedup {
       TextAnalysis.fingerprint(col("__text")), col("__text"))
     val evalShRows = collectEvalShingles(evalGroups, n, maxEvalShingles)
 
-    val repsSh = repPayloads.select(col("rep_id"),
-      gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))
+    // Spread + pin the shingled reps: under rep-fetch the frame derives
+    // from a file-split corpus scan (16-ish partitions), and it feeds the
+    // eval-CSR kernel pass — the probe's compute-heavy stage — TWICE
+    // (candidacy + verify). Without this the kernel ran at file-split
+    // parallelism twice (measured at sf100: 10 of 32 cores, >23 min);
+    // spread uses every core and the pin computes the shingling once.
+    val repsSh = Layout.spread(repPayloads.select(col("rep_id"),
+      gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))).pinned()
     val candidates = evalPrefixCandidates(repsSh, evalShRows, threshold)
     // exact-Jaccard verify, candidates only; eval arrays broadcast (a
     // local relation), corpus arrays joined by candidate rep id
@@ -1127,8 +1141,10 @@ object Dedup {
       "id", TextAnalysis.fingerprint(col("__text")), col("__text"))
     val evalGroups = canonicalGroups(evalDocs, "id",
       TextAnalysis.fingerprint(col("__text")), col("__text"))
-    val candSh = repPayloads.select(col("rep_id"),
-      gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))
+    // spread + pin for the same reason as [[decontaminate]]'s repsSh: the
+    // rep-fetch frame is scan-derived and feeds the kernel pass twice
+    val candSh = Layout.spread(repPayloads.select(col("rep_id"),
+      gf.shingleFpsSorted(col("__payload"), n).as("a_shl"))).pinned()
     // Candidacy via the eval-prefix CSR kernel (recall exactly 1 — see
     // [[evalPrefixCandidates]]). The shared-shingle equi-join this
     // replaces had recall 1 too, but its volume is Σ df_cand·df_eval over

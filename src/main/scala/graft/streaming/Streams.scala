@@ -648,13 +648,17 @@ object Streams {
     // commit + sink epoch), so backfill overhead is linear in rows/budget
     // while peak open-session state is ~budget rows (sessions ≈ rows for
     // sparse per-user activity — §9.4: 954,650 open sessions from a
-    // 1M-event single batch). Default = the §9.4 measured-safe 125k point.
+    // 1M-event single batch; the §15.4 sweep confirmed peak state tracks
+    // the budget exactly: 143k/503k/1.94M rows at 125k/500k/2M). Default
+    // 500k = the measured knee of that sweep at the 10x corpus —
+    // 80 -> 20 commits cut the backfill 73.3 -> 62.8 s steady while peak
+    // state stays ~50 MB; 2M only reached 58.8 s for 4x the state.
     val chunks =
       if (backfillChunks > 0) backfillChunks
       else {
         val rows = spark.read.parquet(s"$sfDir/events.parquet").count()
         val budget = spark.conf.getOption("spark.graft.stream.chunkRows")
-          .map(_.toLong).getOrElse(125000L)
+          .map(_.toLong).getOrElse(500000L)
         math.max(1, math.ceil(rows.toDouble / budget).toInt)
       }
     val stageDir = stageCache.computeIfAbsent(s"$sfDir#chunked-$chunks", _ =>

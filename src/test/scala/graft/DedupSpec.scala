@@ -115,6 +115,37 @@ class DedupSpec extends SparkSpec {
     assert(clean === Set(3L))
   }
 
+  test("decontaminate rep-fetch canonicalization (variant B) equals the " +
+      "single-shuffle path (variant A) for plain and bloom variants") {
+    val corpus = (0L until 60L).map { i =>
+      val base = s"document number ${i % 20} with shared structural words and tail $i"
+      (i, if (i % 3 == 0) base.replace(s"tail $i", "tail shared") else base)
+    }.toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "document number 7 with shared structural words and tail shared"),
+      (101L, "totally absent from the corpus in every shingle dimension")
+    ).toDF("doc_id", "text")
+    def withMode[T](mode: String)(f: => T): T = {
+      spark.conf.set("spark.graft.dedup.repFetch", mode)
+      try f finally spark.conf.unset("spark.graft.dedup.repFetch")
+    }
+    val keptB = withMode("on")(
+      Dedup.decontaminate(corpus, evalSet, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    val keptA = withMode("off")(
+      Dedup.decontaminate(corpus, evalSet, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(keptB === keptA)
+    val bloomB = withMode("on")(
+      Dedup.decontaminateBloom(corpus, evalSet, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    val bloomA = withMode("off")(
+      Dedup.decontaminateBloom(corpus, evalSet, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(bloomB === bloomA)
+    assert(bloomB === keptB)
+  }
+
   test("null texts never pair: canonical paths match the naive paths' empty output") {
     val docs = Seq((1L, "some real document text here"), (2L, null), (3L, null), (4L, null))
       .toDF("doc_id", "text")

@@ -49,4 +49,5 @@ SPARK_GRAFT_BENCH_OUT="$OUT" \
 SPARK_GRAFT_BENCH_ONCE="$ONCE" \
 SPARK_GRAFT_BENCH_SKIP="$SKIP" \
 java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false \
+  -Dspark.cleaner.referenceTracking.blocking.shuffle=true \
   -Dspark.sql.session.timeZone=UTC -Xmx48g -cp "$CP" graft.Bench

@@ -25,6 +25,7 @@ CP="target/scala-2.13/classes:/opt/spark/jars/*"
 # rehearsal measures the scheduler, not the engine
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 JVM=(java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false
+  -Dspark.cleaner.referenceTracking.blocking.shuffle=true
   -Dspark.sql.session.timeZone=UTC -Xmx48g -cp "$CP")
 
 # A corpus is valid only when its provenance manifest matches the expected

@@ -33,6 +33,7 @@ CP="target/scala-2.13/classes:/opt/spark/jars/*"
 # rehearsal measures the scheduler, not the engine
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 JVM=(java "${ADD_OPENS[@]}" -Dspark.ui.enabled=false
+  -Dspark.cleaner.referenceTracking.blocking.shuffle=true
   -Dspark.sql.session.timeZone=UTC -Xmx48g -cp "$CP")
 
 # Provenance-checked (manifest written by GenScale): a dir built before the
