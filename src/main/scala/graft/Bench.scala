@@ -54,6 +54,11 @@ object Bench {
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case _: Throwable => () }
     sweepTempCheckpoints()
+    // the streaming harness's own per-query checkpoint/file-sink dirs: all
+    // queries are stopped above, so everything under the root is disposable
+    // (errored queries' checkpoints, materialized file-sink outputs)
+    try deleteRecursively(graft.streaming.Streams.scratchRoot)
+    catch { case _: Throwable => () }
   }
 
   /** Delete the temp checkpoint dirs one-shot streaming queries leave in
@@ -134,6 +139,13 @@ object Bench {
     val skipSet = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // a typo'd skip name would silently fail to exclude the hours-long
+    // query it was meant to drop while still being recorded in "skipped" —
+    // misdescribing the artifact. Same check for the once-list.
+    val unknownSkips = skipSet.diff(SparkEntry.queries.keySet) ++
+      onceSet.diff(SparkEntry.queries.keySet)
+    require(unknownSkips.isEmpty,
+      s"SPARK_GRAFT_BENCH_SKIP/ONCE name(s) not in the catalog: ${unknownSkips.toSeq.sorted.mkString(", ")}")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skipSet.contains(name) }
     // prime the first measured query at the MEASURED sf (untimed): it alone

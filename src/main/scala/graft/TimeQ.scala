@@ -17,7 +17,10 @@ object TimeQ {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[timeq] $name run$i: $sec%.2f s")
       out.foreach { p =>
-        val line = f"""{"query":"$name","run":$i,"sec":$sec%.2f,"sf_dir":"$dir"}%n"""
+        // Locale.ROOT, not the f-interpolator: a comma-decimal default
+        // locale would emit invalid JSON (same rule as Bench.j3)
+        val secJson = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
+        val line = s"""{"query":"$name","run":$i,"sec":$secJson,"sf_dir":"$dir"}""" + "\n"
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
           line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE,

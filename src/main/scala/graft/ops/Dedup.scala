@@ -120,14 +120,21 @@ object Dedup {
           sort_array(collect_list(col("id"))).as("members"))
         .pinned() // reused by the fetch guard, expansion, and the count
       val nReps = slim.count()
-      if (nReps * 8L > maxRepIdBytes) variantA
-      else {
-        val repPayloads = payloadSource
-          .select(col(idCol).cast("long").as("id"), payload.as("__payload"))
-          .join(broadcast(slim.select(col("rep_id").as("id"))), Seq("id"))
+      val repIds = slim.select(col("rep_id").as("id"))
+      val payloads = payloadSource
+        .select(col(idCol).cast("long").as("id"), payload.as("__payload"))
+      // broadcast budget at the repo's hash-relation accounting (~48 B per
+      // long-keyed entry incl. row + map overhead, same as dedupIndexProbe)
+      // — 8 B/raw key undercounted the relation ~6x, an executor OOM risk
+      // in exactly the fat-payload regime repFetch=on targets. Past the
+      // budget the fetch degrades to a SHUFFLED id join reusing the pinned
+      // groups (one payload shuffle — variant A's payload cost without
+      // redoing the canonicalization shuffle the old fallback paid twice).
+      val repPayloads =
+        (if (nReps * 48L <= maxRepIdBytes) payloads.join(broadcast(repIds), Seq("id"))
+         else payloads.join(repIds, Seq("id")))
           .select(col("id").as("rep_id"), col("__payload"))
-        (slim, repPayloads)
-      }
+      (slim, repPayloads)
     }
   }
 

@@ -17,17 +17,52 @@ object Streams {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** File-source stream over one parquet table in an sf dir: batch-read
-    * schema (file streams require one), glob-filtered to the single file,
-    * with `ts` normalized exactly as [[graft.io.Tables.normalizeTs]] does
-    * for batch reads (long nanos or TIMESTAMP_NTZ → session-TZ timestamp),
-    * so every streaming entry point treats timestamps identically. */
+  /** Scratch root for the one-shot streaming harness's checkpoints and
+    * file-sink outputs. Every query gets its OWN subdirectory here instead
+    * of Spark's `/tmp/temporary-*` default temp checkpoints: in the round-11
+    * sf100 marathon one query's fatal error was followed by two neighbors
+    * dying on vanished temp-checkpoint dirs — with per-query dirs under a
+    * root the harness owns, no failure (or sweep) can touch a neighbor's
+    * live checkpoint, and [[graft.Bench.cleanup]] sweeps the whole root
+    * between queries. Override with GRAFT_STREAM_SCRATCH. */
+  private[graft] lazy val scratchRoot: java.io.File = {
+    val root = new java.io.File(sys.env.getOrElse("GRAFT_STREAM_SCRATCH",
+      System.getProperty("java.io.tmpdir") + "/graft-stream-scratch"))
+    root.mkdirs()
+    root
+  }
+
+  private def scratchDir(name: String): java.io.File = {
+    val d = new java.io.File(scratchRoot, name)
+    d.mkdirs()
+    d
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** File-source stream over one parquet table in an sf dir, with `ts`
+    * normalized exactly as [[graft.io.Tables.normalizeTs]] does for batch
+    * reads (long nanos or TIMESTAMP_NTZ → session-TZ timestamp), so every
+    * streaming entry point treats timestamps identically.
+    *
+    * A Spark-written table is a DIRECTORY whose leaves are
+    * `part-*.parquet` files, and `pathGlobFilter` matches LEAF FILE names
+    * — so filtering `sfDir` by the table name yields an EMPTY stream on
+    * directory-shaped tables (the round-11 finding: 0 rows streamed vs
+    * 1,000,000 batch-read at sf1, silently). Directory-shaped tables are
+    * therefore streamed FROM THE TABLE PATH directly; the glob filter
+    * remains only for the single-file layout, where the table is one
+    * parquet file sitting beside its sibling tables in sfDir. */
   private def streamTable(spark: SparkSession, sfDir: String, file: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$sfDir/$file").schema
-    val raw = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", file)
-      .parquet(sfDir)
+    val path = s"$sfDir/$file"
+    val batchSchema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(batchSchema)
+    val raw =
+      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", file).parquet(sfDir)
     if (batchSchema.fieldNames.contains("ts")) graft.io.Tables.normalizeTs(raw, "ts")
     else raw
   }
@@ -51,11 +86,13 @@ object Streams {
     val partsKey = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(partsKey)
     val replayParts = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+    val ckpt = scratchDir(s"$name-ckpt")
     val q = try {
       spark.conf.set(partsKey, replayParts)
       df.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -66,7 +103,43 @@ object Streams {
     // proves (or disproves) the bounded-state contract at 10x
     if (sys.env.contains("GRAFT_STREAM_PROGRESS"))
       q.recentProgress.foreach(p => println(s"[stream-progress] $name ${p.json}"))
+    deleteRecursively(ckpt) // one-shot run: the checkpoint is disposable
     spark.table(name)
+  }
+
+  /** Run a streaming frame to a PARQUET file sink under AvailableNow and
+    * batch-read the committed output back — the harness path for streams
+    * whose OUTPUT SCALES WITH THE DATA (the stream-stream joins): the
+    * memory sink collects every result row to the driver, which at sf100
+    * killed `stream_join_outer` on spark.driver.maxResultSize (1.17 GB of
+    * serialized join output). The file sink writes executor-side and the
+    * read-back stays a lazy distributed scan; downstream consumers (noop
+    * bench write, Verify's parquet dump, spec collects at oracle scale)
+    * decide what actually moves. Output dir is per-invocation (the sink
+    * appends — reuse would duplicate); [[graft.Bench.cleanup]] sweeps the
+    * scratch root between marathon queries. */
+  private def runToParquet(df: DataFrame, prefix: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"${prefix}_${counter.incrementAndGet()}"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(partsKey)
+    val replayParts = sys.env.getOrElse("GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+    val out = scratchDir(s"$name-out")
+    val ckpt = scratchDir(s"$name-ckpt")
+    val q = try {
+      spark.conf.set(partsKey, replayParts)
+      df.writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(partsKey, prior)
+    q.awaitTermination()
+    if (sys.env.contains("GRAFT_STREAM_PROGRESS"))
+      q.recentProgress.foreach(p => println(s"[stream-progress] $name ${p.json}"))
+    spark.read.parquet(out.toString)
   }
 
   /** Tumbling 1-hour window aggregation over the events stream: event count
@@ -349,7 +422,9 @@ object Streams {
         joinType)
       .select(col("click_id"), col("purchase_id"),
         col("user_id"), col("click_ts"), col("purchase_ts"))
-    runToMemory(joined, prefix, "append").where(col("user_id") >= 0)
+    // join output scales with the data — file sink, not the driver-side
+    // memory sink (which died on maxResultSize at sf100, round-11 verdict)
+    runToParquet(joined, prefix).where(col("user_id") >= 0)
   }
 
   /** Per-content-key dedup state for streaming exact dedup. */
@@ -659,6 +734,9 @@ object Streams {
         val rows = spark.read.parquet(s"$sfDir/events.parquet").count()
         val budget = spark.conf.getOption("spark.graft.stream.chunkRows")
           .map(_.toLong).getOrElse(500000L)
+        // a zero would make ceil(rows/0.0)=Infinity whose toInt is
+        // Int.MaxValue — ~2^31 backfill chunks instead of an error
+        require(budget > 0, s"spark.graft.stream.chunkRows must be > 0, got $budget")
         math.max(1, math.ceil(rows.toDouble / budget).toInt)
       }
     val stageDir = stageCache.computeIfAbsent(s"$sfDir#chunked-$chunks", _ =>
@@ -832,13 +910,16 @@ object Streams {
       graft.ops.AggIndex.buildStreaming(spark, n)
       val ev = streamTable(spark, sfDir, "events.parquet")
         .where(col("value").isNotNull)
+      val ckpt = scratchDir(s"$n-ckpt")
       val q = ev.writeStream
         .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           graft.ops.AggIndex.appendBatch(df, id, n)
         }
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      deleteRecursively(ckpt)
       n
     })
     graft.ops.AggIndex.query(spark, name)

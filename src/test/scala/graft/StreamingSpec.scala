@@ -20,6 +20,32 @@ class StreamingSpec extends SparkSpec {
     assert(s.sameElements(b))
   }
 
+  test("directory-shaped parquet tables stream ALL rows (round-11 silent-empty regression)") {
+    // A Spark-written table is a DIRECTORY of part-*.parquet leaves — the
+    // layout every decade corpus and every real-world corpus uses. The old
+    // pathGlobFilter source matched leaf FILE names against the table name
+    // and silently streamed ZERO rows from it (verified at sf1: 0 streamed
+    // vs 1,000,000 batch). This writes a MULTI-FILE directory table and
+    // asserts streamed row count == batch row count through a streamTable
+    // consumer; it must keep failing if anyone reintroduces the glob.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dir-shaped").toString
+    val src = graft.io.Tables.events(spark, sfDir)
+    src.repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val parts = new java.io.File(s"$dir/events.parquet").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts > 1, "regression guard needs a multi-file directory table")
+    val streamed = Streams.windowAggAvailableNow(spark, dir)
+    val streamedRows = streamed.agg(sum(col("n_events"))).head().getLong(0)
+    val batchRows = src.count()
+    assert(streamedRows === batchRows,
+      s"directory-shaped table streamed $streamedRows of $batchRows rows")
+    // and the aggregate itself matches the single-file layout's answer
+    val viaSingleFile = Streams.windowAggAvailableNow(spark, sfDir)
+      .orderBy("window_start", "event_type").collect()
+    val viaDir = streamed.orderBy("window_start", "event_type").collect()
+    assert(viaDir.sameElements(viaSingleFile))
+  }
+
   test("windowAggAppendAvailableNow (watermark-evicting) equals the batch window aggregation") {
     val streamed = Streams.windowAggAppendAvailableNow(spark, sfDir)
       .orderBy("window_start", "event_type")
