@@ -618,27 +618,6 @@ case class DropSpansExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = l, right = r)
 }
 
-/** Distinct eval-group ids sharing >=1 fingerprint with the input sorted
-  * fp array, via a plan-embedded CSR inverted index — the stateless
-  * pair-dedup a streaming plan needs where batch uses equi-join +
-  * dropDuplicates. */
-case class SharedGroupsExpr(
-    child: Expression, fps: Array[Long], offsets: Array[Int], gids: Array[Int])
-    extends UnaryExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullSafeEval(input: Any): Any =
-    Kernels.sharedGroups(input.asInstanceOf[ArrayData], fps, offsets, gids)
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fpsRef = ctx.addReferenceObj("csrFps", fps, "long[]")
-    val offRef = ctx.addReferenceObj("csrOffsets", offsets, "int[]")
-    val gidRef = ctx.addReferenceObj("csrGids", gids, "int[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.sharedGroups($c, $fpsRef, $offRef, $gidRef)")
-  }
-  override def prettyName: String = "shared_groups"
-  override protected def withNewChildInternal(newChild: Expression): SharedGroupsExpr =
-    copy(child = newChild)
-}
-
 /** Prefix-filtered candidate delta reps for one corpus rep against a
   * plan-embedded CSR of the delta's prefix postings — see
   * [[Kernels.prefixCandidates]]. */
@@ -811,11 +790,6 @@ object gf {
 
   /** Distinct shingle fingerprints, sorted ascending. */
   def shingleFpsSorted(text: Column, n: Int): Column = u(text)(ShingleFpsSortedExpr(_, n))
-
-  /** Distinct eval-group ids sharing a fingerprint with a sorted fp array
-    * column, against a plan-embedded CSR inverted index. */
-  def sharedGroups(a: Column, fps: Array[Long], offsets: Array[Int], gids: Array[Int]): Column =
-    u(a)(SharedGroupsExpr(_, fps, offsets, gids))
 
   /** Prefix-filtered candidacy against a plan-embedded delta CSR.
     * `probePrefix=false` = one-sided mode: the probing list need not be

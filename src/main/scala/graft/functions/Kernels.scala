@@ -1186,49 +1186,6 @@ object Kernels {
     shared.toDouble / (na + nb - shared)
   }
 
-  /** Distinct group ids sharing at least one fingerprint with `a`, against
-    * a plan-embedded CSR inverted index (fps ascending; group ids for
-    * fps(i) at gids[offsets(i) until offsets(i+1))). Returns ascending
-    * distinct ids. This is the STATELESS equivalent of the shared-shingle
-    * equi-join + dropDuplicates pair-dedup: a streaming plan cannot run
-    * dropDuplicates/groupBy without a state store, so the dedup happens
-    * inside one codegen pass per row instead. O(|a| log |fps| + hits log
-    * hits); no per-row allocation proportional to the group universe. */
-  def sharedGroups(
-      a: ArrayData, fps: Array[Long], offsets: Array[Int], gids: Array[Int]): ArrayData = {
-    val na = a.numElements()
-    if (na == 0 || fps.length == 0) return new GenericArrayData(Array.empty[Any])
-    var hits = new Array[Int](8)
-    var nh = 0
-    var i = 0
-    while (i < na) {
-      val pos = java.util.Arrays.binarySearch(fps, a.getLong(i))
-      if (pos >= 0) {
-        var j = offsets(pos)
-        val end = offsets(pos + 1)
-        while (j < end) {
-          if (nh == hits.length) hits = java.util.Arrays.copyOf(hits, nh * 2)
-          hits(nh) = gids(j)
-          nh += 1
-          j += 1
-        }
-      }
-      i += 1
-    }
-    if (nh == 0) return new GenericArrayData(Array.empty[Any])
-    java.util.Arrays.sort(hits, 0, nh)
-    var distinct = 1
-    i = 1
-    while (i < nh) {
-      if (hits(i) != hits(i - 1)) { hits(distinct) = hits(i); distinct += 1 }
-      i += 1
-    }
-    val out = new Array[Any](distinct)
-    i = 0
-    while (i < distinct) { out(i) = hits(i); i += 1 }
-    new GenericArrayData(out)
-  }
-
   /** Delta reps whose prefix-filtered shingle overlap with this corpus
     * rep clears the exact-recall hit bound — the broadcast-probe candidacy
     * of [[graft.ops.Dedup.dedupIndexProbe]] for saturated shingle spaces,

@@ -639,11 +639,18 @@ object Dedup {
     * chance band collisions) and the shared-shingle equi-join (Σ
     * df_corpus·df_eval ≈ 9·10^10 rows — filled the disk). Returns
     * (rep_id, eval_rep) candidates for exact-Jaccard verification. */
-  private def evalPrefixCandidates(
-      repsSh: DataFrame,
+  /** Plan-embeddable prefix-CSR arrays over an eval battery's
+    * (rep, sorted fps) rows — the probe side of [[gf.prefixCandidates]].
+    * Shared by the batch decontaminate paths and the streaming
+    * contamination monitor (which caches it per battery). */
+  private[graft] case class EvalPrefixCsr(
+      fps: Array[Long], offsets: Array[Int], reps: Array[Int],
+      repIds: Array[Long], repNfp: Array[Int])
+
+  private[graft] def evalPrefixCsr(
       evalShRows: Array[(Long, Array[Long])],
       threshold: Double,
-      minHits: Int = 3): DataFrame = {
+      minHits: Int = 3): EvalPrefixCsr = {
     def oMin(sz: Int): Int = math.ceil(sz * threshold - 1e-9).toInt
     val df = new java.util.HashMap[Long, Int]()
     evalShRows.foreach(_._2.foreach(fp => df.merge(fp, 1, Integer.sum _)))
@@ -669,10 +676,18 @@ object Dedup {
       i += 1
     }
     offB += byFp.length
+    EvalPrefixCsr(fpsB.result(), offB.result(), reps, attrs.map(_._1), attrs.map(_._2))
+  }
+
+  private def evalPrefixCandidates(
+      repsSh: DataFrame,
+      evalShRows: Array[(Long, Array[Long])],
+      threshold: Double,
+      minHits: Int = 3): DataFrame = {
+    val c = evalPrefixCsr(evalShRows, threshold, minHits)
     repsSh.select(col("rep_id"),
       explode(gf.prefixCandidates(col("a_shl"), threshold, minHits,
-        fpsB.result(), offB.result(), reps,
-        attrs.map(_._1), attrs.map(_._2), probePrefix = false)).as("eval_rep"))
+        c.fps, c.offsets, c.reps, c.repIds, c.repNfp, probePrefix = false)).as("eval_rep"))
   }
 
   /** Collect the eval battery's (rep_id, sorted shingle fps) rows under an

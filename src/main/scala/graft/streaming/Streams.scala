@@ -463,15 +463,16 @@ object Streams {
   }
 
   /** Driver-built static-eval index for the contamination monitor: Bloom
-    * bits for candidacy, a CSR inverted index fp -> canonical eval group
-    * ids for pair generation, and the per-group (sorted shingle fps,
-    * member ids) for exact verify. One Spark job builds it; cached per
-    * (sfDir, n, bitsPerItem) for the JVM's lifetime — a monitor that
-    * restarts its query (or a bench marathon) must not re-aggregate the
-    * static battery every call. */
+    * bits for candidacy, the PREFIX-CSR candidacy arrays (the same
+    * rarity-ordered prefix-filter probe the batch decontaminate paths
+    * embed — [[graft.ops.Dedup.evalPrefixCsr]]), and the per-group
+    * (sorted shingle fps, member ids) for exact verify. One Spark job
+    * builds it; cached per (sfDir, n, bitsPerItem, threshold) for the
+    * JVM's lifetime — a monitor that restarts its query (or a bench
+    * marathon) must not re-aggregate the static battery every call. */
   private[graft] case class EvalIndex(
       bits: Array[Long], kProbes: Int,
-      fps: Array[Long], offsets: Array[Int], gids: Array[Int],
+      csr: graft.ops.Dedup.EvalPrefixCsr,
       groups: Array[(Int, Array[Long], Array[Long])])
 
   /** LRU-bounded (access-ordered, capacity 4): a long-lived monitor session
@@ -499,7 +500,7 @@ object Streams {
   }
 
   private def buildEvalIndex(
-      evalDocs: DataFrame, n: Int, bitsPerItem: Int): EvalIndex = {
+      evalDocs: DataFrame, n: Int, bitsPerItem: Int, threshold: Double): EvalIndex = {
     import graft.functions.{gf, Kernels}
     // canonicalize the STATIC side (the stream side cannot group without
     // state, but the eval battery can and must): eval batteries duplicate
@@ -516,30 +517,21 @@ object Streams {
     val groups = rows.zipWithIndex.map { case (r, g) =>
       (g, r.getSeq[Long](0).toArray, r.getSeq[Long](1).toArray)
     }
-    // the distinct shingle union IS the union of the per-group distinct
-    // sets — the Bloom filter and the CSR index come from the same collect
-    // (no second eval-side aggregate job)
-    val pairs = groups.flatMap { case (g, shl, _) => shl.map(fp => (fp, g)) }
-      .sortBy(p => (p._1, p._2))
-    val nDistinct = {
-      var c = 0
-      var i = 0
-      while (i < pairs.length) { if (i == 0 || pairs(i)._1 != pairs(i - 1)._1) c += 1; i += 1 }
-      c
-    }
-    val fps = new Array[Long](nDistinct)
-    val offsets = new Array[Int](nDistinct + 1)
-    val gids = new Array[Int](pairs.length)
+    // the Bloom filter's distinct shingle union and the prefix CSR both
+    // come from the same collect — no second eval-side aggregate job
+    val union = groups.iterator.flatMap(_._2).toArray
+    java.util.Arrays.sort(union)
+    var d = 0
     var i = 0
-    var d = -1
-    while (i < pairs.length) {
-      if (d < 0 || pairs(i)._1 != fps(d)) { d += 1; fps(d) = pairs(i)._1; offsets(d) = i }
-      gids(i) = pairs(i)._2
+    while (i < union.length) {
+      if (i == 0 || union(i) != union(i - 1)) { union(d) = union(i); d += 1 }
       i += 1
     }
-    offsets(nDistinct) = pairs.length
+    val fps = java.util.Arrays.copyOf(union, d)
+    val csr = graft.ops.Dedup.evalPrefixCsr(
+      groups.map { case (g, shl, _) => (g.toLong, shl) }, threshold)
     EvalIndex(Kernels.bloomBuild(fps, bitsPerItem), Kernels.bloomK(bitsPerItem),
-      fps, offsets, gids, groups)
+      csr, groups)
   }
 
   /** Streaming intake quality filter — the admission-control stage of a
@@ -619,19 +611,21 @@ object Streams {
     * Bloom filter bits ride the plan into every batch (count-based
     * candidacy, recall exactly 1 — same soundness argument as
     * Dedup.decontaminateBloom), surviving candidates generate (doc, eval
-    * group) pairs through a plan-embedded CSR shared-shingle index (the
-    * stateless twin of Dedup's shared-shingle equi-join + dropDuplicates
-    * — a streaming plan cannot dedup pairs relationally without a state
-    * store, so the distinct-group set is computed inside one codegen pass
-    * per row), and each pair exact-verifies ONCE with the
+    * group) pairs through the SAME plan-embedded rarity-ordered
+    * prefix-CSR probe the batch decontaminate paths use
+    * ([[graft.ops.Dedup.evalPrefixCsr]] + gf.prefixCandidates — recall
+    * exactly 1 by the prefix-filter theorem with per-side short-doc
+    * caps), and each pair exact-verifies ONCE with the
     * sorted-fingerprint merge kernel via a broadcast stream-static join
-    * on group id. Recall is exactly 1: a J >= t > 0 pair shares at least
-    * one shingle, so it appears in the CSR index — the pair space is
-    * bounded by actual shingle co-occurrence, never candidates x eval
-    * (the cross join this replaces degenerated on boilerplate-heavy
-    * corpora the moment Bloom candidacy stopped pruning — §9.3). No
-    * watermark, no state store: the monitor runs forever in bounded
-    * memory. Emits one row per (document, matching eval doc):
+    * on group id. The candidacy is pair-deduped inside one codegen pass
+    * per row (a streaming plan cannot dedup pairs relationally without a
+    * state store), and the h-hit rule bounds chance pairs on saturated
+    * shingle spaces — the any-shared-shingle CSR this replaces gathered
+    * and sorted every posting of every doc shingle, which on the
+    * saturated decade corpora cost ~10x the batch twin (measured 82 s
+    * vs 8.7 s at sf10 even after Layout.spread). No watermark, no state
+    * store: the monitor runs forever in bounded memory. Emits one row
+    * per (document, matching eval doc):
     * (doc_id, eval_id, jaccard rounded to 4). */
   def decontaminateMonitorAvailableNow(
       spark: SparkSession,
@@ -642,17 +636,28 @@ object Streams {
     import graft.functions.gf
     require(threshold > 0, s"threshold must be > 0, got $threshold " +
       "(shared-shingle pair generation is complete only for J >= t > 0)")
-    val idx = cachedEvalIndex(s"$sfDir#$n#$bitsPerItem")(
+    val idx = cachedEvalIndex(s"$sfDir#$n#$bitsPerItem#$threshold")(
       buildEvalIndex(
         spark.read.parquet(s"$sfDir/documents.parquet")
           .where(pmod(col("doc_id"), lit(10)) === 0 && col("text").isNotNull)
           .select(col("doc_id").cast("long").as("eval_id"), col("text").as("__text")),
-        n, bitsPerItem))
+        n, bitsPerItem, threshold))
     import spark.implicits._
-    val evalDf = idx.groups.toSeq.toDF("gid", "b_shl", "__members")
+    val evalDf = idx.groups.toSeq
+      .map { case (g, shl, m) => (g.toLong, shl, m) }
+      .toDF("gid", "b_shl", "__members")
 
-    val candidates = streamTable(spark, sfDir, "documents.parquet")
-      .where(pmod(col("doc_id"), lit(10)) =!= 0 && col("text").isNotNull)
+    // Layout.spread BEFORE the kernel: the document table is bytes-small
+    // (tens of MB compressed per decade) while the per-row kernel chain
+    // (bloom probes + shingling + CSR walk + Jaccard merges) is
+    // compute-huge, so file-split sizing hands the whole micro-batch to a
+    // couple of scan tasks (measured at sf10 once the directory-source fix
+    // made the stream real: 242 s on ~2 of 32 cores; the same disease
+    // Layout.spread documents for the batch NLJ probes). One explicit
+    // repartition spreads each micro-batch over every core.
+    val candidates = graft.io.Layout.spread(
+        streamTable(spark, sfDir, "documents.parquet")
+          .where(pmod(col("doc_id"), lit(10)) =!= 0 && col("text").isNotNull))
       .select(col("doc_id").cast("long").as("doc_id"), col("text").as("__text"),
         gf.bloomShingleHits(col("text"), n, idx.bits, idx.kProbes).as("__bh"))
       .where(col("__bh").getItem(0) > 0 &&
@@ -664,7 +669,9 @@ object Streams {
     // projection would run the per-pair merge twice
     val matches = candidates
       .select(col("doc_id"), col("a_shl"),
-        explode(gf.sharedGroups(col("a_shl"), idx.fps, idx.offsets, idx.gids)).as("gid"))
+        explode(gf.prefixCandidates(col("a_shl"), threshold, 3,
+          idx.csr.fps, idx.csr.offsets, idx.csr.reps, idx.csr.repIds, idx.csr.repNfp,
+          probePrefix = false)).as("gid"))
       .join(broadcast(evalDf), Seq("gid"))
       .withColumn("__jraw", gf.jaccardSortedFps(col("a_shl"), col("b_shl")))
       .where(col("__jraw") >= threshold)

@@ -248,7 +248,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("evalIndexCache: LRU-bounded — a 5th distinct battery evicts the eldest") {
-    def dummy = Streams.EvalIndex(Array(0L), 1, Array.empty, Array(0), Array.empty, Array.empty)
+    def dummy = Streams.EvalIndex(Array(0L), 1,
+      graft.ops.Dedup.EvalPrefixCsr(Array.empty, Array(0), Array.empty, Array.empty, Array.empty),
+      Array.empty)
     var builds = 0
     def put(k: String): Unit = { Streams.cachedEvalIndex(k) { builds += 1; dummy }: Unit }
     val ks = (1 to 5).map(i => s"__lru_test_$i")
