@@ -459,7 +459,9 @@ object Streams {
           state.update(st)
           Iterator(DedupDecision(key, st.keeperId, st.nCopies))
       }
-    runToMemory(decisions.toDF(), "graft_stream_dedup", "append")
+    // one decision row per distinct content per batch — corpus-scaled
+    // output, file sink
+    runToParquet(decisions.toDF(), "graft_stream_dedup")
   }
 
   /** Driver-built static-eval index for the contamination monitor: Bloom
@@ -548,7 +550,8 @@ object Streams {
         graft.functions.gf.regroupLines(col("text"), 2).as("lined"))
     val decided = graft.ops.TextAnalysis.filterCorpus(stream, "text", "lined")
       .select(col("doc_id"), col("keep"), col("reason"))
-    runToMemory(decided, "graft_stream_clean", "append")
+    // one decision row per document — corpus-scaled output, file sink
+    runToParquet(decided, "graft_stream_clean")
   }
 
   /** Streaming per-window top-k: the bounded-heap TypedImperativeAggregate
@@ -750,7 +753,12 @@ object Streams {
       java.nio.file.Files.createTempDirectory("graft-stream-chunked").toString)
     val sessions = sessionWindows(
       stagedEventsStreamChunked(spark, sfDir, stageDir, chunks), gapMinutes)
-    runToMemory(sessions, "graft_stream_sessions_sw", "append")
+    // emitted sessions ≈ events on sparse-activity corpora — file sink,
+    // not the driver-side memory sink: at sf100 the ~97M emitted session
+    // rows OOM'd the driver AFTER a perfectly-bounded replay (the memory
+    // sink holds every emitted row; the downstream rollup then
+    // parallelizes that driver-held collection at ~166 MB/task)
+    runToParquet(sessions, "graft_stream_sessions_sw")
       .where(col("user_id") >= 0) // sentinel rows carry user_id -1
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
@@ -800,7 +808,8 @@ object Streams {
           state.update(st)
           Iterator(SessionUpdate(userId, st.nSessions, st.nEvents))
       }
-    runToMemory(updates.toDF(), "graft_stream_sessions", "append")
+    // one row per user per batch — key-universe-scaled output, file sink
+    runToParquet(updates.toDF(), "graft_stream_sessions")
   }
 
   /** Streaming embedding drift monitor: per-label running centroids of an
