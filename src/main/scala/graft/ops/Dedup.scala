@@ -139,21 +139,40 @@ object Dedup {
   }
 
   /** All member pairs inside each group (trivial matches by construction),
-    * restricted to groups passing `emitWhen`. */
-  private def withinGroupPairs(groups: DataFrame, emitWhen: Column): DataFrame =
-    groups
+    * restricted to groups passing `emitWhen`.
+    *
+    * Relational formulation (explode + self-equi-join on the group key),
+    * NOT a per-row pair-array kernel: on a corpus whose duplication factor
+    * scales with the corpus (the replicated-crawl shape — GenScale decades
+    * have |group| ≈ the copy factor), a postingPairs-style eval
+    * materializes |group|²/2 structs as ONE in-memory array per row
+    * (~40 MB/row at |group|=1000; executor OOM at sf100), while the join
+    * streams the exact same pair set through a spillable shuffle. */
+  private def withinGroupPairs(groups: DataFrame, emitWhen: Column): DataFrame = {
+    val m = groups
       .where(size(col("members")) >= 2 && emitWhen)
-      .select(explode(gf.postingPairs(transform(col("members"),
-        m => struct(m.as("id"), lit(0).as("sz"))))).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .select(col("rep_id"), explode(col("members")).as("m"))
+    m.select(col("rep_id"), col("m").as("a_id"))
+      .join(m.select(col("rep_id"), col("m").as("b_id")), Seq("rep_id"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+  }
 
   /** Expand representative-level pairs to member-level (a_id, b_id) pairs
-    * through group membership, min-id first. */
+    * through group membership, min-id first.
+    *
+    * One side explodes BEFORE the other side's members attach: the old
+    * double-explode carried the full b_members array (8 KB at
+    * |group|=1000) inside every intermediate row of the first explode —
+    * quadratic bytes materialized per rep pair. Exploding a_members down
+    * to scalar (x, b_id) rows first, then joining and exploding
+    * b_members, keeps every intermediate row scalar-sized; output rows
+    * are exactly the same cross products. */
   private def expandGroupPairs(groups: DataFrame, repPairs: DataFrame): DataFrame =
     repPairs
       .join(groups.select(col("rep_id").as("a_id"), col("members").as("a_members")), "a_id")
+      .select(explode(col("a_members")).as("x"), col("b_id"))
       .join(groups.select(col("rep_id").as("b_id"), col("members").as("b_members")), "b_id")
-      .select(explode(col("a_members")).as("x"), col("b_members"))
       .select(col("x"), explode(col("b_members")).as("y"))
       .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
 
@@ -465,7 +484,16 @@ object Dedup {
     * duplicate-heavy rehearsal corpus); with a cap the valve semantics
     * intentionally differ — occupancy here counts distinct fingerprints,
     * which is the robust definition (a million exact copies of one
-    * document should not evict their bucket). */
+    * document should not evict their bucket).
+    *
+    * Output-volume note: the pair LIST is quadratic in the duplication
+    * factor by definition (every within-group pair is a true hamming-0
+    * match — |group|²/2 pairs per fingerprint). On corpora whose
+    * duplication scales with corpus size, consume GROUPS downstream
+    * (the [[dropNearDuplicates]] / [[connectedComponents]] shape)
+    * instead of materializing this list; the expansion itself streams
+    * through spillable joins, but ~n·dup²/2 output rows are inherent to
+    * asking for pairs. */
   def simhashPairsCanonical(
       df: DataFrame,
       textCol: String,
