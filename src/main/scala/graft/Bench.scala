@@ -55,10 +55,19 @@ object Bench {
     catch { case _: Throwable => () }
     sweepTempCheckpoints()
     // the streaming harness's own per-query checkpoint/file-sink dirs: all
-    // queries are stopped above, so everything under the root is disposable
-    // (errored queries' checkpoints, materialized file-sink outputs)
-    try deleteRecursively(graft.streaming.Streams.scratchRoot)
-    catch { case _: Throwable => () }
+    // queries are stopped above, so everything under this JVM's root is
+    // disposable (errored queries' checkpoints, file-sink outputs). Stale
+    // sibling roots whose owning JVM is dead are swept too; a LIVE
+    // sibling's dirs are never touched.
+    try {
+      val own = graft.streaming.Streams.scratchRoot
+      deleteRecursively(own)
+      Option(own.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val ownerAlive = f.getName.toLongOption.exists(pid =>
+          java.lang.ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive).orElse(false))
+        if (!ownerAlive) deleteRecursively(f)
+      }
+    } catch { case _: Throwable => () }
   }
 
   /** Delete the temp checkpoint dirs one-shot streaming queries leave in

@@ -26,8 +26,12 @@ object Streams {
     * live checkpoint, and [[graft.Bench.cleanup]] sweeps the whole root
     * between queries. Override with GRAFT_STREAM_SCRATCH. */
   private[graft] lazy val scratchRoot: java.io.File = {
+    // per-JVM subdir: query names are unique only within one JVM's
+    // counter, so two concurrent JVMs (a Verify and a test suite, say)
+    // must not share sink/checkpoint paths
     val root = new java.io.File(sys.env.getOrElse("GRAFT_STREAM_SCRATCH",
-      System.getProperty("java.io.tmpdir") + "/graft-stream-scratch"))
+      System.getProperty("java.io.tmpdir") + "/graft-stream-scratch"),
+      java.lang.ProcessHandle.current().pid().toString)
     root.mkdirs()
     root
   }
@@ -139,7 +143,10 @@ object Streams {
     q.awaitTermination()
     if (sys.env.contains("GRAFT_STREAM_PROGRESS"))
       q.recentProgress.foreach(p => println(s"[stream-progress] $name ${p.json}"))
-    spark.read.parquet(out.toString)
+    // explicit schema: a stream that legitimately emitted zero rows
+    // leaves only _spark_metadata, and schema inference would fail where
+    // the memory sink would have returned an empty frame
+    spark.read.schema(df.schema).parquet(out.toString)
   }
 
   /** Tumbling 1-hour window aggregation over the events stream: event count
