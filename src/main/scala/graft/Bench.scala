@@ -58,14 +58,23 @@ object Bench {
     // queries are stopped above, so everything under this JVM's root is
     // disposable (errored queries' checkpoints, file-sink outputs). Stale
     // sibling roots whose owning JVM is dead are swept too; a LIVE
-    // sibling's dirs are never touched.
+    // sibling's dirs are never touched. Only PID-SHAPED directories are
+    // candidates: the scratch parent is user-configurable
+    // (GRAFT_STREAM_SCRATCH), so a non-numeric entry is somebody else's
+    // data, not a dead sibling — sweeping everything that fails the
+    // is-it-alive probe would silently destroy unrelated content under a
+    // shared /tmp or scratch volume.
     try {
       val own = graft.streaming.Streams.scratchRoot
       deleteRecursively(own)
       Option(own.getParentFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-        val ownerAlive = f.getName.toLongOption.exists(pid =>
-          java.lang.ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive).orElse(false))
-        if (!ownerAlive) deleteRecursively(f)
+        f.getName.toLongOption match {
+          case Some(pid) if f.isDirectory =>
+            val ownerAlive =
+              java.lang.ProcessHandle.of(pid).map[java.lang.Boolean](_.isAlive).orElse(false)
+            if (!ownerAlive) deleteRecursively(f)
+          case _ => () // not a per-JVM scratch dir — never touch it
+        }
       }
     } catch { case _: Throwable => () }
   }
@@ -201,8 +210,11 @@ object Bench {
     val skipJson =
       if (skipSet.isEmpty) ""
       else s""","skipped":${skipSet.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
+    // "runs" records the median-of-N policy in the artifact itself: a
+    // decade marathon at runs=1 and a canonical runs=3 artifact must be
+    // distinguishable without reconstructing the launch command
     val line =
-      s"""{"metric":"total","value":${j3(total)},"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"$onceJson$skipJson}"""
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","errors":$errors,"runs":$runsPerQuery,"queries":$qs,"sf":"$sfDir"$onceJson$skipJson}"""
     // file copy survives any stdout truncation by the caller
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(

@@ -68,11 +68,55 @@ object GenScale {
     }
 
   /** Deterministic per-copy word permutation (see scaladoc). */
-  private def permuteText(text: Column, copy: Int): Column = {
+  private def permuteText(text: Column, copy: Int): Column =
+    permuteTextCol(text, lit(copy))
+
+  /** Column-seeded variant: the Zipf generator's copy id is a per-row
+    * column (explode-produced), not a literal. */
+  private def permuteTextCol(text: Column, copy: Column): Column = {
     val words = split(text, " ")
     val tagged = zip_with(words, sequence(lit(0), size(words) - 1),
-      (w, p) => struct(xxhash64(w, p, lit(copy)).as("h"), w.as("w")))
+      (w, p) => struct(xxhash64(w, p, copy).as("h"), w.as("w")))
     array_join(transform(array_sort(tagged), s => s.getField("w")), " ")
+  }
+
+  /** Zipf-duplicated documents corpus (GRAFT_SCALE_DOC_DUP=zipf): the
+    * uniform scale-up gives every content exactly `copies` duplicates — the
+    * saturated adversarial shape — while real crawled corpora duplicate on
+    * a heavy tail (a few boilerplate pages copied millions of times, most
+    * pages near-unique). Here each CONTENT draws its duplication factor d
+    * from the zipf tail P(d >= k) = 1/k, capped at `copies`:
+    *
+    *  - u in (0, 1] is seeded from the ORDER-INSENSITIVE word multiset
+    *    (sorted words), so every already-permuted copy of one original in
+    *    the source corpus draws the SAME d — group sizes, the dedup
+    *    operators' working-set shape, are zipf across contents rather than
+    *    re-randomized per source row.
+    *  - d = min(copies, floor(1/u)); expected blow-up is the harmonic sum
+    *    H(copies) ≈ ln(copies) + 0.577 (7.5x at copies = 1000).
+    *  - copy 0 is verbatim; copies > 0 permute words with effective seed
+    *    copy * strideMult (the id range the source passes left free) and
+    *    shift doc_id by copy * stride * strideMult — the same disjointness
+    *    discipline as the uniform generator.
+    *
+    * Implemented as ONE distributed explode over the source (no per-copy
+    * union: d varies per row, and a 1000-way union plan would not scale). */
+  private def zipfDocs(spark: SparkSession, src: String, copies: Int,
+      strideMult: Int): DataFrame = {
+    val base = spark.read.parquet(s"$src/documents.parquet")
+    val u = (pmod(
+      xxhash64(concat_ws(" ", array_sort(split(col("text"), " "))), lit("zipf")),
+      lit(1000000000L)).cast("double") + 1.0) / 1.0e9
+    val dup = least(lit(copies), floor(lit(1.0) / u)).cast("int")
+    val eff = col("__copy") * strideMult
+    base
+      .withColumn("__copy", explode(sequence(lit(0), dup - 1)))
+      .withColumn("doc_id", col("doc_id") + eff.cast("long") * strides("doc_id"))
+      .withColumn("text",
+        when(col("__copy") === 0, col("text"))
+          .otherwise(permuteTextCol(col("text"), eff)))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__copy")
   }
 
   /** Rotate coordinates by `7 * copy` positions — an orthogonal
@@ -130,13 +174,20 @@ object GenScale {
     // 0..99, so a mult of 10 would shift this pass back into that range
     // and collide keys and text-permutation seeds with existing rows)
     val strideMult = sys.env.getOrElse("GRAFT_SCALE_STRIDE_MULT", "1").toInt
+    // zipf mode generates a DOCUMENTS-ONLY corpus (the dedup/text family's
+    // input) with heavy-tailed duplication; the relational tables of a
+    // zipf dir, when a query needs them, are the source's (copy them in)
+    val docDup = sys.env.getOrElse("GRAFT_SCALE_DOC_DUP", "uniform")
     val spark = GraftSession.getOrCreate()
     val shared = Set("region", "nation")
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+    val tables =
+      if (docDup == "zipf") Seq("documents")
+      else Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
     tables.foreach { t =>
       val df =
         if (shared(t)) spark.read.parquet(s"$src/$t.parquet")
+        else if (docDup == "zipf") zipfDocs(spark, src, copies, strideMult)
         else scaled(spark, src, t, copies, strideMult)
       val files = math.max(1, math.min(16, copies))
       df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -148,7 +199,7 @@ object GenScale {
     // silently invalidates every number measured on it). Scripts
     // regenerate when the manifest is missing or any field mismatches.
     val manifest =
-      s"""{"src":"$src","copies":$copies,"strideMult":$strideMult,"generator":"graft.GenScale"}"""
+      s"""{"src":"$src","copies":$copies,"strideMult":$strideMult,"docDup":"$docDup","generator":"graft.GenScale"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dst, "manifest.json"),
       (manifest + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -9,7 +9,17 @@ object TimeQ {
     // run on disk (the committed raw evidence for SURVEY's decade tables)
     val runs = sys.env.getOrElse("SPARK_GRAFT_TIMEQ_RUNS", "3").toInt
     val out = sys.env.get("SPARK_GRAFT_TIMEQ_OUT")
+    // free-form provenance marker for the JSONL lines (e.g. "cold" for
+    // page-cache-dropped runs) so protocol variants are distinguishable
+    // in the committed evidence
+    val tag = sys.env.get("SPARK_GRAFT_TIMEQ_TAG")
+      .map(t => s""","tag":"$t"""").getOrElse("")
     for (name <- args; i <- 1 to runs) {
+      // bounded-state evidence: the streaming harness accumulates input
+      // rows + peak state-store rows per run; the snapshot lands in the
+      // JSONL line so SURVEY's §16.2 table is reproducible from committed
+      // artifacts alone (not prose)
+      graft.streaming.Streams.ProgressStats.reset()
       val t0 = System.nanoTime()
       // noop write, not count(): count() lets Catalyst prune the computed
       // columns, timing the scan instead of the operator
@@ -20,7 +30,12 @@ object TimeQ {
         // Locale.ROOT, not the f-interpolator: a comma-decimal default
         // locale would emit invalid JSON (same rule as Bench.j3)
         val secJson = String.format(java.util.Locale.ROOT, "%.2f", Double.box(sec))
-        val line = s"""{"query":"$name","run":$i,"sec":$secJson,"sf_dir":"$dir"}""" + "\n"
+        val (nStream, inRows, statePeak) = graft.streaming.Streams.ProgressStats.snapshot
+        val streamJson =
+          if (nStream == 0) ""
+          else s""","input_rows":$inRows,"state_rows_peak":$statePeak"""
+        val line =
+          s"""{"query":"$name","run":$i,"sec":$secJson,"sf_dir":"$dir"$streamJson$tag}""" + "\n"
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
           line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE,

@@ -121,6 +121,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("staged entries under FORCED multi-chunk replay equal their batch twins") {
+    // the decade path: the backlog replays as many time-ordered chunks
+    // (distributed partitionBy staging, watermark advancing between
+    // batches). Tiny budgets force the multi-chunk path at oracle scale so
+    // the chunked-replay equality argument (§9.4 windows, §16.10 joins) is
+    // spec-asserted, not only prose.
+    val batchKey = "spark.graft.stream.batchRows"
+    val joinKey = "spark.graft.stream.joinChunkRows"
+    try {
+      spark.conf.set(batchKey, "200")
+      spark.conf.set(joinKey, "200")
+      val aggStreamed = Streams.windowAggAppendAvailableNow(spark, sfDir)
+        .orderBy("window_start", "event_type").collect()
+      val aggBatch = graft.io.Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type").collect()
+      assert(aggStreamed.length === aggBatch.length && aggStreamed.nonEmpty)
+      assert(aggStreamed.sameElements(aggBatch))
+
+      val joinStreamed = Streams.clickAttributionOuterAvailableNow(spark, sfDir)
+        .orderBy(col("click_id"), col("purchase_id").asc_nulls_first).collect()
+      val ev = graft.io.Tables.events(spark, sfDir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+          col("ts").as("purchase_ts"))
+      val joinBatch = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"))
+        .orderBy(col("click_id"), col("purchase_id").asc_nulls_first).collect()
+      assert(joinStreamed.length === joinBatch.length && joinStreamed.nonEmpty)
+      assert(joinStreamed.sameElements(joinBatch))
+    } finally {
+      spark.conf.unset(batchKey)
+      spark.conf.unset(joinKey)
+    }
+  }
+
   test("dedupExactAvailableNow equals batch exact dedup") {
     val streamed = Streams.dedupExactAvailableNow(spark, sfDir)
       .orderBy("content_key").collect()
@@ -372,6 +419,12 @@ class StreamingSpec extends SparkSpec {
     val batch = Streams.anomalyStats(graft.io.Tables.events(spark, sfDir))
       .orderBy("user_id").collect()
     assert(streamed.sameElements(batch))
+    // the shipped path is the foreachBatch parquet SNAPSHOT (the memory
+    // sink materializes the users-sized complete-mode answer on the
+    // driver); both sinks must commit identical state
+    val viaMemory = Streams.anomalyMonitorViaMemorySink(spark, sfDir)
+      .orderBy("user_id").collect()
+    assert(streamed.sameElements(viaMemory))
     assert(streamed.nonEmpty)
     // one report row per user — the bounded-state contract's visible face
     val nUsers = graft.io.Tables.events(spark, sfDir)
