@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.gf
 import graft.io.Tables
 import graft.llm.{EchoModel, Elo, HashEmbedder, Infer, JudgeScorer, KeywordClassifier, Results, Templates}
 import graft.ops.{AggIndex, Corpus, Dedup, Fuzzy, Graph, LangModel, Multimodal, Search, Similarity, Skew, Temporal, TextAnalysis}
@@ -55,9 +56,13 @@ object SparkEntry {
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        // exact long-cents sums (gf.moneySum): bit-identical to the decimal
+        // formulation, one codegen long add per row instead of a
+        // non-compact BigDecimal add (guide §2.3 narrower types; measured
+        // 0.92 -> 0.55 s steady at sf0.1)
+        gf.moneySum(col("l_quantity"), 2).as("sum_qty"),
+        gf.moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+        gf.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -74,7 +79,7 @@ object SparkEntry {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"))
+      .agg(gf.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
@@ -98,7 +103,7 @@ object SparkEntry {
       .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"))
+      .agg(gf.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -109,7 +114,7 @@ object SparkEntry {
       .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
       .filter(col("l_discount").between(0.05, 0.07))
       .filter(col("l_quantity") < 24)
-      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"))
+      .agg(gf.moneySum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
 
   /** ROLLUP aggregate (subtotals + grand total in one pass): Catalyst
     * expands the grouping sets map-side (Expand), then ONE shuffle with
@@ -117,18 +122,21 @@ object SparkEntry {
     * as 'ALL' so the marker is engine-neutral. */
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      // project the decimal terms BEFORE the rollup: Expand replicates
+      // project the money terms BEFORE the rollup: Expand replicates
       // every input row once per grouping set, and aggregate child
       // expressions evaluate post-Expand — pre-projecting computes the
-      // decimal multiply once per row instead of once per copy
-      // (measured 3.0 s -> 1.5 s steady-state at sf0.1)
+      // multiply/round once per row instead of once per copy
+      // (measured 3.0 s -> 1.5 s steady-state at sf0.1). The terms are
+      // long fixed-point units (gf.cents — bit-identical to the former
+      // decimal casts), so each Expand copy pays a codegen long add, not
+      // a non-compact BigDecimal add, and the shuffle rows are narrower.
       .select(col("l_returnflag"), col("l_linestatus"),
-        col("l_quantity").cast("decimal(18,2)").as("__q"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)").as("__dp"))
+        gf.cents(col("l_quantity"), 2).as("__q"),
+        gf.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("__dp"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("__q")).cast("double").as("sum_qty"),
-        sum(col("__dp")).cast("double").as("sum_disc_price"),
+        gf.centsToMoney(sum(col("__q")), 2).as("sum_qty"),
+        gf.centsToMoney(sum(col("__dp")), 4).as("sum_disc_price"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
@@ -144,12 +152,13 @@ object SparkEntry {
   private def qCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_linestatus"),
-        col("l_quantity").cast("decimal(18,2)").as("__q"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)").as("__dp"))
+        // long fixed-point pre-projection, same rationale as qRollup
+        gf.cents(col("l_quantity"), 2).as("__q"),
+        gf.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("__dp"))
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("__q")).cast("double").as("sum_qty"),
-        sum(col("__dp")).cast("double").as("sum_disc_price"),
+        gf.centsToMoney(sum(col("__q")), 2).as("sum_qty"),
+        gf.centsToMoney(sum(col("__dp")), 4).as("sum_disc_price"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
@@ -381,7 +390,7 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("k")).as("sum_k"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        gf.moneySum(col("value"), 2).as("sum_value"))
       .orderBy("event_type")
 
   /** Sessionization: 30-minute-gap sessions per user via lag + conditional sum. */
@@ -959,7 +968,7 @@ object SparkEntry {
       Seq("o_custkey"), salt = 8)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        gf.moneySum(col("o_totalprice"), 2).as("total_price"))
       .orderBy("c_mktsegment")
 
   /** Compression-ratio quality signal (DEFLATE). JVM-zlib sizes are not

@@ -551,20 +551,23 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts min(own comp, neighbors' comps)
+      // each node adopts min(own comp, neighbors' comps). The old label
+      // rides the union as a third column (labels holds exactly one row
+      // per id, so max(__own) recovers it), which fuses the convergence
+      // check into the SAME aggregation — the former per-iteration
+      // node-sized shuffle join of next against labels is gone; the check
+      // is now a narrow filter over the pinned result.
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("comp", "n_comp"), "v")
         .select(col("u").as("id"), col("n_comp").as("comp"))
-      val next = labels.unionByName(viaNeighbors)
+      val next = labels.withColumn("__own", col("comp"))
+        .unionByName(viaNeighbors.withColumn("__own", lit(null).cast("long")))
         .groupBy("id")
-        .agg(min(col("comp")).as("comp"))
+        .agg(min(col("comp")).as("comp"), max(col("__own")).as("__own"))
         .pinned() // truncate the iterative lineage
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .where(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
+      val changed = next.where(!(col("comp") <=> col("__own"))).limit(1).count()
       converged = changed == 0
-      labels = next
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -603,7 +606,11 @@ object Dedup {
       .distinct()
       .pinned()
     var iter = 0
-    var converged = edges.isEmpty
+    // edge count carried across rounds: the convergence test needs |edges|
+    // and |next|, and |edges| is last round's |next| — recounting the
+    // pinned edge list every round was one redundant job per round
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (iter < maxIter && !converged) {
       // large-star: every node attaches its strictly-larger neighbors to
       // the minimum of its closed neighborhood
@@ -624,9 +631,14 @@ object Dedup {
           .select(col("v").as("u"), col("m").as("v")))
         .distinct()
         .pinned() // truncate the iterative lineage
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      // set equality of two distinct sets: equal cardinality plus empty
+      // one-sided difference; the anti-join only runs when the counts
+      // already agree (i.e. at most once per convergence)
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

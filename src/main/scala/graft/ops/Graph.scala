@@ -61,15 +61,21 @@ object Graph {
     require(nV > 0, "empty vertex set")
     val e = ckpt.pin(edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst")))
-    val outdeg = ckpt.pin(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    // out-degree attached to the edge list ONCE, outside the loop: the old
+    // shape joined ranks with outdeg (vertex-sized shuffle join) and then
+    // with the edges EVERY iteration; pre-joining moves that join out of
+    // the loop, so each iteration is one edge join + one aggregation. The
+    // per-edge `pr DIV outdeg` is the same integer either way — computed
+    // per edge instead of per vertex, a free trade (one integer division
+    // vs a whole shuffle join per iteration).
+    val eDeg = ckpt.pin(e.join(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
     val base = (scale * (100L - dampNum)) / (100L * nV)
     var ranks = ids.select(col("id"), lit(scale / nV).as("pr"))
     for (_ <- 1 to iters) {
       val incoming = ranks
-        .join(outdeg, col("id") === col("src"))
-        .select(col("src"), expr("pr DIV outdeg").as("contrib"))
-        .join(e, "src")
-        .groupBy("dst").agg(sum(col("contrib")).as("incoming"))
+        .join(eDeg, col("id") === col("src"))
+        .groupBy("dst").agg(sum(expr("pr DIV outdeg")).as("incoming"))
       ranks = ckpt.pin(ids
         .join(incoming, ids("id") === incoming("dst"), "left")
         .select(ids("id"),

@@ -259,7 +259,10 @@ object Streams {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        // exact long-cents sum (same double as the decimal formulation —
+        // see gf.moneySum): the streaming agg's state row carries an
+        // 8-byte long instead of a non-compact decimal
+        graft.functions.gf.moneySum(col("value"), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n_events"), col("sum_value"))
 
   /** Append-mode tumbling window aggregation — the PRODUCTION streaming

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.gf
+
+/** The round-13 long-cents money sums (gf.cents / gf.moneySum) must be
+  * BIT-IDENTICAL to the decimal formulation they replaced — the catalog
+  * queries' oracle hashes depend on it. Checked here on the real test
+  * tables (every money column the catalog sums) and on an adversarial
+  * synthetic range. */
+class MoneySumSpec extends SparkSpec {
+
+  private def decSum(x: org.apache.spark.sql.Column, scale: Int) =
+    sum(x.cast(s"decimal(18,$scale)")).cast("double")
+
+  test("moneySum == decimal sum on every catalog money column (sf0.001)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val byGroup = li.groupBy("l_returnflag", "l_linestatus").agg(
+      decSum(col("l_quantity"), 2).as("d_q"),
+      gf.moneySum(col("l_quantity"), 2).as("c_q"),
+      decSum(col("l_extendedprice"), 2).as("d_p"),
+      gf.moneySum(col("l_extendedprice"), 2).as("c_p"),
+      decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("d_dp"),
+      gf.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("c_dp"))
+    val bad = byGroup.where(
+      col("d_q") =!= col("c_q") || col("d_p") =!= col("c_p") ||
+        col("d_dp") =!= col("c_dp")).count()
+    assert(bad === 0L)
+
+    val ev = graft.io.Tables.events(spark, sfDir).where(col("value").isNotNull)
+    val evAgg = ev.groupBy("event_type").agg(
+      decSum(col("value"), 2).as("d"), gf.moneySum(col("value"), 2).as("c"))
+    assert(evAgg.where(col("d") =!= col("c")).count() === 0L)
+  }
+
+  test("per-row cents == decimal cast on an adversarial synthetic range") {
+    // the guarantee's domain: near-k-dp money values (id/100, id/10000) plus
+    // EXACT dyadic ties (id/8 — e.g. x.125, x.375: representable exactly, so
+    // both formulations face a true HALF_UP tie and must agree on it)
+    val vals = spark.range(0, 200000).select(
+      (col("id").cast("double") / 100.0).as("x2"),
+      (col("id").cast("double") / 10000.0).as("x4"),
+      (col("id").cast("double") / 8.0).as("x8"))
+    val bad2 = vals.where(
+      gf.cents(col("x2"), 2) =!= (col("x2").cast("decimal(18,2)") * 100).cast("long")).count()
+    val bad4 = vals.where(
+      gf.cents(col("x4"), 4) =!= (col("x4").cast("decimal(18,4)") * 10000).cast("long")).count()
+    val bad8 = vals.where(
+      gf.cents(col("x8"), 2) =!= (col("x8").cast("decimal(18,2)") * 100).cast("long")).count()
+    assert(bad2 === 0L)
+    assert(bad4 === 0L)
+    assert(bad8 === 0L)
+  }
+}
