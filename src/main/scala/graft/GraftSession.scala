@@ -19,6 +19,19 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Prefer shuffled-hash over sort-merge when the planner's size
+      // conditions allow, and let AQE rewrite SMJ->SHJ at runtime when
+      // every post-shuffle partition of the build side is under the
+      // threshold (guide §3.1: SHJ skips the sort on both sides and is
+      // usually faster when a per-partition build fits in memory; AQE's
+      // skew-join splitting still applies, and the threshold bounds the
+      // per-task build at a size far under executor heaps at any scale).
+      // Both are strategy-only knobs — join results are unchanged.
+      // GRAFT_PREFER_SMJ=1 restores the engine default for A/B runs.
+      .config("spark.sql.join.preferSortMergeJoin",
+        if (sys.env.get("GRAFT_PREFER_SMJ").contains("1")) "true" else "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

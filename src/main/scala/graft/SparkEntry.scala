@@ -473,14 +473,18 @@ object SparkEntry {
         lit(" from 10."), (col("doc_id") % 256).cast("string"),
         lit(".0."), (col("doc_id") % 100).cast("string")).as("text"))
     withPii
+      // fused kernel (gf.piiScrubStats): the former 6 regex passes per row
+      // (3x regexp_count each materializing every match via
+      // regexp_extract_all + 3x regexp_replace) become 5 Matcher passes
+      // with count-only loops and no intermediate column round trips —
+      // same java.util.regex patterns in the same order, so the output is
+      // identical by construction (TextAnalysisSpec asserts it)
+      .select(col("doc_id"), gf.piiScrubStats(col("text")).as("p"))
       .select(col("doc_id"),
-        TextAnalysis.piiCounts(col("text")).as("p"),
-        md5(TextAnalysis.scrubPii(col("text"))).as("scrubbed_key"))
-      .select(col("doc_id"),
-        col("p.n_email").cast("long").as("n_email"),
-        col("p.n_ip").cast("long").as("n_ip"),
-        col("p.n_phone").cast("long").as("n_phone"),
-        col("scrubbed_key"))
+        col("p.n_email").as("n_email"),
+        col("p.n_ip").as("n_ip"),
+        col("p.n_phone").as("n_phone"),
+        md5(col("p.scrubbed")).as("scrubbed_key"))
       .orderBy("doc_id")
   }
 

@@ -696,6 +696,23 @@ case class StripAccentsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused PII scrub: struct(n_email, n_ip, n_phone, scrubbed) in one kernel
+  * call per row — see [[Kernels.piiScrubStats]] for the pass accounting. */
+case class PiiScrubStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_email", LongType, nullable = false),
+    StructField("n_ip", LongType, nullable = false),
+    StructField("n_phone", LongType, nullable = false),
+    StructField("scrubbed", StringType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    Kernels.piiScrubStats(input.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.piiScrubStats($c)")
+  override def prettyName: String = "pii_scrub_stats"
+  override protected def withNewChildInternal(newChild: Expression): PiiScrubStatsExpr =
+    copy(child = newChild)
+}
+
 /** Column-typed API over the custom expressions. */
 object gf {
   private def u(c: Column)(f: Expression => Expression): Column =
@@ -875,6 +892,9 @@ object gf {
   /** Strided frame checksums of a video payload: [w, h, cks...]. */
   def videoFrames(bytes: Column, stride: Int): Column =
     u(bytes)(VideoFramesExpr(_, stride))
+
+  /** Fused PII counts + redaction: struct(n_email, n_ip, n_phone, scrubbed). */
+  def piiScrubStats(text: Column): Column = u(text)(PiiScrubStatsExpr(_))
 
   /** Per-row fixed-point units of a money-like double: round(x·10^scale) as
     * long. For data whose values are near-scale-dp decimals (every money and

@@ -1626,4 +1626,50 @@ object Kernels {
     UTF8String.fromString(java.text.Normalizer.normalize(sb.toString,
       java.text.Normalizer.Form.NFC))
   }
+
+  // --- fused PII scrub (text_pii_scrub) -------------------------------
+  // The same java.util.regex patterns Spark's regexp_* built-ins compile
+  // (RE2-compatible — identical match sets in any engine), applied in the
+  // operator's documented order (email, then IP, then phone; counts on the
+  // RAW text). Fusing replaces SIX built-in passes — three
+  // regexp_extract_all calls that materialized every match into an array
+  // just to size() it, plus three regexp_replace passes each paying a
+  // UTF8String->String->UTF8String round trip — with five Matcher passes
+  // over two String materializations and count-only find() loops (the
+  // email pass produces count AND redaction in one sweep).
+  // single source for the pattern strings (TextAnalysis re-exports them for
+  // the Column-level scrub/count API and the oracle docs)
+  val piiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhonePattern = "\\+\\d{7,15}"
+  private val piiEmail = Pattern.compile(piiEmailPattern)
+  private val piiIp = Pattern.compile(piiIpv4Pattern)
+  private val piiPhone = Pattern.compile(piiPhonePattern)
+
+  private def countMatches(p: Pattern, s: String): Long = {
+    val m = p.matcher(s)
+    var n = 0L
+    while (m.find()) n += 1
+    n
+  }
+
+  /** struct(n_email, n_ip, n_phone, scrubbed): counts of each PII class on
+    * the raw text plus the email->IP->phone redaction chain. Replacement
+    * literals contain no digits, so later patterns never match inside an
+    * earlier replacement (the operator's invariant); counts are on the raw
+    * text, exactly like the regexp_count calls this fuses. */
+  def piiScrubStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val me = piiEmail.matcher(s)
+    var nEmail = 0L
+    val sb = new java.lang.StringBuilder
+    while (me.find()) { nEmail += 1; me.appendReplacement(sb, "<EMAIL>") }
+    me.appendTail(sb)
+    val nIp = countMatches(piiIp, s)
+    val nPhone = countMatches(piiPhone, s)
+    val scrubbed = piiPhone.matcher(
+      piiIp.matcher(sb.toString).replaceAll("<IP>")).replaceAll("<PHONE>")
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nEmail, nIp, nPhone, UTF8String.fromString(scrubbed)))
+  }
 }

@@ -131,9 +131,9 @@ object TextAnalysis {
   // Go-based engines). Order of application: email, then IP, then phone —
   // the replacement tokens contain no digits, so later patterns can never
   // match inside an earlier replacement.
-  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val phonePattern = "\\+\\d{7,15}"
+  val emailPattern = graft.functions.Kernels.piiEmailPattern
+  val ipv4Pattern = graft.functions.Kernels.piiIpv4Pattern
+  val phonePattern = graft.functions.Kernels.piiPhonePattern
 
   /** Redact emails, IPv4 addresses, and international phone numbers.
     * Pure columnar regexp_replace chain — a narrow codegen map. */

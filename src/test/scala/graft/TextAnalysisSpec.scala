@@ -148,4 +148,26 @@ class TextAnalysisSpec extends SparkSpec {
     // the threshold actually splits the corpus (not all-keep / all-drop)
     assert(a.exists(_.getBoolean(2)) && a.exists(!_.getBoolean(2)))
   }
+
+  test("fused piiScrubStats equals the 6-pass regexp chain on real docs") {
+    // the fused kernel replaced 3x regexp_count + 3x regexp_replace in
+    // text_pii_scrub; equality must hold verbatim, edge cases included
+    // (an email whose domain contains an IPv4 — counted on raw text but
+    // absorbed by the earlier email redaction)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat(col("text"),
+        lit(" a@mail.example.com +15551234 10.1.0.2 u@1.2.3.4.com x@y")).as("t"))
+      .unionAll(Seq("no pii here", "", "v4 inside mail: z@9.8.7.6.org only")
+        .toDF("t"))
+    val both = docs.select(
+      graft.functions.gf.piiScrubStats(col("t")).as("f"),
+      TextAnalysis.piiCounts(col("t")).as("p"),
+      TextAnalysis.scrubPii(col("t")).as("scr"))
+    val bad = both.where(
+      col("f.n_email") =!= col("p.n_email").cast("long") ||
+        col("f.n_ip") =!= col("p.n_ip").cast("long") ||
+        col("f.n_phone") =!= col("p.n_phone").cast("long") ||
+        col("f.scrubbed") =!= col("scr")).count()
+    assert(bad === 0L)
+  }
 }
