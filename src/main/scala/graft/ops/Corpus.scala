@@ -507,8 +507,12 @@ object Corpus {
     val withKeeper = keyed.join(keepers, "__ck").pinned()
     val exactDrop = withKeeper.where(col(idCol) =!= col("__keeper"))
       .select(col(idCol), lit("exact_dup").as("stage"))
+    // NOT pinned: withKeeper is already pinned one line up, so s2 is a
+    // narrow filter over stored blocks for each of its two consumers —
+    // re-pinning it serialized ~90% of the corpus text into the block
+    // store a second time (one full eager pass) to save two cheap filters
     val s2 = withKeeper.where(col(idCol) === col("__keeper"))
-      .select(col(idCol), col(textCol)).pinned()
+      .select(col(idCol), col(textCol))
 
     // stage 3 — near-dedup on the now-exact-unique survivors: LSH
     // candidates, exact-Jaccard verify, components, keep each cluster's
