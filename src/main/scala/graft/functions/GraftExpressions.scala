@@ -918,6 +918,27 @@ object gf {
     (sumCents.cast("decimal(38,0)") / f).cast("double")
   }
 
+  /** Exact fixed-point units for FLOAT-ORIGIN doubles at scale 10 — the
+    * embedding-coordinate analog of [[cents]]. For x widened from a float
+    * with |x| < 900, x·10^10 is EXACTLY representable in double (24-bit
+    * float mantissa × 5^10 < 2^53, the 2^10 factor only shifts the
+    * exponent), so `round(x·10^10)` and `cast(x as decimal(25,10))·10^10`
+    * HALF_UP-round the SAME exact value — equal ALWAYS, not just for
+    * near-k-dp data. */
+  def fp10(x: Column): Column = cents(x, 10)
+
+  /** Exact double finisher for a long [[fp10]] SUM. The divisor must keep
+    * >= 10 fractional digits through Spark's decimal-division typing: with
+    * the dividend cast to decimal(18,0) the quotient lands at
+    * decimal(38,20) (precision overflow trims the ideal scale 21 by just
+    * one digit), so the exact 10-dp rational survives and the final
+    * cast-to-double is the same single rounding the decimal(25,10) sum
+    * path performs. Bound: |sum| < 1e18 fixed-point units = 1e8 summed
+    * unit-scale coordinates per group — beyond sf1000 for the catalog's
+    * per-(group,pos) sums (spec-asserted equal to the decimal path). */
+  def fp10ToDouble(sumFp: Column): Column =
+    (sumFp.cast("decimal(18,0)") / 10000000000L).cast("double")
+
   /** Exact money sum — replaces `sum(cast(x as decimal(18,scale)))
     * .cast("double")` with a LONG sum of per-row fixed-point units plus one
     * per-group decimal finisher. Same double, ~2x cheaper per row: the

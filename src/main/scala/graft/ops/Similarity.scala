@@ -897,16 +897,24 @@ object Similarity {
     * and nearest-centroid routing. One posexplode (xdim fan-out) into a
     * single partial-aggregated shuffle on (group, pos): the shuffle moves
     * at most groups x dim partial sums per map task, never the vectors.
-    * Cross-engine exact: elements are summed as decimals (float -> double
-    * widening is exact; decimal addition is order-independent), and only
-    * the final mean is one double division. Output: (group, pos, mean_x,
-    * n) with pos 0-based. */
+    * Cross-engine exact: elements are summed as long fixed-point units
+    * (gf.fp10 — exactly the decimal(25,10) values, see its scaladoc;
+    * integer addition is order-independent), and only the final mean is
+    * one double division. Output: (group, pos, mean_x, n) with pos
+    * 0-based. */
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     df.filter(col(vecCol).isNotNull)
       .select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("grp"), col("pos"))
       .agg(
-        (sum(col("x").cast("double").cast("decimal(25,10)")).cast("double") /
+        // long fixed-point sum (gf.fp10): bit-identical to the former
+        // decimal(25,10) sum — float-origin x·1e10 is EXACT in double, so
+        // both formulations round the same value, and the per-group
+        // finisher performs the same single cast-to-double rounding; per
+        // element this is one codegen long add instead of a non-compact
+        // BigDecimal add, and the (grp,pos) shuffle rows are half the bytes
+        (graft.functions.gf.fp10ToDouble(
+          sum(graft.functions.gf.fp10(col("x").cast("double")))) /
           count(lit(1))).as("mean_x"),
         count(lit(1)).as("n"))
 

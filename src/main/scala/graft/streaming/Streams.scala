@@ -939,10 +939,11 @@ object Streams {
     * training corpus (a source going off-distribution shows up as the
     * stream centroid rotating away from the baseline).
     *
-    * State is the per-(label, position) decimal running sum + count:
+    * State is the per-(label, position) fixed-point running sum + count:
     * exactly labels x dim rows FOREVER — no watermark needed, the monitor
-    * runs indefinitely in bounded memory, and the decimal sums make the
-    * state layout-/retry-independent (same property as the batch
+    * runs indefinitely in bounded memory, and the integer sums (gf.fp10 —
+    * exactly the former decimal(25,10) values) make the state
+    * layout-/retry-independent (same property as the batch
     * [[graft.ops.Similarity.groupCentroids]], which this shares its
     * numeric definition with — streaming and batch centroids can never
     * disagree). The drift verdict is a driver-scale reduce over the final
@@ -969,7 +970,11 @@ object Streams {
       .filter(col("embedding").isNotNull)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(col("x").cast("double").cast("decimal(25,10)")).as("s"),
+      // long fixed-point running sums (gf.fp10 — bit-identical to the
+      // former decimal(25,10) sums for float-origin coordinates): the
+      // monitor's labels x dim state rows carry 8-byte longs and each
+      // arriving element costs one codegen add, not a BigDecimal add
+      .agg(sum(graft.functions.gf.fp10(col("x").cast("double"))).as("s"),
         count(lit(1)).as("n"))
     val state = runToMemory(running, "graft_stream_drift", "complete")
     val streamMeans = state.groupBy("label")
@@ -979,7 +984,9 @@ object Streams {
         max(col("n")).as("n_vecs"))
       .select(col("label"),
         transform(col("pm"),
-          p => p.getField("sn").getField("s").cast("double") /
+          // same double as the old decimal s.cast("double"): fp10ToDouble
+          // is the single correctly-rounded step on the same exact rational
+          p => graft.functions.gf.fp10ToDouble(p.getField("sn").getField("s")) /
             p.getField("sn").getField("n")).as("sm"),
         col("n_vecs"))
     val cosExpr = col("dot") / (sqrt(col("na")) * sqrt(col("nb")))

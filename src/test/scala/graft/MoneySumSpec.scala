@@ -51,4 +51,27 @@ class MoneySumSpec extends SparkSpec {
     assert(bad4 === 0L)
     assert(bad8 === 0L)
   }
+
+  test("fp10 sum == decimal(25,10) sum on real embeddings and float grids") {
+    // the groupCentroids / drift-monitor replacement: per-element AND
+    // group-mean equality with the decimal formulation, on the real
+    // embedding table and on a dense float grid crossing every magnitude
+    // the catalog's unit-scale coordinates use
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .select(col("label").as("grp"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("grp"), col("pos"), col("x").cast("double").as("x"))
+    val grid = spark.range(-200000, 200000).select(
+      (col("id") % 37).as("grp"), lit(0).as("pos"),
+      (col("id").cast("float") / 131072.0f).cast("double").as("x"))
+    for (df <- Seq(emb, grid)) {
+      val badRow = df.where(
+        gf.fp10(col("x")) =!= (col("x").cast("decimal(25,10)") * 10000000000L).cast("long")).count()
+      assert(badRow === 0L)
+      val agg = df.groupBy("grp", "pos").agg(
+        (sum(col("x").cast("decimal(25,10)")).cast("double") / count(lit(1))).as("d"),
+        (gf.fp10ToDouble(sum(gf.fp10(col("x")))) / count(lit(1))).as("c"))
+      assert(agg.where(col("d") =!= col("c")).count() === 0L)
+    }
+  }
 }
