@@ -24,10 +24,14 @@ object Explain {
         if (executed) {
           // run THIS df's own QueryExecution (a write — and even
           // Dataset.foreach, via rddQueryExecution — wraps the query in a
-          // fresh execution and leaves this plan un-finalized): collecting
-          // through the executedPlan itself finalizes the
-          // AdaptiveSparkPlanExec we are about to print
-          df.queryExecution.executedPlan.executeCollect(): Unit
+          // fresh execution and leaves this plan un-finalized): executing
+          // the executedPlan's own RDD finalizes the AdaptiveSparkPlanExec
+          // we are about to print. Traversed DISTRIBUTED (foreach of unit,
+          // every row consumed executor-side) — the former executeCollect()
+          // pulled the full result set into the driver, unbounded for large
+          // sfDir arguments (round-13 ADVICE item 4)
+          df.queryExecution.executedPlan.execute()
+            .foreach((_: org.apache.spark.sql.catalyst.InternalRow) => ())
           println(s"----- $name AQE-final executed plan -----")
           println(df.queryExecution.executedPlan.toString.take(20000))
           Bench.cleanup(spark)

@@ -26,6 +26,17 @@ object TimeQ {
       Bench.exec(SparkEntry.queries(name)(spark, dir))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[timeq] $name run$i: $sec%.2f s")
+      // GRAFT_PIN_REPORT=1: block-store footprint of the query's lineage
+      // pins (localCheckpoints), captured AFTER the timed run and BEFORE
+      // cleanup unpersists them — the committed evidence for pin-narrowing
+      // claims (round-14: corpus_clean s3). Outside the timed region.
+      if (sys.env.contains("GRAFT_PIN_REPORT")) {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        val mem = infos.map(_.memSize).sum
+        val disk = infos.map(_.diskSize).sum
+        println(s"[pin-report] $name run$i rdds=${infos.length} " +
+          s"mem_bytes=$mem disk_bytes=$disk")
+      }
       out.foreach { p =>
         // Locale.ROOT, not the f-interpolator: a comma-decimal default
         // locale would emit invalid JSON (same rule as Bench.j3)

@@ -523,15 +523,25 @@ object Corpus {
       .where(col("id") =!= col("comp"))
       .select(col("id").as(idCol), lit("near_dup").as("stage"))
       .pinned()
-    val s3 = s2.join(nearDrop.select(idCol), Seq(idCol), "left_anti")
+    // IDS-ONLY pin for the stage-3 boundary (round-13 verdict item 5): the
+    // old `s3 = s2 anti-join nearDrop` pin eagerly serialized the survivor
+    // TEXT (~90% of the corpus) into the block store a third time, after
+    // `filtered` and `withKeeper` already hold it. The anti-join's decision
+    // is pinned as the id set; the text flows to each s3 consumer as a
+    // narrow filter over the withKeeper pin plus a join with this (small,
+    // pinned) id set — identical rows (idCol is unique in s2: one keeper
+    // per content), no third full-text serialization pass.
+    val s3ids = s2.select(col(idCol))
+      .join(nearDrop.select(idCol), Seq(idCol), "left_anti")
       .pinned()
+    val s3 = s2.join(s3ids, Seq(idCol))
 
     // stage 4 — decontamination: drop survivors that near-match the
     // held-out eval set (eval side broadcasts; corpus side never shuffles)
     val cleaned = Dedup.decontaminate(
         s3, evalSet, textCol, idCol, n, threshold = threshold)
       .select(col(idCol)).pinned()
-    val contaminatedDrop = s3.select(idCol)
+    val contaminatedDrop = s3ids
       .join(cleaned, Seq(idCol), "left_anti")
       .select(col(idCol), lit("contaminated").as("stage"))
     val kept = cleaned.select(col(idCol), lit("kept").as("stage"))

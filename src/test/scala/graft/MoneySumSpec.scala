@@ -74,4 +74,42 @@ class MoneySumSpec extends SparkSpec {
       assert(agg.where(col("d") =!= col("c")).count() === 0L)
     }
   }
+
+  private def chainMessages(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("finishers fail loudly past the guard bound (r13 What's-wrong #1)") {
+    // fp10: the decimal(18,0) dividend holds exactly |sum| <= 1e18 - 1. AT
+    // the bound the finisher still emits the exact quotient; ONE unit past
+    // it the old code silently NULL'd the mean — now it raises.
+    val fpBound = 999999999999999999L
+    val atBound = spark.range(1)
+      .select(gf.fp10ToDouble(lit(fpBound)).as("m")).head().getDouble(0)
+    assert(atBound === (BigDecimal(fpBound) / BigDecimal(10000000000L)).toDouble)
+    val exFp = intercept[Exception] {
+      spark.range(1).select(gf.fp10ToDouble(lit(fpBound) + lit(1L))).head()
+    }
+    assert(chainMessages(exFp).contains("gf.fp10 overflow"),
+      s"expected a loud fp10 overflow, got: ${chainMessages(exFp)}")
+
+    // moneySum: totals within 2^62 units pass through exactly; past the
+    // documented headroom the finisher raises instead of flowing on.
+    val mBound = 1L << 62
+    val atMoneyBound = spark.range(1)
+      .select(gf.centsToMoney(lit(mBound), 2).as("m")).head().getDouble(0)
+    assert(atMoneyBound === (BigDecimal(mBound) / 100).toDouble)
+    val exMoney = intercept[Exception] {
+      spark.range(1).select(gf.centsToMoney(lit(mBound) + lit(1L), 2)).head()
+    }
+    assert(chainMessages(exMoney).contains("gf.moneySum overflow"),
+      s"expected a loud moneySum overflow, got: ${chainMessages(exMoney)}")
+
+    // negative side: the guard is two compares, not abs() — Long.MinValue
+    // (abs() == itself, negative) must still fail loudly
+    val exNeg = intercept[Exception] {
+      spark.range(1).select(gf.fp10ToDouble(lit(Long.MinValue))).head()
+    }
+    assert(chainMessages(exNeg).contains("gf.fp10 overflow"))
+  }
 }
