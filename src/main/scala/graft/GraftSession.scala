@@ -35,15 +35,31 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    // GRAFT_STATE_STORE=rocksdb swaps streaming state from the
-    // heap-backed default to the RocksDB provider — the production store
-    // for large stateful streams (state spills to local disk instead of
-    // executor heap). Results are provider-independent (spec-asserted);
-    // the §9.6 rehearsal measures both.
+    // Streaming state store: RocksDB BY DEFAULT (round 14) — the
+    // production store at 100 TB state scale (state lives on local disk,
+    // not executor heap, so a hot key universe cannot OOM an executor) AND
+    // measured faster on every stateful catalog entry in the r14 A/Bs:
+    // the heap-backed provider pays ~75 ms of checkpoint-file fan-out per
+    // store commit (measured: a 2-row sentinel micro-batch of the
+    // stream-stream join summed 2.2-2.6 s of commit time across its 32
+    // store instances), where RocksDB with changelog checkpointing appends
+    // one changelog file per store instead of snapshotting. Join state
+    // format 3 keeps ONE RocksDB store per partition (virtual column
+    // families) instead of four. Results are provider- and
+    // format-independent (spec-asserted, oracle-checked).
+    // GRAFT_STATE_STORE=hdfs restores the heap-backed engine default for
+    // A/B (the format/changelog knobs are RocksDB-only and flip with it);
+    // =rocksdb stays accepted from the r13 opt-in contract.
+    val useRocksDb =
+      !sys.env.get("GRAFT_STATE_STORE").exists(v => v == "hdfs" || v == "heap")
     val withState =
-      if (sys.env.get("GRAFT_STATE_STORE").contains("rocksdb"))
-        builder.config("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      if (useRocksDb)
+        builder
+          .config("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          .config("spark.sql.streaming.join.stateFormatVersion", "3")
+          .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true")
       else builder
     val spark = withState.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

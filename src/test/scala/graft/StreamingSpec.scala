@@ -197,15 +197,16 @@ class StreamingSpec extends SparkSpec {
     assert(s.sameElements(b))
   }
 
-  test("RocksDB state store: sessionization results identical to the default provider") {
-    // the production state store for large stateful streams (state on
-    // local disk, not executor heap) must be a pure swap: same query,
-    // same rows — §9.6 measures it at scale, this asserts equality
+  test("heap-backed state store: sessionization identical to the RocksDB default") {
+    // the state store provider must be a pure swap: same query, same rows.
+    // RocksDB is the session default since round 14 (GraftSession), so the
+    // equality is asserted against the heap-backed engine provider — the
+    // GRAFT_STATE_STORE=hdfs escape hatch must stay bit-identical.
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(key)
-    val rocks = try {
+    val heap = try {
       spark.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       Streams.sessionizeSessionWindowsAvailableNow(spark, sfDir, gapMinutes = 30)
         .select(col("user_id").cast("long"), col("n_sessions"), col("n_events"))
         .orderBy("user_id").collect()
@@ -218,8 +219,31 @@ class StreamingSpec extends SparkSpec {
     val default = Streams.sessionizeSessionWindowsAvailableNow(spark, sfDir, gapMinutes = 30)
       .select(col("user_id").cast("long"), col("n_sessions"), col("n_events"))
       .orderBy("user_id").collect()
-    assert(rocks.length === default.length)
-    assert(rocks.sameElements(default))
+    assert(heap.length === default.length)
+    assert(heap.sameElements(default))
+  }
+
+  test("stream-stream join: state format v3 equals v2 and the heap provider (inner + outer)") {
+    // the r14 defaults (RocksDB + join stateFormatVersion 3, one store with
+    // virtual column families per partition instead of four) must not
+    // change a single emitted row vs the v2 layout or the heap provider
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val fmtKey = "spark.sql.streaming.join.stateFormatVersion"
+    def run() = Streams.clickAttributionOuterAvailableNow(spark, sfDir)
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first).collect()
+    val v3 = run() // session defaults: RocksDB + v3
+    val priors = Seq(provKey, fmtKey).map(k => k -> spark.conf.getOption(k))
+    val v2heap = try {
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      spark.conf.set(fmtKey, "2")
+      run()
+    } finally priors.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    assert(v3.length === v2heap.length)
+    assert(v3.sameElements(v2heap))
   }
 
   test("session_window path: one user owning an entire shuffled batch sessionizes correctly") {
