@@ -144,8 +144,9 @@ object Streams {
       (if (sys.env.get("GRAFT_STREAM_NODATA_BATCHES").contains("1")) "true"
        else "false"))
 
-  private def withReplayConf[A](spark: SparkSession)(body: => A): A = {
-    val priors = replayConf.map { case (k, v) =>
+  private def withReplayConf[A](
+      spark: SparkSession, extra: Map[String, String] = Map.empty)(body: => A): A = {
+    val priors = (replayConf ++ extra).map { case (k, v) =>
       val prior = spark.conf.getOption(k)
       spark.conf.set(k, v)
       k -> prior
@@ -154,6 +155,32 @@ object Streams {
       case (k, Some(x)) => spark.conf.set(k, x)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  /** State-store choice for the stream-stream JOIN replays, measured both
+    * ways in round 14 (same-JVM steady A/Bs, repeats bounding drift):
+    * the session-default RocksDB wins when per-batch state is tiny (sf0.1,
+    * ~40k buffered rows: 5.2-5.4 → 3.7-3.8 s — the heap provider's
+    * per-commit checkpoint-file fan-out dominates), but LOSES once chunks
+    * carry ~1M rows (sf1: inner 4.4-5.1 heap vs 5.5-6.0 rocks, outer
+    * 5.2-5.7 vs 8.6-9.7 — per-row JNI put/iterate dominates, worst on the
+    * outer join's eviction scans). The replay buffers are bounded by the
+    * chunk-row budget BY CONSTRUCTION (the §9.4 discipline), so the heap
+    * provider is memory-safe here in a way it is not for the
+    * key-universe-scaled monitors — scale favors the per-row-cheap
+    * provider. Default: heap + join state format 2. Session conf
+    * `spark.graft.stream.join.stateStore=rocksdb` (or env
+    * GRAFT_STREAM_JOIN_STATE_STORE=rocksdb) keeps the session default
+    * instead; results are provider- and format-identical (spec-asserted). */
+  private def joinReplayConf(spark: SparkSession): Map[String, String] = {
+    val choice = spark.conf.getOption("spark.graft.stream.join.stateStore")
+      .orElse(sys.env.get("GRAFT_STREAM_JOIN_STATE_STORE"))
+      .getOrElse("hdfs")
+    if (choice == "rocksdb") Map.empty
+    else Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "spark.sql.streaming.join.stateFormatVersion" -> "2")
   }
 
   /** Run a streaming frame to a uniquely-named memory sink under
@@ -204,12 +231,14 @@ object Streams {
     * Bench.cleanup should either consume promptly or point
     * GRAFT_STREAM_SCRATCH at storage they manage; output dirs are
     * per-invocation and otherwise live until the JVM's owner sweeps them. */
-  private def runToParquet(df: DataFrame, prefix: String): DataFrame = {
+  private def runToParquet(
+      df: DataFrame, prefix: String,
+      extraConf: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     val name = s"${prefix}_${counter.incrementAndGet()}"
     val out = scratchDir(s"$name-out")
     val ckpt = scratchDir(s"$name-ckpt")
-    val q = withReplayConf(spark) {
+    val q = withReplayConf(spark, extraConf) {
       df.writeStream
         .format("parquet")
         .option("path", out.toString)
@@ -581,8 +610,10 @@ object Streams {
       .select(col("click_id"), col("purchase_id"),
         col("user_id"), col("click_ts"), col("purchase_ts"))
     // join output scales with the data — file sink, not the driver-side
-    // memory sink (which died on maxResultSize at sf100, round-11 verdict)
-    runToParquet(joined, prefix).where(col("user_id") >= 0)
+    // memory sink (which died on maxResultSize at sf100, round-11 verdict);
+    // state store per [[joinReplayConf]] (heap-backed for the chunk-bounded
+    // replay buffers, measured faster at 10x)
+    runToParquet(joined, prefix, joinReplayConf(spark)).where(col("user_id") >= 0)
   }
 
   /** Per-content-key dedup state for streaming exact dedup. */

@@ -223,27 +223,26 @@ class StreamingSpec extends SparkSpec {
     assert(heap.sameElements(default))
   }
 
-  test("stream-stream join: state format v3 equals v2 and the heap provider (inner + outer)") {
-    // the r14 defaults (RocksDB + join stateFormatVersion 3, one store with
-    // virtual column families per partition instead of four) must not
-    // change a single emitted row vs the v2 layout or the heap provider
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val fmtKey = "spark.sql.streaming.join.stateFormatVersion"
+  test("stream-stream join: RocksDB + state format v3 equals the heap + v2 default (inner + outer)") {
+    // the join replay defaults to heap + join stateFormatVersion 2
+    // (joinReplayConf — measured faster once chunks carry ~1M rows); the
+    // spark.graft.stream.join.stateStore=rocksdb escape keeps the session's
+    // RocksDB + v3 (one store with virtual column families per partition
+    // instead of four). Neither may change a single emitted row.
+    val key = "spark.graft.stream.join.stateStore"
     def run() = Streams.clickAttributionOuterAvailableNow(spark, sfDir)
       .orderBy(col("click_id"), col("purchase_id").asc_nulls_first).collect()
-    val v3 = run() // session defaults: RocksDB + v3
-    val priors = Seq(provKey, fmtKey).map(k => k -> spark.conf.getOption(k))
-    val v2heap = try {
-      spark.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-      spark.conf.set(fmtKey, "2")
+    val heapV2 = run() // harness default
+    val prior = spark.conf.getOption(key)
+    val rocksV3 = try {
+      spark.conf.set(key, "rocksdb")
       run()
-    } finally priors.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
-    assert(v3.length === v2heap.length)
-    assert(v3.sameElements(v2heap))
+    assert(rocksV3.length === heapV2.length)
+    assert(rocksV3.sameElements(heapV2))
   }
 
   test("session_window path: one user owning an entire shuffled batch sessionizes correctly") {
